@@ -1,0 +1,41 @@
+import os
+
+# Run the test suite on a virtual 8-device CPU mesh so multi-chip sharding code
+# is exercised without TPU hardware (the JAX-idiomatic fake backend).
+os.environ['JAX_PLATFORMS'] = 'cpu'  # force: the shell env pins the TPU platform
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by the site's TPU bootstrap; the config override
+# still applies as long as no backend has been initialised yet.
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+assert jax.devices()[0].platform == 'cpu'
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, 'tests', 'fixtures')
+
+
+@pytest.fixture(scope='session')
+def ref_fixtures():
+    """Golden outputs generated from the (shimmed) reference implementation."""
+    path = os.path.join(FIXTURES, 'reference_boss.npz')
+    if not os.path.exists(path):
+        pytest.skip('reference fixtures not generated (run tools/run_reference_baseline.py)')
+    return np.load(path, allow_pickle=True)
+
+
+@pytest.fixture(scope='session')
+def boss_config():
+    import yaml
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+    return cfg

@@ -1,0 +1,149 @@
+"""Unit parity tests: victor_tpu.ops primitives vs scipy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.interpolate import (InterpolatedUnivariateSpline, PchipInterpolator,
+                               RectBivariateSpline)
+
+from victor_tpu import ops
+
+
+RNG = np.random.default_rng(1234)
+
+
+class TestSpline1D:
+    def setup_method(self, _):
+        self.x = np.sort(RNG.uniform(0, 100, 31))
+        self.y = RNG.normal(size=31)
+        self.q = RNG.uniform(-10, 110, 5000)
+
+    def test_clamped_matches_ius_ext3(self):
+        spl = ops.Spline1D.build(self.x, clamp=True)
+        got = np.asarray(spl(jnp.asarray(self.y), jnp.asarray(self.q)))
+        want = InterpolatedUnivariateSpline(self.x, self.y, k=3, ext=3)(self.q)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    def test_extrapolating_matches_ius_ext0(self):
+        spl = ops.Spline1D.build(self.x, clamp=False)
+        got = np.asarray(spl(jnp.asarray(self.y), jnp.asarray(self.q)))
+        want = InterpolatedUnivariateSpline(self.x, self.y, k=3, ext=0)(self.q)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+    def test_batched_values(self):
+        Y = RNG.normal(size=(3, 31))
+        spl = ops.Spline1D.build(self.x, clamp=True)
+        coeffs = spl.coeffs(jnp.asarray(Y))
+        assert coeffs.shape == (3, 30, 4)
+        got = np.asarray(spl.eval(coeffs[1], jnp.asarray(self.q)))
+        want = InterpolatedUnivariateSpline(self.x, Y[1], k=3, ext=3)(self.q)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+class TestEvalMatrices:
+    def test_spline_eval_matrix(self):
+        x = np.linspace(0, 10, 25)
+        q = RNG.uniform(-1, 11, 200)
+        E = ops.spline_eval_matrix(x, q, ext=3)
+        y = RNG.normal(size=25)
+        np.testing.assert_allclose(
+            E @ y, InterpolatedUnivariateSpline(x, y, k=3, ext=3)(q), atol=1e-11)
+
+    def test_gradient_matrix(self):
+        x = np.sort(RNG.uniform(0, 5, 40))
+        G = ops.gradient_matrix(x)
+        y = np.sin(x)
+        np.testing.assert_allclose(G @ y, np.gradient(y, x), atol=1e-13)
+
+
+class TestPchip:
+    def test_matches_scipy_incl_extrapolation(self):
+        x = np.linspace(0.15, 0.75, 31)
+        Y = RNG.normal(size=(31, 2, 30))
+        table = ops.PchipTable.build(x, Y)
+        p = PchipInterpolator(x, Y, axis=0)
+        for q in [0.15, 0.37, 0.4283, 0.75, 0.12, 0.80]:
+            np.testing.assert_allclose(np.asarray(table(q)), p(q), atol=1e-12,
+                                       err_msg=f'beta={q}')
+
+
+class TestBicubic:
+    def test_matches_rbs_ev_with_clamping(self):
+        gx = np.linspace(3, 147, 25)
+        gy = np.linspace(0, 1, 50)
+        Z = np.cos(gx[:, None] / 20) * (1 + 0.3 * gy[None, :] ** 2)
+        surf = ops.Bicubic2D.build(gx, gy, Z)
+        rbs = RectBivariateSpline(gx, gy, Z)
+        q = RNG.uniform(-5, 160, 3000)
+        p = RNG.uniform(-1.2, 1.2, 3000)
+        got = np.asarray(surf.ev(jnp.asarray(q), jnp.asarray(p)))
+        want = rbs.ev(np.clip(q, gx[0], gx[-1]), np.clip(p, gy[0], gy[-1]))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+class TestIntegrate:
+    def test_simpson_avg_matches_old_scipy(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+        from refshim import simps as old_simps
+        for n in [49, 50, 51, 100]:
+            x = np.linspace(-6, 6, n)
+            y = np.exp(-x ** 2 / 2) * (1 + 0.3 * x)
+            w = ops.simpson_weights(n, dx=x[1] - x[0])
+            np.testing.assert_allclose(w @ y, old_simps(y, x=x), rtol=1e-13,
+                                       err_msg=f'n={n}')
+
+    def test_trapz_weights(self):
+        x = np.sort(RNG.uniform(0, 1, 37))
+        y = RNG.normal(size=37)
+        np.testing.assert_allclose(ops.trapz_weights(x) @ y, np.trapezoid(y, x),
+                                   rtol=1e-13)
+
+
+class TestLegendre:
+    @pytest.mark.parametrize('ell', [0, 1, 2, 3, 4, 6])
+    def test_matches_scipy(self, ell):
+        from scipy.special import legendre
+        mu = np.linspace(-1, 1, 101)
+        np.testing.assert_allclose(ops.legendre_p(ell, mu), legendre(ell)(mu),
+                                   atol=1e-12)
+
+
+class TestProjection:
+    def test_multipole_projection_matches_reference_pipeline(self):
+        """P @ xi_col must equal interp2d-cubic + 200-pt trapz (utils.py:9-58)."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+        import refshim
+        refshim.install()
+        sys.path.insert(0, '/root/reference')
+        from victor import utils as ref_utils
+        from refshim import interp2d
+
+        s = np.linspace(2, 118, 30)
+        mu = np.linspace(0, 1, 100)
+        xi = np.exp(-s[None, :] / 40) * (1 - 0.5 * mu[:, None] ** 2) - 0.3
+        xi += 0.01 * RNG.normal(size=xi.shape)
+        xi_model = interp2d(s, mu, xi, kind='cubic')
+        want = ref_utils.multipoles_from_fn(xi_model, s, [0, 2])
+        P = ops.multipole_projection_matrix(mu, [0, 2])
+        got = P @ xi
+        np.testing.assert_allclose(got[0], want['0'], atol=1e-10)
+        np.testing.assert_allclose(got[1], want['2'], atol=1e-10)
+
+
+class TestSpecial:
+    def test_hyp2f1_growth(self):
+        from scipy.special import hyp2f1
+        z = -np.linspace(0.01, 30, 50)
+        got = np.asarray(ops.hyp2f1_growth(jnp.asarray(z)))
+        want = hyp2f1(5 / 6, 3 / 2, 11 / 6, z)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_growth_factor_matches_reference_formula(self):
+        from victor_tpu.models.cosmology import BackgroundCosmology
+        cosmo = BackgroundCosmology({'Omega_m': 0.31})
+        zs = np.array([0.0, 0.5, 0.57, 1.0, 2.0])
+        got = np.asarray(ops.growth_factor_lcdm(jnp.asarray(zs), 0.31, 0.69))
+        want = cosmo.growth_factor(zs)
+        np.testing.assert_allclose(got, want, rtol=1e-10)

@@ -111,6 +111,7 @@ def simps(y, x=None, dx=1.0, axis=-1, even='avg'):
     """Reimplementation of scipy<1.14 ``simps`` with the old default even='avg'."""
     y = np.asarray(y)
     nd = len(y.shape)
+    axis = axis % nd
     N = y.shape[axis]
     if x is not None:
         x = np.asarray(x)

