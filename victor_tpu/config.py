@@ -1,0 +1,98 @@
+"""Static configuration for the CCF theory/likelihood pipeline.
+
+The reference drives everything off two nested YAML dicts (`model:` and
+`data:`, schema documented in the reference config/boss_config.yaml:1-119) plus
+per-call kwargs that override init defaults (victor/ccf_model.py:565-567).
+Here the options that change the *structure* of the computation are collected
+into hashable frozen dataclasses used as jit static arguments; per-call
+overrides become `dataclasses.replace(...)` producing a (cached) new trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+RSD_MODELS = ('streaming', 'dispersion', 'kaiser', 'euclid_special')
+MATTER_MODELS = ('linear_bias', 'template', 'excursion_set')
+MEAN_MODELS = ('linear', 'nonlinear', 'template')
+LIKELIHOOD_FORMS = ('gaussian', 'hartlap', 'sellentin', 'percival')
+
+
+@dataclasses.dataclass(frozen=True)
+class TheoryOptions:
+    """Model-evaluation options (defaults mirror victor/ccf_model.py:85-97)."""
+    rsd_model: str = 'streaming'
+    kaiser_approximation: bool = False
+    kaiser_coord_shift: bool = True
+    assume_isotropic: bool = True
+    realspace_ccf_from_data: bool = False
+    matter_model: str = 'template'
+    mean_model: str = 'linear'
+    empirical_corr: bool = False
+    pdf_form: str = 'gaussian'
+    velocity_independent_of_AP: bool = True
+    niter: int = 5
+
+    def replace(self, **kw):
+        # accept the reference's per-call kwarg vocabulary
+        mapping = {'velocity_independent_of_AP': 'velocity_independent_of_AP'}
+        kw = {mapping.get(k, k): v for k, v in kw.items()}
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class FitOptions:
+    """Likelihood-evaluation options (victor/ccf_fit.py:41-42)."""
+    beta_interpolation: str = 'datavector'     # 'datavector' | 'likelihood'
+    form: str = 'gaussian'
+    nmocks: int = 1
+    nparams: Optional[int] = None
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """Static structural facts about the loaded tables (shapes/modes)."""
+    poles_r: Tuple[int, ...] = (0, 2)
+    poles_s: Tuple[int, ...] = (0, 2)
+    fixed_real_input: bool = False
+    fixed_data: bool = False
+    fixed_covmat: bool = False
+    has_velocity_template: bool = False
+    has_matter_template: bool = True
+    n_s: int = 30
+    n_mu: int = 100
+    n_v: int = 50
+
+
+def theory_options_from_config(model: dict) -> TheoryOptions:
+    """Build TheoryOptions from a reference-schema `model:` dict."""
+    matter = model.get('matter_ccf', {})
+    velocity = model.get('velocity_pdf', {})
+    return TheoryOptions(
+        rsd_model=model.get('rsd_model', 'streaming'),
+        kaiser_approximation=model.get('kaiser_approximation', False),
+        kaiser_coord_shift=model.get('kaiser_coord_shift', True),
+        assume_isotropic=model.get('realspace_ccf', {}).get('assume_isotropic', True),
+        realspace_ccf_from_data=model.get('realspace_ccf', {}).get('from_data', False),
+        matter_model=matter.get('model', 'linear_bias'),
+        mean_model=velocity.get('mean', {}).get('model', 'linear'),
+        empirical_corr=velocity.get('mean', {}).get('empirical_corr', False),
+        pdf_form=velocity.get('form', 'gaussian'),
+        velocity_independent_of_AP=velocity.get(
+            'rescale_templates_independent_of_AP', True),
+    )
+
+
+def fit_options_from_config(data: dict) -> FitOptions:
+    like = data.get('likelihood', {'form': 'Gaussian'})
+    return FitOptions(
+        beta_interpolation=data.get('beta_interpolation', 'datavector'),
+        form=like.get('form', 'gaussian').lower(),
+        nmocks=like.get('nmocks', 1),
+        nparams=like.get('nparams'),
+    )

@@ -1,0 +1,157 @@
+"""Likelihood evaluation: chi-squared + four likelihood forms, batched on TPU.
+
+Functional parity with CCFFit (victor/ccf_fit.py:166-483), including:
+  * PCHIP interpolation of the data vector over the reconstruction beta grid,
+  * the reference's *exact* covariance interpolation semantics - boundary
+    clamping, exact-grid-point shortcut, and the (1-t) C[low] + t C[END]
+    endpoint-blend that the reference's `[0][-1]` index produces
+    (ccf_fit.py:225-228,256-260) - the notebook goldens were produced with it,
+  * the Gaussian / Hartlap / Sellentin / Percival forms (:415-473),
+  * log-det normalisation when the covariance varies with beta (:398-413,
+    445-453),
+  * both 'datavector' and 'likelihood' beta-interpolation modes (:383-440),
+  * branchless singular-covariance and NaN guards returning (-inf, +inf)
+    (:400-410,447-450,477-481) so the whole thing stays jit/vmap-safe.
+
+`log_likelihood` is pure; wrap in `jax.vmap` (see `batched.py`) to evaluate
+thousands of parameter points per dispatch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import FitOptions, TableSpec, TheoryOptions
+from ..errors import InputError
+from ..models.ccf_theory import pchip_eval, theory_vector
+
+
+def multipole_datavector(tables, spec: TableSpec, beta):
+    """Stacked redshift-space data vector (victor/ccf_fit.py:306-323)."""
+    if spec.fixed_data:
+        return tables.data_mult_fixed.reshape(-1)
+    return pchip_eval(tables.beta_ccf, tables.data_mult_pchip_c, beta).reshape(-1)
+
+
+def _interp_matrix_stack(grid, stack, beta):
+    """The reference's covariance interpolation over the beta grid
+    (victor/ccf_fit.py:195-260), reproduced branchlessly.
+
+    Semantics: clamp outside the grid to the boundary matrix; return the grid
+    matrix exactly at grid points; otherwise blend (1-t) * stack[low] +
+    t * stack[-1] with t = (beta - grid[low]) / (grid[-1] - grid[low]) - the
+    "high" index is the *last* grid point, reproducing `[0][-1]` at
+    ccf_fit.py:226,258 which the shipped golden values depend on.
+    """
+    n = grid.shape[0]
+    k = jnp.searchsorted(grid, beta, side='left')      # first index with grid >= beta
+    low = jnp.clip(k - 1, 0, n - 1)
+    is_exact = grid[jnp.clip(k, 0, n - 1)] == beta
+    t = (beta - grid[low]) / (grid[n - 1] - grid[low])
+    out = (1.0 - t) * stack[low] + t * stack[n - 1]
+    out = jnp.where(is_exact, stack[jnp.clip(k, 0, n - 1)], out)
+    out = jnp.where(beta < grid[0], stack[0], out)
+    out = jnp.where(beta > grid[-1], stack[-1], out)
+    return out
+
+
+def interpolated_covariance(tables, spec: TableSpec, beta):
+    if spec.fixed_covmat:
+        return tables.cov
+    return _interp_matrix_stack(tables.beta_cov, tables.cov, beta)
+
+
+def interpolated_precision(tables, spec: TableSpec, beta):
+    if spec.fixed_covmat:
+        return tables.icov
+    return _interp_matrix_stack(tables.beta_cov, tables.icov, beta)
+
+
+def chi_squared(tables, spec: TableSpec, opts: TheoryOptions, params):
+    """(theory - data)^T C^-1 (theory - data); also returns the covariance used
+    (victor/ccf_fit.py:325-354)."""
+    tv = theory_vector(tables, spec, opts, params)
+    beta = params.get('beta', jnp.asarray(0.0))
+    dv = multipole_datavector(tables, spec, beta)
+    cov = interpolated_covariance(tables, spec, beta)
+    icov = interpolated_precision(tables, spec, beta)
+    diff = tv - dv
+    return diff @ icov @ diff, cov
+
+
+def _like_factor(cov):
+    """-0.5 log det C with a singular-covariance guard: returns (factor, ok)."""
+    sign, logdet = jnp.linalg.slogdet(cov)
+    ok = sign == 1
+    return -0.5 * logdet, ok
+
+
+def _apply_form(chisq, like_factor, fit: FitOptions, ndata: int):
+    """The four likelihood forms (victor/ccf_fit.py:415-437,455-473)."""
+    form = fit.form.lower()
+    if form == 'sellentin':
+        nmocks = fit.nmocks
+        return -nmocks * jnp.log(1.0 + chisq / (nmocks - 1)) / 2.0 + like_factor
+    if form == 'hartlap':
+        nmocks = fit.nmocks
+        a = (nmocks - ndata - 2) / (nmocks - 1)
+        return -0.5 * chisq * a + like_factor
+    if form == 'percival':
+        nmocks = fit.nmocks
+        if fit.nparams is None:
+            raise InputError("likelihood form 'percival' requires nparams")
+        nparams = fit.nparams
+        B = (nmocks - ndata - 2) / ((nmocks - ndata - 1) * (nmocks - ndata - 4))
+        m = nparams + 2 + (nmocks - 1 + B * (ndata - nparams)) / (1 + B * (ndata - nparams))
+        return -m * jnp.log(1.0 + chisq / (nmocks - 1)) / 2.0 + like_factor
+    if form == 'gaussian':
+        return -0.5 * chisq + like_factor
+    raise InputError('Unrecognised likelihood form')
+
+
+def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
+                   fit: FitOptions, params):
+    """(lnlike, chisq) at one parameter point (victor/ccf_fit.py:356-483)."""
+    ndata = spec.n_s * len(spec.poles_s)
+
+    if fit.beta_interpolation == 'likelihood' and not spec.fixed_data:
+        # bracket beta on the data grid, evaluate chi^2 at both grid points and
+        # linearly interpolate the log-likelihoods (ccf_fit.py:383-440)
+        beta = params['beta']
+        grid = tables.beta_ccf
+        n = grid.shape[0]
+        k = jnp.searchsorted(grid, beta, side='left')   # first >= beta
+        low = jnp.clip(k - 1, 0, n - 1)
+        high = jnp.clip(k, 0, n - 1)
+        t = (beta - grid[low]) / (grid[high] - grid[low])
+        p_low = dict(params); p_low['beta'] = grid[low]
+        p_high = dict(params); p_high['beta'] = grid[high]
+        chisq_low, cov_low = chi_squared(tables, spec, opts, p_low)
+        chisq_high, cov_high = chi_squared(tables, spec, opts, p_high)
+
+        if not spec.fixed_covmat:
+            lf_low, ok_low = _like_factor(cov_low)
+            lf_high, ok_high = _like_factor(cov_high)
+            ok = ok_low & ok_high
+        else:
+            lf_low = lf_high = jnp.zeros(())
+            ok = jnp.asarray(True)
+
+        ln_low = _apply_form(chisq_low, lf_low, fit, ndata)
+        ln_high = _apply_form(chisq_high, lf_high, fit, ndata)
+        lnlike = (1.0 - t) * ln_low + t * ln_high
+        chisq = (1.0 - t) * chisq_low + t * chisq_high
+    else:
+        chisq, cov = chi_squared(tables, spec, opts, params)
+        if not spec.fixed_covmat:
+            lf, ok = _like_factor(cov)
+        else:
+            lf = jnp.zeros(())
+            ok = jnp.asarray(True)
+        lnlike = _apply_form(chisq, lf, fit, ndata)
+
+    # guards: singular covariance or NaN -> (-inf, +inf) (ccf_fit.py:400-410,477-481)
+    bad = jnp.logical_or(~ok, jnp.isnan(lnlike))
+    lnlike = jnp.where(bad, -jnp.inf, lnlike)
+    chisq = jnp.where(bad, jnp.inf, chisq)
+    return lnlike, chisq

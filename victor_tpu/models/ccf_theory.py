@@ -1,0 +1,297 @@
+"""Functional CCF theory engine: real-space -> redshift-space mapping on TPU.
+
+This is the jit/vmap-able re-design of the reference hot path
+(victor/ccf_model.py:328-860). All tables/operators are precomputed
+(victor_tpu/io/tables.py); a single evaluation is pure gathers + elementwise
+math + small matmuls over a fixed (n_mu, n_s, n_v) grid, so thousands of
+parameter points run per dispatch under `jax.vmap`.
+
+RSD models: 'streaming' (Gaussian streaming, ccf_model.py:649-657),
+'dispersion' (change-of-variables streaming with a fixed-point coordinate
+solve, :658-671), 'kaiser' (incl. Hamaus M/Q nuisances, approximation and
+coord-shift toggles, :692-741), 'euclid_special' (:743-784). AP dilation,
+template rescaling (astar or the mu-integral factor), anisotropic real-space
+input, and the `realspace_ccf_from_data` inverse-AP mode are all supported.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import TableSpec, TheoryOptions
+from ..errors import InputError
+from ..ops.legendre import legendre_p
+from ..ops.splines import ppoly_eval
+
+SQRT2PI = 2.5066282746310002
+
+
+def resolve_ap(params):
+    """AP parameter resolution (victor/ccf_model.py:589-596)."""
+    if 'epsilon' in params:
+        epsilon = params['epsilon']
+        apar = params.get('alpha', 1.0) * epsilon ** (-2.0 / 3.0)
+        aperp = epsilon * apar
+    else:
+        aperp = params.get('aperp', 1.0)
+        apar = params.get('apar', 1.0)
+        epsilon = aperp / apar
+    return epsilon, aperp, apar
+
+
+def pchip_eval(grid, coeffs, q):
+    """Evaluate host-precomputed PCHIP coefficients (nb-1, 4, ...) at scalar q."""
+    n = grid.shape[0]
+    idx = jnp.clip(jnp.searchsorted(grid, q, side='right') - 1, 0, n - 2)
+    t = q - grid[idx]
+    c = coeffs[idx]
+    return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
+
+
+def real_multipoles(tables, spec: TableSpec, beta):
+    """Interpolated real-space multipoles (n_ell, n_r)
+    (victor/ccf_model.py:299-326)."""
+    if spec.fixed_real_input:
+        return tables.real_mult_fixed
+    return pchip_eval(tables.beta_grid, tables.real_mult_pchip_c, beta)
+
+
+def delta_profiles(tables, spec: TableSpec, opts: TheoryOptions, params):
+    """Matter-density monopole and its enclosed integral at the r_v and
+    rgrid100 node sets (victor/ccf_model.py:328-383).
+
+    Returns (delta_rv, Delta_rv, delta_100, Delta_100)."""
+    if opts.matter_model == 'template':
+        return (tables.delta_rv, tables.Delta_rv,
+                tables.delta_r100, tables.Delta_r100)
+    if opts.matter_model == 'linear_bias':
+        bias = params.get('bias', tables.bias_default)
+        beta = params.get('beta', jnp.asarray(0.0))
+        y0 = real_multipoles(tables, spec, beta)[0]
+        return (tables.lb_delta_op @ y0 / bias, tables.lb_Delta_op @ y0 / bias,
+                tables.lb_delta100_op @ y0 / bias, tables.lb_Delta100_op @ y0 / bias)
+    if opts.matter_model == 'excursion_set':
+        from .excursion_set import esm_delta_profiles
+        return esm_delta_profiles(tables, spec, opts, params)
+    raise InputError(f'Invalid choice of matter_model {opts.matter_model}')
+
+
+def velocity_terms(tables, spec: TableSpec, opts: TheoryOptions, params):
+    """Mean radial velocity v_r and dv_r/dr at the r_v nodes
+    (victor/ccf_model.py:385-492).
+
+    Velocities are multiplied by the *true* 1/(aH); the sequential (non-elif)
+    growth-term resolution of the reference is preserved."""
+    _, _, apar = resolve_ap(params)
+    iaH_true = tables.iaH * apar
+
+    delta_rv, Delta_rv, delta_100, Delta_100 = delta_profiles(tables, spec, opts, params)
+
+    growth_term = None
+    if opts.matter_model == 'linear_bias':
+        if opts.realspace_ccf_from_data:
+            growth_term = params['beta'] * params.get('bias', tables.bias_default)
+        else:
+            growth_term = params['fsigma8'] / tables.template_sigma8
+    if opts.matter_model == 'template':
+        growth_term = params['fsigma8'] / tables.template_sigma8
+    if opts.matter_model == 'excursion_set':
+        growth_term = params['f']
+    if opts.mean_model == 'template':
+        growth_term = (params['fsigma8'] / tables.template_fsigma8) * \
+            tables.template_hubble_ratio * tables.redshift_shift / apar
+
+    r_v, r100 = tables.r_v, tables.rgrid100
+    if opts.mean_model == 'linear':
+        if not opts.empirical_corr:
+            vr = -growth_term * r_v * Delta_rv / (3.0 * iaH_true)
+            dvr = -growth_term * (delta_rv - 2.0 * Delta_rv / 3.0) / iaH_true
+        else:
+            Av = params.get('Av', 0.0)
+            vr = -growth_term * r_v * Delta_rv * (1.0 + Av * delta_rv) / (3.0 * iaH_true)
+            vr100 = -growth_term * r100 * Delta_100 * (1.0 + Av * delta_100) / (3.0 * iaH_true)
+            dvr = tables.dvr_op @ vr100
+    elif opts.mean_model == 'nonlinear':
+        from .excursion_set import esm_velocity_terms
+        vr, dvr = esm_velocity_terms(tables, spec, opts, params, growth_term,
+                                     iaH_true, delta_rv, delta_100)
+    elif opts.mean_model == 'template':
+        if not spec.has_velocity_template:
+            raise InputError('velocity_terms: Cannot use template option as no '
+                             'template has been supplied.')
+        vr = tables.vr_template_rv * growth_term
+        dvr = tables.dvr_op @ (tables.vr_template_100 * growth_term)
+    else:
+        raise InputError(f'Invalid choice of mean_model {opts.mean_model}')
+
+    return vr, dvr
+
+
+def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
+                   s: Optional[jnp.ndarray] = None,
+                   mu: Optional[jnp.ndarray] = None):
+    """Redshift-space xi(s, mu) on the (n_mu, n_s) grid
+    (victor/ccf_model.py:538-789)."""
+    s = tables.s if s is None else s
+    mu = tables.mu_grid if mu is None else mu
+
+    # --- scalar parameter resolution ---
+    if spec.fixed_real_input and opts.matter_model != 'linear_bias':
+        beta = jnp.asarray(0.40)   # irrelevant in this case (ccf_model.py:583-585)
+    else:
+        beta = params['beta']
+    epsilon, aperp, apar = resolve_ap(params)
+    iaH_true = tables.iaH * apar
+
+    # AP rescaling of templates (ccf_model.py:606-613)
+    if opts.velocity_independent_of_AP:
+        resc = params.get('astar', 1.0) * jnp.ones(())
+    else:
+        integrand = apar * jnp.sqrt(1.0 + (1.0 - tables.mu_ap ** 2) * (epsilon ** 2 - 1.0))
+        resc = jnp.sum(tables.mu_ap_w * integrand)
+    # excursion-set predicts the absolute scale: velocity templates unrescaled
+    # (ccf_model.py:626-632)
+    resc_vel = jnp.ones(()) if opts.matter_model == 'excursion_set' else resc
+
+    # --- table-dependent coefficients ---
+    y_mult = real_multipoles(tables, spec, beta)        # (n_ell, n_r)
+    c_mult = tables.spline_mult.coeffs(y_mult)          # (n_ell, n_r-1, 4)
+    vr, dvr = velocity_terms(tables, spec, opts, params)
+    c_vr = tables.spline_vel.coeffs(vr)
+    c_dvr = tables.spline_vel.coeffs(dvr)
+
+    def vr_at(q):
+        return tables.spline_vel.eval(c_vr, q / resc_vel)
+
+    def dvr_at(q):
+        return tables.spline_vel.eval(c_dvr, q / resc_vel) / resc_vel
+
+    # --- AP-corrected coordinates (ccf_model.py:641-644) ---
+    needs_v = opts.rsd_model in ('streaming', 'dispersion')
+    if needs_v:
+        S = s[None, :, None]
+        Mu = mu[:, None, None]
+        X = tables.x_nodes[None, None, :]
+    else:
+        S = s[None, :]
+        Mu = mu[:, None]
+        X = None
+    s_perp = S * jnp.sqrt(1.0 - Mu ** 2) * aperp
+    s_par = S * Mu * apar
+    s_true = jnp.sqrt(s_par ** 2 + s_perp ** 2)
+
+    def xi_real(q_r, q_mu):
+        """Real-space xi at (r, mu_r): rescaled template or data coordinates
+        (ccf_model.py:616-621,673-687)."""
+        if opts.realspace_ccf_from_data:
+            r_eval = q_r           # splines on unrescaled reference r
+        else:
+            r_eval = q_r / resc    # splines on rescaled r == eval base at q/resc
+        if opts.assume_isotropic:
+            return tables.spline_mult.eval(c_mult[0], r_eval)
+        out = jnp.zeros_like(q_r)
+        for i, ell in enumerate(spec.poles_r):
+            out = out + tables.spline_mult.eval(c_mult[i], r_eval) * legendre_p(ell, q_mu)
+        return out
+
+    def data_coords(r_par, s_perp):
+        """Inverse-AP shift back to fiducial coordinates for data-derived
+        real-space CCF (ccf_model.py:673-679)."""
+        r_par_fid = r_par / apar
+        r_perp_fid = s_perp / aperp
+        rr = jnp.sqrt(r_par_fid ** 2 + r_perp_fid ** 2)
+        return rr, r_par_fid / rr
+
+    if needs_v:
+        sigma_v = params.get('sigma_v', 380.0)
+        v_par = X * sigma_v
+
+        if opts.rsd_model == 'streaming':
+            r_par = s_par - v_par * iaH_true
+            rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+            mu_r = r_par / rr
+            sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
+            mean = vr_at(rr) * mu_r
+            vel_pdf = jnp.exp(-0.5 * ((v_par - mean) / sv) ** 2) / (SQRT2PI * sv)
+            jacobian = 1.0
+        else:  # dispersion
+            r_par = (s_par - v_par * iaH_true) / (1.0 + iaH_true * vr_at(s_true) / s_true)
+            for _ in range(opts.niter):
+                rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+                r_par = (s_par - v_par * iaH_true) / (1.0 + iaH_true * vr_at(rr) / rr)
+            rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+            mu_r = r_par / rr
+            sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
+            vel_pdf = jnp.exp(-0.5 * (v_par / sv) ** 2) / (SQRT2PI * sv)
+            jacobian = 1.0 / (1.0 + vr_at(rr) * iaH_true / rr
+                              + iaH_true * mu_r ** 2 * (dvr_at(rr) - vr_at(rr) / rr))
+
+        if opts.realspace_ccf_from_data:
+            rr_eval, mu_eval = data_coords(r_par, s_perp)
+        else:
+            rr_eval, mu_eval = rr, mu_r
+        xi_rmu = xi_real(rr_eval, mu_eval)
+
+        # velocity integral: old-scipy simps(even='avg') weights on the fixed
+        # 50-node grid, dv = sigma_v * dx (ccf_model.py:690)
+        integrand = (1.0 + xi_rmu) * jacobian * vel_pdf
+        xi_smu = sigma_v * jnp.einsum('msv,v->ms', integrand, tables.vel_weights) - 1.0
+        return xi_smu
+
+    # --- kaiser / euclid_special: no velocity integral (ccf_model.py:692-784) ---
+    M = params.get('M', 1.0)
+    Q = params.get('Q', 1.0)
+    if opts.kaiser_coord_shift:
+        r_par = s_par / (1.0 + M * iaH_true * vr_at(s_true) / s_true)
+        for _ in range(opts.niter):
+            rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+            r_par = s_par / (1.0 + M * iaH_true * vr_at(rr) / rr)
+    else:
+        # deliberately incorrect variant kept for reproducing published results
+        # (ccf_model.py:704-707)
+        r_par = s_par
+    rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+    mu_r = r_par / rr
+
+    if opts.rsd_model == 'kaiser':
+        J = M * vr_at(rr) * iaH_true / rr + \
+            M * Q * mu_r ** 2 * iaH_true * (dvr_at(rr) - vr_at(rr) / rr)
+    elif opts.rsd_model == 'euclid_special':
+        J = 3.0 * M * vr_at(rr) * iaH_true / rr + \
+            2.0 * M * Q * mu_r ** 2 * iaH_true * (dvr_at(rr) - vr_at(rr) / rr)
+    else:
+        raise InputError(f'theory_xi: Unrecognised choice of model {opts.rsd_model}')
+
+    if opts.realspace_ccf_from_data:
+        rr_eval, mu_eval = data_coords(r_par, s_perp)
+    else:
+        rr_eval, mu_eval = rr, mu_r
+    xi_rmu = xi_real(rr_eval, mu_eval)
+
+    if opts.rsd_model == 'kaiser':
+        if not opts.kaiser_approximation:
+            xi_smu = (1.0 + M * xi_rmu) / (1.0 + J) - 1.0
+        else:
+            xi_smu = M * xi_rmu - J
+    else:
+        xi_smu = M * xi_rmu - J
+    return xi_smu
+
+
+def theory_multipoles_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
+                           s: Optional[jnp.ndarray] = None):
+    """Theory multipoles at the data s bins: (n_ell_s, n_s)
+    (victor/ccf_model.py:791-827, with the bicubic-resample + 200-pt trapz
+    projection folded into tables.proj)."""
+    xi_smu = theory_xi_grid(tables, spec, opts, params, s=s)
+    return tables.proj @ xi_smu
+
+
+def theory_vector(tables, spec: TableSpec, opts: TheoryOptions, params,
+                  s: Optional[jnp.ndarray] = None):
+    """Stacked theory multipole vector of length n_ell_s * n_s
+    (victor/ccf_model.py:829-860)."""
+    mult = theory_multipoles_grid(tables, spec, opts, params, s=s)
+    return mult.reshape(-1)
