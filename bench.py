@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched BOSS CMASS likelihood throughput on TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline denominator: the reference victor implementation measured at 11.8
+likelihood evals/sec single-CPU on this machine (BASELINE.md, streaming RSD
+model, Sellentin likelihood, beta-varying D covariance — the exact
+victor_usage_demo.ipynb configuration). We evaluate the same likelihood,
+vmapped over a large batch of parameter points in one jitted dispatch.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+REFERENCE_EVALS_PER_SEC = 11.8   # BASELINE.md, measured on this machine
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    # float64 on CPU for exactness; float32 on TPU (no native f64 MXU path)
+    if platform == 'cpu':
+        jax.config.update('jax_enable_x64', True)
+
+    import yaml
+    from victor_tpu.io import build_tables
+    from victor_tpu.likelihood.batched import make_batched_loglike
+
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+
+    bundle = build_tables(cfg['model'], cfg['data'])
+    names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
+    chunk = int(os.environ.get('VICTOR_BENCH_CHUNK', 128))
+    batched = make_batched_loglike(bundle, names, chunk=chunk)
+
+    # correctness spot-check at the notebook cell-22 golden point
+    golden = jnp.asarray([[0.47, 0.37, 380.0, 1.0]])
+    lnl, chi2 = batched(golden)
+    chi2_err = abs(float(chi2[0]) - 65.01)
+    if chi2_err > 0.2:
+        print(json.dumps({'metric': 'likelihood_evals_per_sec', 'value': 0.0,
+                          'unit': 'evals/s', 'vs_baseline': 0.0,
+                          'error': f'chi2 parity failure: {float(chi2[0]):.4f}'}))
+        return
+
+    # batch of realistic parameter draws around the posterior
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get('VICTOR_BENCH_BATCH', 8192))
+    theta = np.column_stack([
+        rng.uniform(0.3, 0.6, n),      # fsigma8
+        rng.uniform(0.25, 0.55, n),    # beta
+        rng.uniform(250.0, 450.0, n),  # sigma_v
+        rng.uniform(0.9, 1.1, n),      # epsilon
+    ])
+    theta = jnp.asarray(theta)
+
+    # warm-up / compile
+    jax.block_until_ready(batched(theta))
+
+    reps = int(os.environ.get('VICTOR_BENCH_REPS', 5))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = batched(theta)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    evals_per_sec = reps * n / dt
+    print(json.dumps({
+        'metric': 'likelihood_evals_per_sec',
+        'value': round(evals_per_sec, 1),
+        'unit': 'evals/s',
+        'vs_baseline': round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
+    }))
+
+
+if __name__ == '__main__':
+    main()

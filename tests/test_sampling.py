@@ -1,0 +1,163 @@
+"""Sampling subsystem: priors, ensemble sampler, diagnostics, chain IO."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from victor_tpu.sampling import (ParamSpace, init_state, run, make_logpost,
+                                 split_rhat, effective_sample_size,
+                                 save_checkpoint, load_checkpoint,
+                                 export_getdist)
+from victor_tpu.sampling import ensemble
+
+COBAYA_BLOCK = {
+    'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.05},
+                'proposal': 0.02, 'latex': r'f\sigma_8'},
+    'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+             'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.05}},
+    'b': 1.9,
+    'aperp': {'value': 'lambda alpha, epsilon: alpha * epsilon**(1/3)'},
+    'alpha': 1,
+    'epsilon': {'prior': {'dist': 'norm', 'loc': 1.0, 'scale': 0.05}},
+}
+
+
+class TestParamSpace:
+    def test_parse(self):
+        sp = ParamSpace(COBAYA_BLOCK)
+        assert sp.names == ['fsigma8', 'beta', 'epsilon']
+        assert sp.fixed == {'b': 1.9, 'alpha': 1.0}
+        assert [d.name for d in sp.derived] == ['aperp']
+
+    def test_log_prior(self):
+        sp = ParamSpace(COBAYA_BLOCK)
+        inside = jnp.asarray([0.5, 0.4, 1.0])
+        outside = jnp.asarray([0.5, 0.7, 1.0])
+        lp_in = float(sp.log_prior(inside))
+        assert np.isfinite(lp_in)
+        assert float(sp.log_prior(outside)) == -np.inf
+        # uniform densities + standard normal at peak
+        expect = -np.log(1.45) - np.log(0.4) - np.log(0.05) - 0.5 * np.log(2 * np.pi)
+        np.testing.assert_allclose(lp_in, expect, rtol=1e-12)
+
+    def test_derived_and_full_params(self):
+        sp = ParamSpace(COBAYA_BLOCK)
+        theta = jnp.asarray([0.45, 0.35, 1.1])
+        params = sp.full_params(theta)
+        np.testing.assert_allclose(float(params['aperp']), 1.1 ** (1 / 3), rtol=1e-12)
+        assert float(params['b']) == 1.9
+
+    def test_sample_ref_in_support(self):
+        sp = ParamSpace(COBAYA_BLOCK)
+        draws = sp.sample_ref(jax.random.PRNGKey(0), 500)
+        lo, hi = sp.bounds()
+        assert np.all(np.asarray(draws) >= lo) and np.all(np.asarray(draws) <= hi)
+
+
+def _gaussian_logpost(mean, cov_inv):
+    def fn(coords):
+        d = coords - mean
+        lnp = -0.5 * jnp.einsum('wi,ij,wj->w', d, cov_inv, d)
+        return lnp, jnp.zeros((coords.shape[0], 1))
+    return fn
+
+
+class TestEnsemble:
+    def test_recovers_gaussian(self):
+        mean = jnp.asarray([1.0, -2.0])
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]])
+        logpost = _gaussian_logpost(mean, jnp.asarray(np.linalg.inv(cov)))
+        key = jax.random.PRNGKey(1)
+        x0 = mean + jax.random.normal(key, (64, 2))
+        state = init_state(logpost, x0, key)
+        state, (chain, lnp, aux) = jax.jit(
+            lambda s: run(logpost, s, 3000))(state)
+        flat = np.asarray(chain[500:]).reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(mean), atol=0.1)
+        np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.3)
+        rhat = split_rhat(np.asarray(chain[500:]))
+        assert np.all(rhat < 1.05)
+        ess = effective_sample_size(np.asarray(chain[500:]))
+        assert np.all(ess > 100)
+        acc = float(np.mean(np.asarray(state.n_accepted)) / float(state.n_steps))
+        assert 0.2 < acc < 0.9
+
+    def test_deterministic(self):
+        logpost = _gaussian_logpost(jnp.zeros(2), jnp.eye(2))
+        key = jax.random.PRNGKey(7)
+        x0 = jax.random.normal(key, (16, 2))
+        s1 = init_state(logpost, x0, key)
+        s2 = init_state(logpost, x0, key)
+        _, (c1, _, _) = run(logpost, s1, 20)
+        _, (c2, _, _) = run(logpost, s2, 20)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+class TestChainIO:
+    def test_checkpoint_roundtrip_and_resume(self, tmp_path):
+        logpost = _gaussian_logpost(jnp.zeros(2), jnp.eye(2))
+        key = jax.random.PRNGKey(3)
+        x0 = jax.random.normal(key, (16, 2))
+        state = init_state(logpost, x0, key)
+        state, _ = run(logpost, state, 10)
+        path = str(tmp_path / 'ckpt.npz')
+        save_checkpoint(path, state)
+        restored, chain, _, _ = load_checkpoint(path)
+        # resumed run continues bit-identically with the original
+        _, (c_orig, _, _) = run(logpost, state, 10)
+        _, (c_res, _, _) = run(logpost, restored, 10)
+        np.testing.assert_array_equal(np.asarray(c_orig), np.asarray(c_res))
+
+    def test_getdist_export(self, tmp_path):
+        sp = ParamSpace(COBAYA_BLOCK)
+        n_steps, n_walkers = 5, 8
+        chain = np.random.default_rng(0).normal(
+            [0.47, 0.4, 1.0], 0.02, (n_steps, n_walkers, 3))
+        lnp = -np.ones((n_steps, n_walkers))
+        aux = np.full((n_steps, n_walkers, 1), 65.0)
+        root = str(tmp_path / 'chains' / 'test')
+        chain_file = export_getdist(root, sp, chain, lnp, aux,
+                                    aux_names=['chi2_ccf_correct'])
+        table = np.loadtxt(chain_file)
+        # columns: weight, -lnp, 3 sampled, aperp derived, chi2
+        assert table.shape == (n_steps * n_walkers, 2 + 3 + 1 + 1)
+        np.testing.assert_allclose(table[:, 0], 1.0)
+        np.testing.assert_allclose(table[:, 1], 1.0)
+        np.testing.assert_allclose(table[:, -1], 65.0)
+        # aperp column consistent with the lambda
+        np.testing.assert_allclose(table[:, 5],
+                                   table[:, 4] * 0 + chain.reshape(-1, 3)[:, 2] ** (1 / 3),
+                                   rtol=1e-6)
+        names = open(root + '.paramnames').read().splitlines()
+        assert names[0].startswith('fsigma8')
+        assert any(line.startswith('aperp*') for line in names)
+        ranges = open(root + '.ranges').read().splitlines()
+        assert ranges[0].split() == ['fsigma8', '0.05', '1.5']
+
+
+class TestEndToEndMCMC:
+    def test_short_boss_run(self, boss_config, tmp_path):
+        """Tiny smoke run of the full runner on the BOSS likelihood."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+                     'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.02}},
+            'sigma_v': 380.0,
+            'epsilon': 1.0,
+        }
+        res = run_mcmc(bundle, block, n_walkers=8, max_steps=6, check_every=3,
+                       rhat_stop=0.0, seed=2,
+                       output=str(tmp_path / 'chains' / 'boss'),
+                       checkpoint=str(tmp_path / 'ckpt.npz'))
+        assert res.chain.shape == (6, 8, 2)
+        assert np.all(np.isfinite(res.log_prob))
+        assert os.path.exists(tmp_path / 'chains' / 'boss.1.txt')
+        assert os.path.exists(tmp_path / 'ckpt.npz')

@@ -44,7 +44,7 @@ def _interp_matrix_stack(grid, stack, beta):
     ccf_fit.py:226,258 which the shipped golden values depend on.
     """
     n = grid.shape[0]
-    k = jnp.searchsorted(grid, beta, side='left')      # first index with grid >= beta
+    k = jnp.searchsorted(grid, beta, side='left', method='compare_all')  # first index with grid >= beta
     low = jnp.clip(k - 1, 0, n - 1)
     is_exact = grid[jnp.clip(k, 0, n - 1)] == beta
     t = (beta - grid[low]) / (grid[n - 1] - grid[low])
@@ -76,7 +76,9 @@ def chi_squared(tables, spec: TableSpec, opts: TheoryOptions, params):
     cov = interpolated_covariance(tables, spec, beta)
     icov = interpolated_precision(tables, spec, beta)
     diff = tv - dv
-    return diff @ icov @ diff, cov
+    # full matmul precision: TPU's default bf16 dot would cost ~1e-2 on chi^2
+    chisq = jnp.einsum('i,ij,j->', diff, icov, diff, precision='highest')
+    return chisq, cov
 
 
 def _like_factor(cov):
@@ -120,7 +122,7 @@ def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
         beta = params['beta']
         grid = tables.beta_ccf
         n = grid.shape[0]
-        k = jnp.searchsorted(grid, beta, side='left')   # first >= beta
+        k = jnp.searchsorted(grid, beta, side='left', method='compare_all')  # first >= beta
         low = jnp.clip(k - 1, 0, n - 1)
         high = jnp.clip(k, 0, n - 1)
         t = (beta - grid[low]) / (grid[high] - grid[low])

@@ -20,12 +20,18 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import functools
+
 from ..config import TableSpec, TheoryOptions
 from ..errors import InputError
 from ..ops.legendre import legendre_p
 from ..ops.splines import ppoly_eval
 
 SQRT2PI = 2.5066282746310002
+
+# full-precision matmul: the operators are small, so MXU time is negligible,
+# but TPU's default bf16 matmul precision would cost ~1e-2 on chi^2
+_mm = functools.partial(jnp.matmul, precision='highest')
 
 
 def resolve_ap(params):
@@ -44,7 +50,8 @@ def resolve_ap(params):
 def pchip_eval(grid, coeffs, q):
     """Evaluate host-precomputed PCHIP coefficients (nb-1, 4, ...) at scalar q."""
     n = grid.shape[0]
-    idx = jnp.clip(jnp.searchsorted(grid, q, side='right') - 1, 0, n - 2)
+    idx = jnp.clip(jnp.searchsorted(grid, q, side='right',
+                                    method='compare_all') - 1, 0, n - 2)
     t = q - grid[idx]
     c = coeffs[idx]
     return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
@@ -70,8 +77,8 @@ def delta_profiles(tables, spec: TableSpec, opts: TheoryOptions, params):
         bias = params.get('bias', tables.bias_default)
         beta = params.get('beta', jnp.asarray(0.0))
         y0 = real_multipoles(tables, spec, beta)[0]
-        return (tables.lb_delta_op @ y0 / bias, tables.lb_Delta_op @ y0 / bias,
-                tables.lb_delta100_op @ y0 / bias, tables.lb_Delta100_op @ y0 / bias)
+        return (_mm(tables.lb_delta_op, y0) / bias, _mm(tables.lb_Delta_op, y0) / bias,
+                _mm(tables.lb_delta100_op, y0) / bias, _mm(tables.lb_Delta100_op, y0) / bias)
     if opts.matter_model == 'excursion_set':
         from .excursion_set import esm_delta_profiles
         return esm_delta_profiles(tables, spec, opts, params)
@@ -112,7 +119,7 @@ def velocity_terms(tables, spec: TableSpec, opts: TheoryOptions, params):
             Av = params.get('Av', 0.0)
             vr = -growth_term * r_v * Delta_rv * (1.0 + Av * delta_rv) / (3.0 * iaH_true)
             vr100 = -growth_term * r100 * Delta_100 * (1.0 + Av * delta_100) / (3.0 * iaH_true)
-            dvr = tables.dvr_op @ vr100
+            dvr = _mm(tables.dvr_op, vr100)
     elif opts.mean_model == 'nonlinear':
         from .excursion_set import esm_velocity_terms
         vr, dvr = esm_velocity_terms(tables, spec, opts, params, growth_term,
@@ -122,7 +129,7 @@ def velocity_terms(tables, spec: TableSpec, opts: TheoryOptions, params):
             raise InputError('velocity_terms: Cannot use template option as no '
                              'template has been supplied.')
         vr = tables.vr_template_rv * growth_term
-        dvr = tables.dvr_op @ (tables.vr_template_100 * growth_term)
+        dvr = _mm(tables.dvr_op, tables.vr_template_100 * growth_term)
     else:
         raise InputError(f'Invalid choice of mean_model {opts.mean_model}')
 
@@ -169,15 +176,14 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
         return tables.spline_vel.eval(c_dvr, q / resc_vel) / resc_vel
 
     # --- AP-corrected coordinates (ccf_model.py:641-644) ---
+    # TPU layout: the (mu, s) grid is flattened to one trailing axis q of
+    # length n_mu*n_s (so the minor dimension is large and tile padding is
+    # negligible); the velocity-node axis, when present, leads: (n_v, q).
     needs_v = opts.rsd_model in ('streaming', 'dispersion')
-    if needs_v:
-        S = s[None, :, None]
-        Mu = mu[:, None, None]
-        X = tables.x_nodes[None, None, :]
-    else:
-        S = s[None, :]
-        Mu = mu[:, None]
-        X = None
+    n_mu, n_s = mu.shape[0], s.shape[0]
+    S = jnp.broadcast_to(s[None, :], (n_mu, n_s)).reshape(-1)      # (q,)
+    Mu = jnp.broadcast_to(mu[:, None], (n_mu, n_s)).reshape(-1)    # (q,)
+    X = tables.x_nodes[:, None] if needs_v else None               # (n_v, 1)
     s_perp = S * jnp.sqrt(1.0 - Mu ** 2) * aperp
     s_par = S * Mu * apar
     s_true = jnp.sqrt(s_par ** 2 + s_perp ** 2)
@@ -237,8 +243,9 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
         # velocity integral: old-scipy simps(even='avg') weights on the fixed
         # 50-node grid, dv = sigma_v * dx (ccf_model.py:690)
         integrand = (1.0 + xi_rmu) * jacobian * vel_pdf
-        xi_smu = sigma_v * jnp.einsum('msv,v->ms', integrand, tables.vel_weights) - 1.0
-        return xi_smu
+        xi_smu = sigma_v * jnp.einsum('vq,v->q', integrand, tables.vel_weights,
+                                      precision='highest') - 1.0
+        return xi_smu.reshape(n_mu, n_s)
 
     # --- kaiser / euclid_special: no velocity integral (ccf_model.py:692-784) ---
     M = params.get('M', 1.0)
@@ -277,7 +284,7 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
             xi_smu = M * xi_rmu - J
     else:
         xi_smu = M * xi_rmu - J
-    return xi_smu
+    return xi_smu.reshape(n_mu, n_s)
 
 
 def theory_multipoles_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
@@ -286,7 +293,7 @@ def theory_multipoles_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
     (victor/ccf_model.py:791-827, with the bicubic-resample + 200-pt trapz
     projection folded into tables.proj)."""
     xi_smu = theory_xi_grid(tables, spec, opts, params, s=s)
-    return tables.proj @ xi_smu
+    return _mm(tables.proj, xi_smu)
 
 
 def theory_vector(tables, spec: TableSpec, opts: TheoryOptions, params,

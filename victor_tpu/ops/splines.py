@@ -181,7 +181,7 @@ class Spline1D:
 
     def coeffs(self, y: jax.Array) -> jax.Array:
         """(..., n) values -> (..., n-1, 4) local polynomial coefficients."""
-        d = jnp.einsum('ij,...j->...i', self.deriv_op, y)
+        d = jnp.einsum('ij,...j->...i', self.deriv_op, y, precision='highest')
         return hermite_coeffs(self.x, y, d)
 
     def eval(self, coeffs: jax.Array, q: jax.Array) -> jax.Array:
@@ -192,7 +192,7 @@ class Spline1D:
 
 
 def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
-               clamp: bool = True) -> jax.Array:
+               clamp: bool = True, strategy: str | None = None) -> jax.Array:
     """Evaluate a piecewise cubic at query points q.
 
     x:      (n,) breakpoints (sorted)
@@ -200,13 +200,45 @@ def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
     q:      arbitrary shape
     clamp:  if True, clamp q into [x[0], x[-1]] (scipy ext=3 semantics);
             otherwise the end polynomials extend (ext=0 / PPoly extrapolate).
+    strategy: 'gather' (searchsorted + coefficient gather; best on CPU) or
+            'masksum' (interval-mask accumulation with zero gathers; best on
+            TPU where arbitrary gathers serialise). None picks by backend.
+            Both are bit-identical selections of the same local polynomial.
     """
     n = x.shape[0]
     qq = jnp.clip(q, x[0], x[-1]) if clamp else q
-    idx = jnp.clip(jnp.searchsorted(x, qq, side='right') - 1, 0, n - 2)
-    t = qq - x[idx]
-    c = coeffs[..., idx, :]                      # (..., *q.shape, 4)
-    return ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
+    if strategy is None:
+        strategy = 'masksum' if jax.default_backend() == 'tpu' else 'gather'
+
+    if strategy == 'gather':
+        idx = jnp.clip(jnp.searchsorted(x, qq, side='right',
+                                        method='compare_all') - 1, 0, n - 2)
+        t = qq - x[idx]
+        # gather each coefficient plane separately: a fused (..., *q.shape, 4)
+        # gather would be tile-padded 4 -> 128 on TPU (32x HBM blow-up)
+        c0 = coeffs[..., idx, 0]
+        c1 = coeffs[..., idx, 1]
+        c2 = coeffs[..., idx, 2]
+        c3 = coeffs[..., idx, 3]
+        return ((c3 * t + c2) * t + c1) * t + c0
+
+    # masksum: accumulate interval-masked local polynomials under fori_loop.
+    # Interval membership reproduces clip(searchsorted(right)-1, 0, n-2):
+    # interval 0 extends to -inf, interval n-2 to +inf.
+    def body(i, acc):
+        t = qq - x[i]
+        c0 = jnp.take(coeffs[..., 0], i, axis=-1)
+        c1 = jnp.take(coeffs[..., 1], i, axis=-1)
+        c2 = jnp.take(coeffs[..., 2], i, axis=-1)
+        c3 = jnp.take(coeffs[..., 3], i, axis=-1)
+        p = ((c3 * t + c2) * t + c1) * t + c0
+        lo_ok = jnp.where(i > 0, qq >= x[i], True)
+        hi_ok = jnp.where(i < n - 2, qq < x[jnp.minimum(i + 1, n - 1)], True)
+        return acc + jnp.where(lo_ok & hi_ok, p, 0.0)
+
+    shape = jnp.broadcast_shapes(coeffs.shape[:-2], qq.shape)
+    init = jnp.zeros(shape, dtype=qq.dtype)
+    return jax.lax.fori_loop(0, n - 1, body, init)
 
 
 @jax.tree_util.register_dataclass
@@ -227,7 +259,8 @@ class PchipTable:
     def __call__(self, q: jax.Array) -> jax.Array:
         """Evaluate at scalar q; returns array with the table's trailing shape."""
         n = self.x.shape[0]
-        idx = jnp.clip(jnp.searchsorted(self.x, q, side='right') - 1, 0, n - 2)
+        idx = jnp.clip(jnp.searchsorted(self.x, q, side='right',
+                                        method='compare_all') - 1, 0, n - 2)
         t = q - self.x[idx]
         c = self.coeffs[idx]                     # (4, ...)
         return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
@@ -236,26 +269,46 @@ class PchipTable:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Bicubic2D:
-    """Static bicubic surface with FITPACK `.ev` semantics (clamped arguments)."""
+    """Static bicubic surface with FITPACK `.ev` semantics (clamped arguments).
+
+    Stored in exact SVD tensor-product form: RectBivariateSpline(x, y, z) is a
+    tensor-product interpolant, linear in z, so with z = sum_m u_m v_m^T (SVD)
+    the surface is exactly sum_m S_x[u_m](q) * S_y[v_m](p) where S_x/S_y are
+    the 1D FITPACK cubic interpolants (== not-a-knot). Evaluation is then a
+    handful of 1D piecewise-cubic evals — no 2D cell gathers, which on TPU
+    would either serialise (gather) or tile-pad (4x4 blocks) catastrophically.
+    Rank is truncated at machine precision; separable surfaces (e.g. the BOSS
+    isotropic dispersion template, constant in mu) collapse to rank 1.
+    """
     x: jax.Array          # (nx,)
     y: jax.Array          # (ny,)
-    cells: jax.Array      # (nx-1, ny-1, 4, 4) normalized-coordinate coefficients
+    cu: jax.Array         # (R, nx-1, 4) x-factor piecewise-cubic coefficients
+    cv: jax.Array         # (R, ny-1, 4) y-factor piecewise-cubic coefficients
 
     @classmethod
     def build(cls, x, y, z):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        U, s, Vt = np.linalg.svd(z, full_matrices=False)
+        rank = max(1, int(np.sum(s > s[0] * 1e-13))) if s[0] > 0 else 1
+        Dx = cubic_deriv_operator(x)
+        Dy = cubic_deriv_operator(y)
+        cu = np.stack([hermite_coeffs(x, U[:, m] * s[m], Dx @ (U[:, m] * s[m]))
+                       for m in range(rank)])
+        cv = np.stack([hermite_coeffs(y, Vt[m], Dy @ Vt[m])
+                       for m in range(rank)])
         return cls(x=jnp.asarray(x), y=jnp.asarray(y),
-                   cells=jnp.asarray(bicubic_cell_coeffs(x, y, z)))
+                   cu=jnp.asarray(cu), cv=jnp.asarray(cv))
 
     def ev(self, q: jax.Array, p: jax.Array) -> jax.Array:
-        nx, ny = self.x.shape[0], self.y.shape[0]
+        # FITPACK .ev clamps out-of-range arguments to the grid boundary
         qc = jnp.clip(q, self.x[0], self.x[-1])
         pc = jnp.clip(p, self.y[0], self.y[-1])
-        i = jnp.clip(jnp.searchsorted(self.x, qc, side='right') - 1, 0, nx - 2)
-        j = jnp.clip(jnp.searchsorted(self.y, pc, side='right') - 1, 0, ny - 2)
-        u = (qc - self.x[i]) / (self.x[i + 1] - self.x[i])
-        v = (pc - self.y[j]) / (self.y[j + 1] - self.y[j])
-        A = self.cells[i, j]                     # (*q.shape, 4, 4)
-        # Horner in v then u
-        av = ((A[..., 3] * v[..., None] + A[..., 2]) * v[..., None]
-              + A[..., 1]) * v[..., None] + A[..., 0]   # (*q.shape, 4)
-        return ((av[..., 3] * u + av[..., 2]) * u + av[..., 1]) * u + av[..., 0]
+        rank = self.cu.shape[0]
+        out = None
+        for m in range(rank):
+            term = ppoly_eval(self.x, self.cu[m], qc, clamp=False) * \
+                   ppoly_eval(self.y, self.cv[m], pc, clamp=False)
+            out = term if out is None else out + term
+        return out

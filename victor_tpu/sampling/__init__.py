@@ -1,0 +1,15 @@
+from .priors import ParamSpace, SampledParam, DerivedParam
+from .ensemble import EnsembleState, init_state, step, run, make_logpost
+from .runner import run_mcmc, make_posterior, MCMCResult
+from .chains import save_checkpoint, load_checkpoint, export_getdist
+from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
+                          acceptance_fraction)
+
+__all__ = [
+    'ParamSpace', 'SampledParam', 'DerivedParam',
+    'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
+    'run_mcmc', 'make_posterior', 'MCMCResult',
+    'save_checkpoint', 'load_checkpoint', 'export_getdist',
+    'split_rhat', 'effective_sample_size', 'autocorr_time',
+    'acceptance_fraction',
+]

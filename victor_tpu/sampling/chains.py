@@ -1,0 +1,112 @@
+"""Chain storage: checkpoints (npz pytree snapshots) + GetDist-format export.
+
+The reference delegates chain files and resume entirely to cobaya, which
+writes GetDist-format text chains under `output: chains/test`
+(config/boss_cobaya_config.yaml:1). For ecosystem compatibility we write the
+same format — `<root>.1.txt` rows of [weight, -lnpost, params..., derived...]
+plus `<root>.paramnames` and `<root>.ranges` — so GetDist / existing victor
+post-processing notebooks work unchanged. Sampler state (walker coords, PRNG
+key, acceptance counters) is a flat pytree serialized to npz every
+checkpoint interval; resume is exact (bit-identical continuation).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .ensemble import EnsembleState
+from .priors import ParamSpace
+
+
+def save_checkpoint(path: str, state: EnsembleState,
+                    chain: Optional[np.ndarray] = None,
+                    log_prob: Optional[np.ndarray] = None,
+                    aux: Optional[np.ndarray] = None) -> None:
+    """Serialize sampler state (+ optionally the recorded chain so far)."""
+    payload = {
+        'coords': np.asarray(state.coords),
+        'log_prob': np.asarray(state.log_prob),
+        'aux': np.asarray(state.aux),
+        'key': np.asarray(state.key),
+        'n_accepted': np.asarray(state.n_accepted),
+        'n_steps': np.asarray(state.n_steps),
+    }
+    if chain is not None:
+        payload['chain'] = np.asarray(chain)
+        payload['chain_log_prob'] = np.asarray(log_prob)
+        payload['chain_aux'] = np.asarray(aux)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    tmp = path + '.tmp.npz'
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str):
+    """Returns (EnsembleState, chain | None, log_prob | None, aux | None)."""
+    import jax.numpy as jnp
+    with np.load(path) as z:
+        state = EnsembleState(
+            coords=jnp.asarray(z['coords']), log_prob=jnp.asarray(z['log_prob']),
+            aux=jnp.asarray(z['aux']), key=jnp.asarray(z['key']),
+            n_accepted=jnp.asarray(z['n_accepted']),
+            n_steps=jnp.asarray(z['n_steps']))
+        chain = z['chain'] if 'chain' in z else None
+        lnp = z['chain_log_prob'] if 'chain_log_prob' in z else None
+        aux = z['chain_aux'] if 'chain_aux' in z else None
+    return state, chain, lnp, aux
+
+
+def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
+                   log_prob: np.ndarray, aux: Optional[np.ndarray] = None,
+                   aux_names: Optional[List[str]] = None,
+                   burn_in: int = 0, chain_index: int = 1) -> str:
+    """Write GetDist-compatible text chains.
+
+    chain: (n_steps, n_walkers, ndim); log_prob: (n_steps, n_walkers);
+    aux: optional (n_steps, n_walkers, n_aux) derived columns (e.g. chi2).
+    """
+    chain = np.asarray(chain)[burn_in:]
+    log_prob = np.asarray(log_prob)[burn_in:]
+    n_steps, n_walkers, ndim = chain.shape
+    flat = chain.reshape(-1, ndim)
+    lnp = log_prob.reshape(-1)
+
+    # derived columns: cobaya-style value-lambdas first, then aux outputs
+    derived_cols, derived_names, derived_latex = [], [], []
+    for d in space.derived:
+        params = space.full_params(flat)
+        derived_cols.append(np.asarray(params[d.name]))
+        derived_names.append(d.name)
+        derived_latex.append(d.latex or d.name)
+    if aux is not None:
+        aux = np.asarray(aux)[burn_in:].reshape(flat.shape[0], -1)
+        for j, name in enumerate(aux_names or
+                                 [f'aux_{j}' for j in range(aux.shape[1])]):
+            derived_cols.append(aux[:, j])
+            derived_names.append(name)
+            derived_latex.append(name.replace('_', r'\_'))
+
+    cols = [np.ones_like(lnp), -lnp] + [flat[:, i] for i in range(ndim)] + derived_cols
+    table = np.column_stack(cols)
+
+    os.makedirs(os.path.dirname(os.path.abspath(root)), exist_ok=True)
+    chain_file = f'{root}.{chain_index}.txt'
+    np.savetxt(chain_file, table, fmt='%.8e')
+
+    with open(f'{root}.paramnames', 'w') as f:
+        for p in space.sampled:
+            f.write(f'{p.name}\t{p.latex or p.name}\n')
+        for name, latex in zip(derived_names, derived_latex):
+            f.write(f'{name}*\t{latex}\n')
+
+    lo, hi = space.bounds()
+    with open(f'{root}.ranges', 'w') as f:
+        for i, p in enumerate(space.sampled):
+            lo_s = f'{lo[i]:.6g}' if np.isfinite(lo[i]) else 'N'
+            hi_s = f'{hi[i]:.6g}' if np.isfinite(hi[i]) else 'N'
+            f.write(f'{p.name}\t{lo_s}\t{hi_s}\n')
+    return chain_file

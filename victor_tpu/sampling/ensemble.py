@@ -1,0 +1,106 @@
+"""On-device affine-invariant ensemble MCMC (Goodman & Weare stretch move).
+
+This replaces the reference's sampling stack (external cobaya Metropolis
+chains parallelised with MPI, victor/README.md:30) with a sampler that runs
+entirely inside one jit: the walker ensemble advances under `lax.scan`, every
+walker's likelihood is evaluated in a single vmapped dispatch per half-step,
+and the walker axis can be sharded across a device mesh. Deterministic PRNG
+key threading gives bit-reproducible chains for any device count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class EnsembleState(NamedTuple):
+    """Sampler state: a pytree, so it checkpoints/restores as plain arrays."""
+    coords: jnp.ndarray     # (n_walkers, ndim)
+    log_prob: jnp.ndarray   # (n_walkers,)
+    aux: jnp.ndarray        # (n_walkers, n_aux) auxiliary outputs (e.g. chi2)
+    key: jax.Array
+    n_accepted: jnp.ndarray  # (n_walkers,) running acceptance counts
+    n_steps: jnp.ndarray     # scalar step counter
+
+
+def init_state(logpost_fn: Callable, coords: jnp.ndarray,
+               key: jax.Array) -> EnsembleState:
+    lnp, aux = logpost_fn(coords)
+    return EnsembleState(coords=coords, log_prob=lnp, aux=jnp.atleast_2d(aux.T).T,
+                         key=key,
+                         n_accepted=jnp.zeros(coords.shape[0]),
+                         n_steps=jnp.zeros(()))
+
+
+def _half_update(logpost_fn, key, active, other, lnp_active, aux_active, a):
+    """Stretch-move update of one half of the ensemble against the other."""
+    n, ndim = active.shape
+    k_z, k_pair, k_acc = jax.random.split(key, 3)
+    u = jax.random.uniform(k_z, (n,))
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    partners = other[jax.random.randint(k_pair, (n,), 0, other.shape[0])]
+    proposal = partners + z[:, None] * (active - partners)
+    lnp_new, aux_new = logpost_fn(proposal)
+    log_accept = (ndim - 1) * jnp.log(z) + lnp_new - lnp_active
+    accept = jnp.log(jax.random.uniform(k_acc, (n,))) < log_accept
+    coords = jnp.where(accept[:, None], proposal, active)
+    lnp = jnp.where(accept, lnp_new, lnp_active)
+    aux = jnp.where(accept[:, None], aux_new, aux_active)
+    return coords, lnp, aux, accept
+
+
+def step(logpost_fn: Callable, state: EnsembleState, a: float = 2.0
+         ) -> EnsembleState:
+    """One full red-black sweep (both halves updated)."""
+    x, lnp, aux = state.coords, state.log_prob, state.aux
+    n = x.shape[0] // 2
+    key, k0, k1 = jax.random.split(state.key, 3)
+    x0, lnp0, aux0, acc0 = _half_update(logpost_fn, k0, x[:n], x[n:],
+                                        lnp[:n], aux[:n], a)
+    x1, lnp1, aux1, acc1 = _half_update(logpost_fn, k1, x[n:], x0,
+                                        lnp[n:], aux[n:], a)
+    return EnsembleState(
+        coords=jnp.concatenate([x0, x1]),
+        log_prob=jnp.concatenate([lnp0, lnp1]),
+        aux=jnp.concatenate([aux0, aux1]),
+        key=key,
+        n_accepted=state.n_accepted + jnp.concatenate([acc0, acc1]),
+        n_steps=state.n_steps + 1,
+    )
+
+
+def run(logpost_fn: Callable, state: EnsembleState, n_steps: int,
+        a: float = 2.0, thin: int = 1
+        ) -> Tuple[EnsembleState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Advance `n_steps` sweeps under lax.scan, recording every `thin`-th.
+
+    Returns (final_state, (coords, log_prob, aux)) with leading axis
+    n_steps // thin. The whole loop is one XLA computation: no host round
+    trips between steps.
+    """
+    def body(st, _):
+        st2 = st
+        for _ in range(thin):
+            st2 = step(logpost_fn, st2, a)
+        return st2, (st2.coords, st2.log_prob, st2.aux)
+
+    return lax.scan(body, state, None, length=n_steps // thin)
+
+
+def make_logpost(log_prior_fn: Callable, batched_loglike: Callable):
+    """Compose prior + batched likelihood into the (lnp, aux) posterior fn.
+
+    Points outside the prior support short-circuit to -inf but are still
+    evaluated (branchless batch); the NaN guard inside the likelihood keeps
+    them finite-safe (victor/ccf_fit.py:477-481 semantics).
+    """
+    def logpost(coords):
+        lp = log_prior_fn(coords)
+        lnl, chisq = batched_loglike(coords)
+        total = jnp.where(jnp.isfinite(lp), lp + lnl, -jnp.inf)
+        return total, jnp.stack([chisq], axis=-1)
+    return logpost

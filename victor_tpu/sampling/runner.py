@@ -1,0 +1,163 @@
+"""High-level MCMC driver: the TPU-native `cobaya-run` equivalent.
+
+Reference flow (victor/likelihoods/CCFLikelihood.py + cobaya MH + MPI chains,
+SURVEY.md §3.5) becomes: parse the same YAML params block -> ParamSpace;
+compose prior + vmapped likelihood into one on-device posterior; advance a
+sharded walker ensemble in jitted segments; check split-R-hat between
+segments (the cobaya R-1 < 0.01 stop, config/boss_cobaya_config.yaml:46-47);
+checkpoint sampler state every segment; export GetDist-format chains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.tables import CCFModelBundle
+from ..likelihood.core import log_likelihood
+from ..utils.logging import get_logger
+from . import chains as chain_io
+from . import diagnostics, ensemble
+from .priors import ParamSpace
+
+log = get_logger('sampling')
+
+
+@dataclasses.dataclass
+class MCMCResult:
+    space: ParamSpace
+    chain: np.ndarray          # (n_recorded, n_walkers, ndim)
+    log_prob: np.ndarray       # (n_recorded, n_walkers)
+    aux: np.ndarray            # (n_recorded, n_walkers, n_aux)
+    state: ensemble.EnsembleState
+    rhat: np.ndarray
+    acceptance: float
+    n_steps: int
+    elapsed_s: float
+
+    def flat(self, burn_in: Optional[int] = None) -> np.ndarray:
+        b = len(self.chain) // 3 if burn_in is None else burn_in
+        return self.chain[b:].reshape(-1, self.chain.shape[-1])
+
+    def summary(self, burn_in: Optional[int] = None) -> Dict[str, Dict[str, float]]:
+        flat = self.flat(burn_in)
+        return {p.name: {'mean': float(flat[:, i].mean()),
+                         'std': float(flat[:, i].std()),
+                         'rhat': float(self.rhat[i])}
+                for i, p in enumerate(self.space.sampled)}
+
+
+def make_posterior(bundle: CCFModelBundle, space: ParamSpace,
+                   opts_kw: Optional[Dict] = None,
+                   fit_kw: Optional[Dict] = None):
+    """Batched (lnpost, aux) function over walker coordinate arrays (W, P)."""
+    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    fit = bundle.fit_opts.replace(**(fit_kw or {}))
+    tables, spec = bundle.tables, bundle.spec
+
+    def scalar(theta):
+        params = space.full_params(theta)
+        return log_likelihood(tables, spec, opts, fit, params)
+
+    batched = jax.vmap(scalar)
+    return ensemble.make_logpost(space.log_prior, batched)
+
+
+def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
+             n_walkers: int = 256, max_steps: int = 2000,
+             rhat_stop: float = 0.01, check_every: int = 100,
+             burn_in_fraction: float = 0.3, thin: int = 1,
+             seed: int = 0, mesh: Optional[jax.sharding.Mesh] = None,
+             mesh_axis: str = 'walkers',
+             opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
+             output: Optional[str] = None,
+             checkpoint: Optional[str] = None,
+             resume: bool = False) -> MCMCResult:
+    """Sample the posterior; returns chains + diagnostics.
+
+    `mesh`: optional device mesh; walker state is sharded along `mesh_axis`
+    so each segment runs data-parallel across chips with no host round trips
+    inside the segment.
+    """
+    space = ParamSpace(params_block)
+    logpost = make_posterior(bundle, space, opts_kw, fit_kw)
+    key = jax.random.PRNGKey(seed)
+
+    segments: list = []
+    if resume and checkpoint:
+        try:
+            state, prev_chain, prev_lnp, prev_aux = chain_io.load_checkpoint(checkpoint)
+            if prev_chain is not None:
+                segments.append((prev_chain, prev_lnp, prev_aux))
+            log.info('resumed from %s at step %d', checkpoint, int(state.n_steps))
+        except FileNotFoundError:
+            state = None
+    else:
+        state = None
+    if state is None:
+        key, k0 = jax.random.split(key)
+        coords = space.sample_ref(k0, n_walkers)
+        state = ensemble.init_state(logpost, coords, key)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(mesh_axis))
+        rep = NamedSharding(mesh, P())
+        state = ensemble.EnsembleState(
+            coords=jax.device_put(state.coords, shard),
+            log_prob=jax.device_put(state.log_prob, shard),
+            aux=jax.device_put(state.aux, shard),
+            key=jax.device_put(state.key, rep),
+            n_accepted=jax.device_put(state.n_accepted, shard),
+            n_steps=jax.device_put(state.n_steps, rep))
+
+    segment = jax.jit(
+        lambda st: ensemble.run(logpost, st, check_every, thin=thin),
+        donate_argnums=0)
+
+    t0 = time.time()
+    rhat = np.full(space.ndim, np.inf)
+    total_recorded = sum(len(c[0]) for c in segments)
+    while total_recorded * thin < max_steps:
+        state, (coords_seg, lnp_seg, aux_seg) = segment(state)
+        jax.block_until_ready(lnp_seg)
+        segments.append((np.asarray(coords_seg), np.asarray(lnp_seg),
+                         np.asarray(aux_seg)))
+        total_recorded += len(segments[-1][0])
+
+        chain = np.concatenate([s[0] for s in segments])
+        burn = int(len(chain) * burn_in_fraction)
+        post = chain[burn:] if len(chain) - burn >= 4 else chain
+        rhat = diagnostics.split_rhat(post)
+        acc = diagnostics.acceptance_fraction(state.n_accepted, float(state.n_steps))
+        log.info('step %d: max(R-1)=%.4f acceptance=%.3f',
+                 total_recorded * thin, float(np.max(rhat - 1)), acc)
+        if checkpoint:
+            chain_io.save_checkpoint(
+                checkpoint, jax.device_get(state), chain,
+                np.concatenate([s[1] for s in segments]),
+                np.concatenate([s[2] for s in segments]))
+        if np.max(rhat - 1) < rhat_stop and total_recorded * thin >= 2 * check_every:
+            break
+
+    chain = np.concatenate([s[0] for s in segments])
+    lnp = np.concatenate([s[1] for s in segments])
+    aux = np.concatenate([s[2] for s in segments])
+    result = MCMCResult(
+        space=space, chain=chain, log_prob=lnp, aux=aux,
+        state=jax.device_get(state), rhat=rhat,
+        acceptance=diagnostics.acceptance_fraction(state.n_accepted,
+                                                   float(state.n_steps)),
+        n_steps=int(state.n_steps), elapsed_s=time.time() - t0)
+
+    if output:
+        burn = int(len(chain) * burn_in_fraction)
+        chain_io.export_getdist(output, space, chain, lnp, aux,
+                                aux_names=['chi2_ccf_correct'], burn_in=burn)
+        log.info('chains written to %s.*', output)
+    return result
