@@ -1,0 +1,170 @@
+"""Excursion-set model parity tests vs the reference ExcursionSetProfile.
+
+The reference runs here in Eisenstein-Hu mode (camb not installed; the
+reference itself falls back the same way, excursion_set_profile.py:63-70).
+All comparisons are in the regular (no shell-crossing) regime where our
+fixed-shape masked cleanup is exactly the reference computation.
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+import refshim  # noqa: E402
+
+refshim.install()
+
+from victor_tpu.io import build_tables  # noqa: E402
+from victor_tpu.models import esm  # noqa: E402
+from victor_tpu.models import ccf_theory as th  # noqa: E402
+from victor_tpu.likelihood import core as lk  # noqa: E402
+
+# CCFLikelihood.yaml defaults (victor/likelihoods/CCFLikelihood.yaml:20-27)
+ESM_PARAMS = {
+    'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544, 'b01': -4.228,
+    'Rp': 7.973, 'Rx': 0.467, 'Omega_m': 0.31, 'Omega_b': 0.048,
+    'H0': 67.5, 'ns': 0.96, 'delta_c': 1.686,
+    'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+}
+Z_EFF = 0.57
+
+
+def jparams(d):
+    return {k: jnp.asarray(v) for k, v in d.items()}
+
+
+@pytest.fixture(scope='module')
+def ref_esp():
+    from victor.excursion_set_profile import ExcursionSetProfile
+    esp = ExcursionSetProfile(h=0.675, omega_m=0.31, omega_b=0.048, z=Z_EFF,
+                              ns=0.96, use_eisenstein_hu=True)
+    esp.set_normalisation(0.81, z=0)
+    return esp
+
+
+@pytest.fixture(scope='module')
+def esm_bundle(boss_config):
+    import copy
+    cfg = copy.deepcopy(boss_config)
+    cfg['model']['matter_ccf'] = {
+        'model': 'excursion_set',
+        'excursion_set_options': {'use_eisenstein_hu': True},
+    }
+    return build_tables(cfg['model'], cfg['data'])
+
+
+class TestESMPrimitives:
+    def test_growth_factor(self, ref_esp):
+        for z in (0.0, 0.57, 1.2):
+            got = float(esm.esm_growth_factor(jnp.asarray(z), 0.31, 0.69))
+            np.testing.assert_allclose(got, ref_esp.growth_factor(z), rtol=1e-10)
+
+    def test_sj_integrals(self, ref_esp, esm_bundle):
+        st = esm.esm_state(esm_bundle.tables, esm_bundle.spec, jparams(ESM_PARAMS))
+        Rq = np.linspace(5.0, 80.0, 12)
+        ours = np.asarray(esm._sj_pq(st, ESM_PARAMS['Rp'], jnp.asarray(Rq),
+                                     ESM_PARAMS['Rx'], j=0))
+        ref = ref_esp._sj_pq(ESM_PARAMS['Rp'], Rq, ESM_PARAMS['Rx'], 0)[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-7)
+        ours_pp = float(esm._sj_pp(st, ESM_PARAMS['Rp'], ESM_PARAMS['Rx'], j=1))
+        ref_pp = ref_esp._sj_pp(ESM_PARAMS['Rp'], ESM_PARAMS['Rx'], 1)[0][0]
+        np.testing.assert_allclose(ours_pp, ref_pp, rtol=1e-7)
+
+    def test_lagrangian_profile(self, ref_esp, esm_bundle):
+        st = esm.esm_state(esm_bundle.tables, esm_bundle.spec, jparams(ESM_PARAMS))
+        Rq = np.linspace(5.0, 100.0, 10)
+        ours = np.asarray(esm.lagrangian_profile(
+            st, jnp.asarray(Rq), ESM_PARAMS['b10'], ESM_PARAMS['b01'],
+            ESM_PARAMS['Rp'], ESM_PARAMS['Rx']))
+        ref = ref_esp._lagrangian_profile(Rq, ESM_PARAMS['b10'],
+                                          ESM_PARAMS['b01'], ESM_PARAMS['Rp'],
+                                          ESM_PARAMS['Rx'])[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_enclosed_profile(self, ref_esp, esm_bundle):
+        t = esm_bundle.tables
+        r_v = np.asarray(t.r_v)
+        spl = ref_esp.model_enclosed_density_profile(
+            r_v, Z_EFF, ESM_PARAMS['b10'], ESM_PARAMS['b01'],
+            ESM_PARAMS['Rp'], ESM_PARAMS['Rx'])
+        ours = np.asarray(esm.enclosed_profile_at(
+            t, esm_bundle.spec, jparams(ESM_PARAMS), t.r_v))
+        np.testing.assert_allclose(ours, spl(r_v), rtol=2e-6, atol=1e-9)
+
+    def test_delta_profiles_combination(self, ref_esp, esm_bundle):
+        """Reference delta_profiles ESM branch (victor/ccf_model.py:373-381)."""
+        from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+        t = esm_bundle.tables
+        r_v = np.asarray(t.r_v)
+        spl = ref_esp.model_enclosed_density_profile(
+            r_v, Z_EFF, ESM_PARAMS['b10'], ESM_PARAMS['b01'],
+            ESM_PARAMS['Rp'], ESM_PARAMS['Rx'])
+        Delta_ref = spl(r_v)
+        deriv = np.gradient(Delta_ref, r_v)
+        delta_ref = IUS(r_v, Delta_ref + r_v * deriv / 3.0, ext=3)(r_v)
+        d_rv, D_rv, d_100, D_100 = th.delta_profiles(
+            t, esm_bundle.spec, esm_bundle.theory_opts, jparams(ESM_PARAMS))
+        np.testing.assert_allclose(np.asarray(D_rv), Delta_ref, rtol=2e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(d_rv), delta_ref, rtol=2e-6, atol=1e-8)
+        # fine-grid respline (ccf_model.py:421-423)
+        r100 = np.asarray(t.rgrid100)
+        np.testing.assert_allclose(np.asarray(D_100),
+                                   IUS(r_v, Delta_ref, ext=3)(r100),
+                                   rtol=2e-6, atol=1e-8)
+
+
+class TestESMEndToEnd:
+    def test_likelihood_vs_reference(self, esm_bundle, boss_config):
+        """Full chi2/lnL with the ESM matter model vs the shimmed reference."""
+        import copy
+        from victor.ccf_fit import CCFFit
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['matter_ccf'] = {
+            'model': 'excursion_set',
+            'excursion_set_options': {'use_eisenstein_hu': True},
+        }
+        ref_fit = CCFFit(cfg['model'], cfg['data'])
+        params = dict(ESM_PARAMS)
+        ref_lnl, ref_chi2 = ref_fit.log_likelihood(params)
+
+        lnl, chi2 = lk.log_likelihood(esm_bundle.tables, esm_bundle.spec,
+                                      esm_bundle.theory_opts,
+                                      esm_bundle.fit_opts, jparams(params))
+        np.testing.assert_allclose(float(chi2), ref_chi2, rtol=1e-5)
+        np.testing.assert_allclose(float(lnl), ref_lnl, rtol=1e-5)
+
+    def test_jit_vmap_esm(self, esm_bundle):
+        """The ESM path must stay jit/vmap-safe (dynamic splines and all)."""
+        t, s, o, f = (esm_bundle.tables, esm_bundle.spec,
+                      esm_bundle.theory_opts, esm_bundle.fit_opts)
+
+        def single(b10):
+            p = jparams(ESM_PARAMS)
+            p['b10'] = b10
+            return lk.log_likelihood(t, s, o, f, p)
+
+        lnl, chi2 = jax.jit(jax.vmap(single))(jnp.linspace(-1.6, -1.5, 4))
+        assert lnl.shape == (4,)
+        assert bool(jnp.all(jnp.isfinite(lnl)))
+
+    def test_nonlinear_velocity_smoke(self, esm_bundle):
+        """Nonlinear mean velocity (intended density_evolution; the reference
+        implementation is unreachable, excursion_set_profile.py:460)."""
+        opts = esm_bundle.theory_opts.replace(mean_model='nonlinear')
+        vr, dvr = th.velocity_terms(esm_bundle.tables, esm_bundle.spec, opts,
+                                    jparams(ESM_PARAMS))
+        vr = np.asarray(vr)
+        assert np.all(np.isfinite(vr)) and np.all(np.isfinite(np.asarray(dvr)))
+        # void outflow: positive radial velocity in the interior
+        assert vr[1:10].mean() > 0
+
+    def test_s8z_derived(self, esm_bundle, ref_esp):
+        got = float(esm.esm_s8z(esm_bundle.tables, esm_bundle.spec,
+                                jparams(ESM_PARAMS)))
+        ref = ref_esp.s8z_fiducial * np.sqrt(ref_esp.normalisation)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)

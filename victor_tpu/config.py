@@ -64,6 +64,7 @@ class TableSpec:
     fixed_covmat: bool = False
     has_velocity_template: bool = False
     has_matter_template: bool = True
+    esm_use_eh: bool = True
     n_s: int = 30
     n_mu: int = 100
     n_v: int = 50

@@ -84,6 +84,14 @@ class CCFTables:
     mu_ap_w: jax.Array                         # (50,) trapz weights
     proj: jax.Array                            # (n_ell_s, n_mu)
     mu_grid: jax.Array                         # (n_mu,)
+    # --- excursion-set model fixtures (None unless matter excursion_set) ---
+    z_eff: jax.Array
+    esm_k: Optional[jax.Array]                 # (200,) log k grid
+    esm_kw: Optional[jax.Array]                # (200,) trapz weights
+    esm_pk0: Optional[jax.Array]               # (200,) CAMB P(k, z=0) table
+    esm_s80: Optional[jax.Array]               # sigma8(0) of the fiducial table
+    esm_s8z: Optional[jax.Array]               # sigma8(z_eff) of the fiducial table
+    esm_x50: Optional[jax.Array]               # (50,) density_evolution grid
     # --- data side (None when built without a data block) ---
     s: Optional[jax.Array]                     # (n_s,)
     beta_ccf: Optional[jax.Array]
@@ -279,9 +287,36 @@ def build_tables(model: dict, data: Optional[dict] = None,
         lb_delta100_op = ops.spline_eval_matrix(r, rgrid100, ext=3)
         lb_Delta100_op = ops.enclosed_density_operator(r, rgrid100)
     elif matter_model == 'excursion_set':
-        pass  # handled by the excursion-set module at evaluation time
+        pass  # fixtures built below; profiles computed on device per call
     else:
         raise InputError(f'Invalid choice of matter_model {matter_model}')
+
+    # ESM fixtures (victor/excursion_set_profile.py:61; set_ESM_params
+    # ccf_model.py:494-536). P(k) comes from Eisenstein-Hu computed on device
+    # (cosmology sampleable) or from a pregenerated CAMB table
+    # (tools/make_camb_table.py) since CAMB cannot run on device.
+    esm_k = esm_kw = esm_pk0 = esm_s80 = esm_s8z = esm_x50 = None
+    esm_use_eh = True
+    if matter_model == 'excursion_set':
+        esm_opts = matter.get('excursion_set_options') or {}
+        esm_k = np.logspace(-4, np.log10(2), 200)
+        esm_kw = ops.trapz_weights(esm_k)
+        esm_x50 = np.linspace(0.1, r.max(), 50)
+        use_eh = esm_opts.get('use_eisenstein_hu', False)
+        pk_table = esm_opts.get('pk_table_file')
+        if not use_eh and pk_table:
+            esm_use_eh = False
+            tbl = np.load(os.path.join(base_dir, pk_table))
+            from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+            esm_pk0 = IUS(tbl['k'], tbl['pk0'], k=3)(esm_k)
+            esm_s80 = float(tbl['sigma8_0'])
+            esm_s8z = float(tbl['sigma8_z'])
+        elif not use_eh:
+            from ..utils.logging import get_logger
+            get_logger('io').warning(
+                'excursion_set requested CAMB but no pk_table_file given; '
+                'falling back to the Eisenstein-Hu approximation '
+                '(mirrors reference fallback, excursion_set_profile.py:63-70)')
 
     # ---------------- velocity pdf (ccf_model.py:222-297) ----------------
     velocity = model['velocity_pdf']
@@ -487,6 +522,9 @@ def build_tables(model: dict, data: Optional[dict] = None,
         template_hubble_ratio=_opt(template_hubble_ratio),
         redshift_shift=_opt(redshift_shift),
         sv_surf=sv_surf,
+        z_eff=_as_f64(z_eff),
+        esm_k=_opt(esm_k), esm_kw=_opt(esm_kw), esm_pk0=_opt(esm_pk0),
+        esm_s80=_opt(esm_s80), esm_s8z=_opt(esm_s8z), esm_x50=_opt(esm_x50),
         x_nodes=_as_f64(x_nodes), vel_weights=_as_f64(vel_weights),
         mu_ap=_as_f64(mu_ap), mu_ap_w=_as_f64(mu_ap_w),
         proj=_as_f64(proj), mu_grid=_as_f64(mu_grid),
@@ -502,6 +540,7 @@ def build_tables(model: dict, data: Optional[dict] = None,
         fixed_covmat=fixed_covmat,
         has_velocity_template=has_velocity_template,
         has_matter_template=matter_model == 'template',
+        esm_use_eh=esm_use_eh,
         n_s=len(s) if s is not None else len(r),
         n_mu=n_mu, n_v=n_v,
     )

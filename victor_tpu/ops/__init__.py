@@ -1,6 +1,8 @@
 from .splines import (Spline1D, PchipTable, Bicubic2D, ppoly_eval,
                       cubic_deriv_operator, hermite_coeffs, spline_eval_matrix,
-                      gradient_matrix, pchip_coeffs, bicubic_cell_coeffs)
+                      gradient_matrix, pchip_coeffs, bicubic_cell_coeffs,
+                      cubic_coeffs_dynamic, ppoly_eval_dynamic,
+                      gradient_nonuniform)
 from .integrate import trapz_weights, simpson_weights, gauss_legendre
 from .legendre import legendre_p
 from .operators import (multipole_projection_matrix, enclosed_density_operator,
@@ -14,4 +16,5 @@ __all__ = [
     'trapz_weights', 'simpson_weights', 'gauss_legendre', 'legendre_p',
     'multipole_projection_matrix', 'enclosed_density_operator',
     'resampled_gradient_operator', 'hyp2f1_growth', 'growth_factor_lcdm',
+    'cubic_coeffs_dynamic', 'ppoly_eval_dynamic', 'gradient_nonuniform',
 ]

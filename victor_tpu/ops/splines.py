@@ -312,3 +312,79 @@ class Bicubic2D:
                    ppoly_eval(self.y, self.cv[m], pc, clamp=False)
             out = term if out is None else out + term
         return out
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-knot primitives (knot positions traced, e.g. ESM Eulerian radii)
+# ---------------------------------------------------------------------------
+
+def cubic_coeffs_dynamic(x, y):
+    """Not-a-knot cubic spline coefficients for *traced* knot positions.
+
+    Unlike `Spline1D` (fixed knots, host-probed operator), this solves the
+    not-a-knot first-derivative system on device (dense solve; the ESM grids
+    are ~50-100 knots so this is microseconds on the MXU). Matches
+    scipy.interpolate.CubicSpline(x, y, bc_type='not-a-knot') == IUS(k=3),
+    which the reference builds on the parameter-dependent Eulerian radius
+    grid every call (victor/excursion_set_profile.py:371,486).
+    Returns Hermite-form local coefficients (n-1, 4) for `ppoly_eval`.
+    """
+    n = x.shape[0]
+    dx = x[1:] - x[:-1]
+    slope = (y[..., 1:] - y[..., :-1]) / dx
+
+    A = jnp.zeros((n, n), dtype=x.dtype)
+    b = jnp.zeros(y.shape[:-1] + (n,), dtype=x.dtype)
+    # interior rows (scipy _cubic.py not-a-knot formulation)
+    idx = jnp.arange(1, n - 1)
+    A = A.at[idx, idx - 1].set(dx[1:])
+    A = A.at[idx, idx].set(2.0 * (dx[1:] + dx[:-1]))
+    A = A.at[idx, idx + 1].set(dx[:-1])
+    b = b.at[..., 1:-1].set(3.0 * (dx[1:] * slope[..., :-1] +
+                                   dx[:-1] * slope[..., 1:]))
+    # not-a-knot boundaries
+    d0 = x[2] - x[0]
+    dN = x[n - 1] - x[n - 3]
+    A = A.at[0, 0].set(dx[1])
+    A = A.at[0, 1].set(d0)
+    b = b.at[..., 0].set(((dx[0] + 2.0 * d0) * dx[1] * slope[..., 0]
+                          + dx[0] ** 2 * slope[..., 1]) / d0)
+    A = A.at[n - 1, n - 1].set(dx[n - 3])
+    A = A.at[n - 1, n - 2].set(dN)
+    b = b.at[..., n - 1].set((dx[n - 2] ** 2 * slope[..., n - 3]
+                              + (2.0 * dN + dx[n - 2]) * dx[n - 3]
+                              * slope[..., n - 2]) / dN)
+    d = jnp.linalg.solve(A, b[..., None])[..., 0]
+    return hermite_coeffs(x, y, d)
+
+
+def ppoly_eval_dynamic(x, coeffs, q, clamp: bool = True):
+    """Piecewise-cubic evaluation when knots `x` are traced values.
+
+    Same interval semantics as `ppoly_eval`; uses compare-all bucketing (the
+    knot count is small) so it lowers to vector compares on TPU.
+    """
+    n = x.shape[0]
+    qq = jnp.clip(q, x[0], x[-1]) if clamp else q
+    idx = jnp.clip(jnp.searchsorted(x, qq, side='right',
+                                    method='compare_all') - 1, 0, n - 2)
+    t = qq - x[idx]
+    c0 = coeffs[..., idx, 0]
+    c1 = coeffs[..., idx, 1]
+    c2 = coeffs[..., idx, 2]
+    c3 = coeffs[..., idx, 3]
+    return ((c3 * t + c2) * t + c1) * t + c0
+
+
+def gradient_nonuniform(y, x):
+    """np.gradient(y, x) parity for traced inputs: 2nd-order interior,
+    1st-order one-sided edges (numpy default edge_order=1).
+    Used for the reference's repeated np.gradient calls on parameter-dependent
+    profiles (victor/ccf_model.py:379,472; excursion_set_profile.py:411)."""
+    hd = x[1:-1] - x[:-2]
+    hs = x[2:] - x[1:-1]
+    interior = (hd ** 2 * y[..., 2:] + (hs ** 2 - hd ** 2) * y[..., 1:-1]
+                - hs ** 2 * y[..., :-2]) / (hs * hd * (hd + hs))
+    left = (y[..., 1] - y[..., 0]) / (x[1] - x[0])
+    right = (y[..., -1] - y[..., -2]) / (x[-1] - x[-2])
+    return jnp.concatenate([left[..., None], interior, right[..., None]], axis=-1)
