@@ -1,0 +1,225 @@
+"""Facade API (CCFModel/CCFFit), plottools, converters, and CLI tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use('Agg')
+
+from victor_tpu import CCFFit, CCFModel  # noqa: E402
+from victor_tpu.errors import InputError  # noqa: E402
+
+GOLDEN_PARAMS = {'fsigma8': 0.47, 'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0}
+
+
+@pytest.fixture(scope='module')
+def fit(boss_config):
+    return CCFFit(boss_config['model'], boss_config['data'])
+
+
+class TestCCFFitFacade:
+    def test_log_likelihood_golden(self, fit):
+        lnl, chi2 = fit.log_likelihood(GOLDEN_PARAMS)
+        assert abs(chi2 - 65.01) < 0.01
+        assert abs(lnl - 284.76) < 0.01
+
+    def test_chi_squared_returns_cov(self, fit):
+        chi2, cov = fit.chi_squared(GOLDEN_PARAMS)
+        assert isinstance(chi2, float)
+        assert cov.shape == (60, 60)
+
+    def test_option_overrides(self, fit, ref_fixtures):
+        names = [str(x) for x in ref_fixtures['golden_names']]
+        i = names.index('kaiser')
+        lnl, chi2 = fit.log_likelihood(GOLDEN_PARAMS, rsd_model='kaiser')
+        np.testing.assert_allclose(chi2, ref_fixtures['golden_chi2'][i], rtol=1e-8)
+        with pytest.raises(InputError):
+            fit.log_likelihood(GOLDEN_PARAMS, not_an_option=True)
+
+    def test_theory_xi_pointwise_matches_grid(self, fit, ref_fixtures):
+        s = np.asarray(fit.s)
+        mu = np.linspace(0, 1, 100)
+        xi = fit.theory_xi(s[None, :], mu[:, None], GOLDEN_PARAMS)
+        np.testing.assert_allclose(xi, ref_fixtures['xi_smu'], atol=1e-10)
+        # scalar call
+        val = fit.theory_xi(float(s[3]), 0.5, GOLDEN_PARAMS)
+        assert isinstance(val, float)
+        np.testing.assert_allclose(val, xi[50, 3], atol=1e-3)
+
+    def test_theory_multipoles(self, fit, ref_fixtures):
+        m = fit.theory_multipoles(fit.s, GOLDEN_PARAMS, poles=[0, 2])
+        np.testing.assert_allclose(m['0'], ref_fixtures['theory_mult_0'], atol=1e-10)
+        np.testing.assert_allclose(m['2'], ref_fixtures['theory_mult_2'], atol=1e-10)
+        tv = fit.theory_multipole_vector(fit.s, GOLDEN_PARAMS, poles=[0, 2])
+        np.testing.assert_allclose(tv, ref_fixtures['theory_vector'], atol=1e-10)
+
+    def test_matrices_and_errors(self, fit):
+        corr = fit.correlation_matrix(0.37)
+        np.testing.assert_allclose(np.diag(corr), 1.0, atol=1e-12)
+        errs = fit.diagonal_errors(0.37)
+        assert errs.shape == (2, 30)
+        assert np.all(errs > 0)
+
+    def test_interpolated_multipoles(self, fit, ref_fixtures):
+        dm = fit.get_interpolated_redshift_multipoles(0.37)
+        np.testing.assert_allclose(dm.reshape(-1), ref_fixtures['data_vector'],
+                                   atol=1e-12)
+        rm = fit.get_interpolated_real_multipoles(0.37)
+        np.testing.assert_allclose(rm, ref_fixtures['real_mult_interp'], atol=1e-12)
+
+    def test_theory_xi_2D(self, fit):
+        xi2d = fit.theory_xi_2D(GOLDEN_PARAMS, rmax=60)
+        grid = xi2d(np.array([10.0, 30.0]), np.array([-20.0, 0.5, 20.0]))
+        assert grid.shape == (3, 2)
+        # even in s_par to good accuracy
+        np.testing.assert_allclose(grid[0], grid[2], atol=1e-4)
+        # central deep-void value is negative
+        assert xi2d(5.0, 0.5)[0, 0] < -0.3
+
+    def test_xi_2D_from_multipoles(self, fit):
+        xi2d = fit.xi_2D_from_multipoles(GOLDEN_PARAMS, rmax=60)
+        direct = fit.theory_xi_2D(GOLDEN_PARAMS, rmax=60)
+        a = xi2d(np.array([20.0]), np.array([15.0]))
+        b = direct(np.array([20.0]), np.array([15.0]))
+        np.testing.assert_allclose(a, b, atol=0.02)
+
+    def test_delta_velocity_profiles(self, fit, ref_fixtures):
+        r_v = np.asarray(fit.bundle.tables.r_v)
+        d, D = fit.delta_profiles(r_v, GOLDEN_PARAMS)
+        np.testing.assert_allclose(d, ref_fixtures['delta'], atol=1e-10)
+        vr, dvr = fit.velocity_terms(r_v, GOLDEN_PARAMS)
+        np.testing.assert_allclose(vr, ref_fixtures['vel_vr'], atol=1e-8)
+
+    def test_plots_run(self, fit):
+        import matplotlib.pyplot as plt
+        ax = fit.plot_multipole_comparison(
+            {**GOLDEN_PARAMS, 'label': 'streaming'},
+            {**GOLDEN_PARAMS, 'options': {'rsd_model': 'kaiser'},
+             'label': 'kaiser'},
+            ell=2, chi2=True)
+        assert len(ax.lines) >= 2
+        plt.close('all')
+        ax = fit.plot_model_multipoles({**GOLDEN_PARAMS}, ell=0, diff=True)
+        assert len(ax.lines) == 1
+        plt.close('all')
+        ax = fit.plot_realspace_multipoles({'beta': 0.37}, ell=2)
+        assert len(ax.lines) == 1
+        plt.close('all')
+
+    def test_plot_2D_ccf(self, fit):
+        import matplotlib.pyplot as plt
+        from victor_tpu.plottools import plot_2D_ccf
+        xi2d = fit.theory_xi_2D(GOLDEN_PARAMS, rmax=60)
+        plot_2D_ccf(xi2d, np.linspace(1, 59, 30), contours=[-0.5, -0.2, 0.0])
+        plt.close('all')
+
+
+class TestConverters:
+    def test_old_model_and_data_files(self, tmp_path):
+        import h5py
+        from victor_tpu.utils import (convert_old_data_files_to_hdf5,
+                                      convert_old_model_files_to_hdf5)
+        r = np.linspace(5, 120, 24)
+        mult = np.concatenate([np.sin(r / 50), np.cos(r / 50)])
+        np.save(tmp_path / 'real.npy', {'rvals': r, 'multipoles': mult})
+        np.save(tmp_path / 'matter.npy', {'rvals': r, 'delta': -np.exp(-r / 30)})
+        np.save(tmp_path / 'vel.npy', {'rvals': r, 'sigma_v_los': 300 + r})
+        out = tmp_path / 'model.hdf5'
+        convert_old_model_files_to_hdf5(tmp_path / 'real.npy', out,
+                                        matter_ccf_file=tmp_path / 'matter.npy',
+                                        velocity_file=tmp_path / 'vel.npy')
+        with h5py.File(out) as f:
+            assert set(f.keys()) == {'r', 'monopole', 'quadrupole', 'rdelta',
+                                     'delta', 'rsv', 'sigmav'}
+            np.testing.assert_allclose(f['monopole'][:], np.sin(r / 50))
+
+        # beta-grid variant + covariance
+        beta = np.linspace(0.3, 0.5, 5)
+        mult_b = np.tile(mult, (5, 1))
+        np.save(tmp_path / 'red.npy', {'rvals': r, 'multipoles': mult_b})
+        np.save(tmp_path / 'beta.npy', beta)
+        cov = np.eye(48)
+        np.save(tmp_path / 'cov.npy', cov)
+        convert_old_data_files_to_hdf5(tmp_path / 'red.npy', tmp_path / 'data.hdf5',
+                                       beta_file=tmp_path / 'beta.npy',
+                                       covmat_file=tmp_path / 'cov.npy',
+                                       output_covmat_file=tmp_path / 'cov.hdf5')
+        with h5py.File(tmp_path / 'data.hdf5') as f:
+            assert f['monopole'].shape == (5, 24)
+            np.testing.assert_array_equal(f['beta'][:], beta)
+        with h5py.File(tmp_path / 'cov.hdf5') as f:
+            np.testing.assert_array_equal(f['covmat'][:], cov)
+
+    def test_quijote_converter(self, tmp_path):
+        import h5py
+        import json
+        from victor_tpu.utils import convert_hans_quijote_to_hdf5
+        rng = np.random.default_rng(0)
+        nmock, nr = 6, 8
+        r = np.linspace(5, 100, nr).tolist()
+        mocks = []
+        for i in range(nmock):
+            entry = {}
+            for stem in ['CCF_multipole_Halo_RECON_Void_RECON',
+                         'CCF_multipole_Halo_RSD_Void_RECON']:
+                entry[f'{stem}_radius'] = r
+                for ell in (0, 2, 4):
+                    entry[f'{stem}_xi{ell}'] = rng.normal(size=nr).tolist()
+            for stem, keys in [('profile_DM_REAL_Void_RECON', ['delta', 'Delta']),
+                               ('profile_Halo_REAL_Void_RECON', ['v', 'sigma'])]:
+                entry[f'{stem}_radius'] = r
+                for kk in keys:
+                    entry[f'{stem}_{kk}'] = rng.normal(size=nr).tolist()
+            mocks.append(entry)
+        with open(tmp_path / 'quijote.json', 'w') as f:
+            json.dump(mocks, f)
+        out = tmp_path / 'quijote.hdf5'
+        convert_hans_quijote_to_hdf5(tmp_path / 'quijote.json', out)
+        with h5py.File(out) as f:
+            assert f['xi0_s'].shape == (nmock, nr)
+            assert f['D_ell02_covmat'].shape == (2 * nr, 2 * nr)
+            assert f['D_ell024_covmat'].shape == (3 * nr, 3 * nr)
+            np.testing.assert_allclose(f['average_xi0_r'][:],
+                                       f['xi0_r'][:].mean(axis=0))
+
+
+class TestCLI:
+    def test_eval(self, boss_config, tmp_path, capsys):
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg_path = tmp_path / 'cfg.yaml'
+        with open(cfg_path, 'w') as f:
+            yaml.safe_dump(boss_config, f)
+        main(['eval', str(cfg_path),
+              '--param', 'fsigma8=0.47', '--param', 'beta=0.37',
+              '--param', 'sigma_v=380', '--param', 'epsilon=1.0'])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert abs(out['chi2'] - 65.01) < 0.01
+
+    def test_bench(self, boss_config, tmp_path, capsys):
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg = dict(boss_config)
+        cfg['params'] = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        cfg_path = tmp_path / 'cfg.yaml'
+        with open(cfg_path, 'w') as f:
+            yaml.safe_dump(cfg, f)
+        main(['bench', str(cfg_path), '--batch', '8', '--reps', '1',
+              '--chunk', '8'])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out['evals_per_sec'] > 0
+
+
+class TestCobayaAdapter:
+    def test_import_and_gate(self):
+        from victor_tpu.likelihoods import CCFLikelihood
+        lk = CCFLikelihood.__new__(CCFLikelihood)
+        with pytest.raises(ImportError):
+            lk.initialize()

@@ -11,5 +11,9 @@ runs on-device across a `jax.sharding.Mesh`.
 from ._version import __version__
 from .errors import InputError
 from .models.cosmology import BackgroundCosmology
+from .api import CCFModel, CCFFit
+from .models.esm import ExcursionSetProfile
+from . import plottools, utils
 
-__all__ = ['__version__', 'InputError', 'BackgroundCosmology']
+__all__ = ['__version__', 'InputError', 'BackgroundCosmology',
+           'CCFModel', 'CCFFit', 'ExcursionSetProfile', 'plottools', 'utils']

@@ -1,0 +1,161 @@
+"""Command-line entry: the `cobaya-run` equivalent, fully on device.
+
+    python -m victor_tpu run <config.yaml>      # sample the posterior
+    python -m victor_tpu eval <config.yaml>     # single likelihood evaluation
+    python -m victor_tpu bench <config.yaml>    # batched-throughput benchmark
+
+The YAML layout extends the reference's cobaya config: `model:`/`data:`
+blocks (reference schema), a `params:` block (cobaya vocabulary,
+config/boss_cobaya_config.yaml:50-97), and an optional `sampler:` block
+(n_walkers, max_steps, rhat_stop, seed, output, checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load(config_path):
+    import os
+
+    import yaml
+    if not os.path.isfile(config_path):
+        sys.exit(f'config file not found: {config_path}')
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict) or 'model' not in cfg or 'data' not in cfg:
+        sys.exit('config must contain model: and data: blocks')
+    return cfg
+
+
+def cmd_run(args):
+    from .io import build_tables
+    from .parallel import make_mesh
+    from .sampling import run_mcmc
+
+    cfg = _load(args.config)
+    bundle = build_tables(cfg['model'], cfg['data'])
+    params_block = cfg.get('params')
+    if not params_block:
+        sys.exit('config must contain a params: block to sample')
+    sampler = cfg.get('sampler', {}) or {}
+    if isinstance(sampler.get('mcmc'), dict):    # cobaya-style nesting
+        mc = sampler['mcmc']
+        sampler = {'max_steps': mc.get('max_samples', 2000),
+                   'rhat_stop': mc.get('Rminus1_stop', 0.01)}
+    mesh = make_mesh(('chains', 'walkers'))
+    result = run_mcmc(
+        bundle, params_block,
+        n_walkers=int(sampler.get('n_walkers', args.walkers)),
+        max_steps=int(sampler.get('max_steps', args.max_steps)),
+        rhat_stop=float(sampler.get('rhat_stop', 0.01)),
+        check_every=int(sampler.get('check_every', 100)),
+        seed=int(sampler.get('seed', args.seed)),
+        mesh=mesh,
+        output=sampler.get('output', cfg.get('output', args.output)),
+        checkpoint=sampler.get('checkpoint', args.checkpoint),
+        resume=args.resume)
+    print(json.dumps({'n_steps': result.n_steps,
+                      'acceptance': round(result.acceptance, 3),
+                      'elapsed_s': round(result.elapsed_s, 2),
+                      'summary': result.summary()}, indent=2))
+
+
+def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .io import build_tables
+    from .likelihood.core import log_likelihood
+
+    cfg = _load(args.config)
+    bundle = build_tables(cfg['model'], cfg['data'])
+    params = {}
+    for spec_ in (cfg.get('params') or {}).items():
+        name, spec = spec_
+        if isinstance(spec, (int, float)):
+            params[name] = jnp.asarray(float(spec))
+        elif isinstance(spec, dict) and 'ref' in spec and isinstance(spec['ref'], dict):
+            params[name] = jnp.asarray(float(spec['ref'].get('loc', 0.0)))
+    for kv in args.param or []:
+        if '=' not in kv:
+            sys.exit(f"bad --param '{kv}': expected name=value")
+        k, v = kv.split('=', 1)
+        try:
+            params[k] = jnp.asarray(float(v))
+        except ValueError:
+            sys.exit(f"bad --param '{kv}': value must be numeric")
+    t0 = time.time()
+    # jit is essential off-CPU: eager dispatch would round-trip per op
+    fn = jax.jit(lambda p: log_likelihood(bundle.tables, bundle.spec,
+                                          bundle.theory_opts, bundle.fit_opts, p))
+    lnl, chisq = fn(params)
+    print(json.dumps({'log_likelihood': float(lnl), 'chi2': float(chisq),
+                      'wall_s': round(time.time() - t0, 3),
+                      'params': {k: float(v) for k, v in params.items()}}))
+
+
+def cmd_bench(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from .io import build_tables
+    from .likelihood.batched import make_batched_loglike
+    from .sampling.priors import ParamSpace
+
+    cfg = _load(args.config)
+    bundle = build_tables(cfg['model'], cfg['data'])
+    space = ParamSpace(cfg.get('params') or {})
+    if not space.ndim:
+        sys.exit('bench needs sampled parameters in the params: block')
+    batched = make_batched_loglike(bundle, space.names,
+                                   base_params=space.fixed, chunk=args.chunk)
+    theta = space.sample_ref(jax.random.PRNGKey(0), args.batch)
+    jax.block_until_ready(batched(theta))
+    t0 = time.time()
+    for _ in range(args.reps):
+        out = batched(theta)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.reps
+    print(json.dumps({'evals_per_sec': round(args.batch / dt, 1),
+                      'ms_per_batch': round(dt * 1e3, 2),
+                      'batch': args.batch}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='victor_tpu')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    pr = sub.add_parser('run', help='sample the posterior (cobaya-run equivalent)')
+    pr.add_argument('config')
+    pr.add_argument('--walkers', type=int, default=256)
+    pr.add_argument('--max-steps', type=int, default=2000)
+    pr.add_argument('--seed', type=int, default=0)
+    pr.add_argument('--output', default=None)
+    pr.add_argument('--checkpoint', default=None)
+    pr.add_argument('--resume', action='store_true')
+    pr.set_defaults(fn=cmd_run)
+
+    pe = sub.add_parser('eval', help='one likelihood evaluation')
+    pe.add_argument('config')
+    pe.add_argument('--param', action='append',
+                    help='override, e.g. --param fsigma8=0.47')
+    pe.set_defaults(fn=cmd_eval)
+
+    pb = sub.add_parser('bench', help='batched likelihood throughput')
+    pb.add_argument('config')
+    pb.add_argument('--batch', type=int, default=4096)
+    pb.add_argument('--reps', type=int, default=5)
+    pb.add_argument('--chunk', type=int, default=128)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -42,18 +42,26 @@ def make_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
                  base_params: Optional[Dict] = None,
                  opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
                  jit: bool = True):
-    """Jitted scalar log-likelihood: theta (P,) -> (lnlike, chisq)."""
+    """Jitted scalar log-likelihood: theta (P,) -> (lnlike, chisq).
+
+    The tables pytree is passed as a jit *argument*, never a closure constant:
+    embedding it as constants makes MLIR lowering read every array back from
+    the device, which over a remote-device tunnel takes minutes.
+    """
     opts = bundle.theory_opts.replace(**(opts_kw or {}))
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     tables, spec = bundle.tables, bundle.spec
     names = tuple(param_names)
     base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
 
-    def fn(theta):
+    def fn(tbl, theta):
         params = theta_to_params(theta, names, base)
-        return log_likelihood(tables, spec, opts, fit, params)
+        return log_likelihood(tbl, spec, opts, fit, params)
 
-    return jax.jit(fn) if jit else fn
+    if not jit:
+        return functools.partial(fn, tables)
+    jfn = jax.jit(fn)
+    return lambda theta: jfn(tables, theta)
 
 
 def chunked_vmap(fn, chunk: int):
@@ -93,10 +101,26 @@ def make_batched_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
     the full batch as large fused tensor ops on the MXU. `chunk` bounds peak
     memory for large batches (see `chunked_vmap`); None vmaps the whole batch.
     """
-    scalar = make_loglike(bundle, param_names, base_params, opts_kw, fit_kw,
-                          jit=False)
-    fn = chunked_vmap(scalar, chunk) if chunk else jax.vmap(scalar)
-    return jax.jit(fn) if jit else fn
+    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    fit = bundle.fit_opts.replace(**(fit_kw or {}))
+    tables, spec = bundle.tables, bundle.spec
+    names = tuple(param_names)
+    base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
+
+    def scalar(tbl, theta):
+        params = theta_to_params(theta, names, base)
+        return log_likelihood(tbl, spec, opts, fit, params)
+
+    def fn(tbl, theta):
+        mapped = lambda th: scalar(tbl, th)  # noqa: E731
+        if chunk:
+            return chunked_vmap(mapped, chunk)(theta)
+        return jax.vmap(mapped)(theta)
+
+    if not jit:
+        return functools.partial(fn, tables)
+    jfn = jax.jit(fn)
+    return lambda theta: jfn(tables, theta)
 
 
 def make_sharded_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
@@ -113,9 +137,22 @@ def make_sharded_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batched = make_batched_loglike(bundle, param_names, base_params,
-                                   opts_kw, fit_kw, jit=False)
+    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    fit = bundle.fit_opts.replace(**(fit_kw or {}))
+    tables, spec = bundle.tables, bundle.spec
+    names = tuple(param_names)
+    base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
+
+    def fn(tbl, theta):
+        def scalar(th):
+            params = theta_to_params(th, names, base)
+            return log_likelihood(tbl, spec, opts, fit, params)
+        return jax.vmap(scalar)(theta)
+
+    rep = NamedSharding(mesh, P())
     in_spec = NamedSharding(mesh, P(axis))
     out_spec = NamedSharding(mesh, P(axis))
-    return jax.jit(batched, in_shardings=(in_spec,),
-                   out_shardings=(out_spec, out_spec))
+    jfn = jax.jit(fn, in_shardings=(rep, in_spec),
+                  out_shardings=(out_spec, out_spec))
+    tables_rep = jax.device_put(tables, rep)
+    return lambda theta: jfn(tables_rep, theta)

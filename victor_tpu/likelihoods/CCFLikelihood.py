@@ -1,0 +1,70 @@
+"""cobaya Likelihood adapter (reference surface:
+victor/likelihoods/CCFLikelihood.py:6-42).
+
+Kept for ecosystem compatibility: existing cobaya YAML configs pointing at
+`victor.likelihoods.CCFLikelihood` can switch the class path to
+`victor_tpu.likelihoods.CCFLikelihood` and run unchanged. The preferred,
+orders-of-magnitude-faster path is the on-device sampler
+(victor_tpu.sampling.run_mcmc), which consumes the same params block.
+
+The derived-fsigma8 branch implements the reference's *intent*: it fires for
+`matter_ccf.model == 'excursion_set'` (the reference compares against the
+string 'use_excursion_model' and so never fires; SURVEY.md bug 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    from cobaya.likelihood import Likelihood as _CobayaLikelihood
+    _HAVE_COBAYA = True
+except ImportError:          # cobaya optional: stub keeps the import valid
+    _CobayaLikelihood = object
+    _HAVE_COBAYA = False
+
+
+class CCFLikelihood(_CobayaLikelihood):
+    """Wraps CCFFit.log_likelihood for cobaya's MCMC driver."""
+
+    model: dict = None
+    data: dict = None
+    config_file: str = None
+
+    def initialize(self):
+        if not _HAVE_COBAYA:
+            raise ImportError('cobaya is not installed; use '
+                              'victor_tpu.sampling.run_mcmc instead')
+        import yaml
+
+        from ..api import CCFFit
+
+        if self.model and self.data:
+            model, data = self.model, self.data
+        else:
+            if not self.config_file or not os.path.isfile(self.config_file):
+                raise FileNotFoundError(
+                    f'CCFLikelihood: config_file {self.config_file!r} not found')
+            with open(self.config_file) as f:
+                cfg = yaml.safe_load(f)
+            model, data = cfg['model'], cfg['data']
+        self.ccf_fit = CCFFit(model, data)
+
+    def get_can_provide_params(self):
+        return ['chi2_ccf_correct', 'fsigma8']
+
+    def calculate(self, state, want_derived=True, **params_values):
+        lnlike, chisq = self.ccf_fit.log_likelihood(params_values)
+        state['logp'] = lnlike
+        derived = {'chi2_ccf_correct': chisq}
+        if self.ccf_fit.bundle.theory_opts.matter_model == 'excursion_set':
+            from ..models.esm import esm_s8z
+            import jax.numpy as jnp
+            s8z = float(esm_s8z(self.ccf_fit.bundle.tables,
+                                self.ccf_fit.bundle.spec,
+                                {k: jnp.asarray(v) for k, v in params_values.items()
+                                 if np.isscalar(v)}))
+            derived['fsigma8'] = params_values.get('f', 0.0) * s8z
+        state['derived'] = derived

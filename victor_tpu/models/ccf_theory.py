@@ -139,11 +139,23 @@ def velocity_terms(tables, spec: TableSpec, opts: TheoryOptions, params):
 def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
                    s: Optional[jnp.ndarray] = None,
                    mu: Optional[jnp.ndarray] = None):
-    """Redshift-space xi(s, mu) on the (n_mu, n_s) grid
+    """Redshift-space xi(s, mu) on the (n_mu, n_s) outer-product grid
     (victor/ccf_model.py:538-789)."""
     s = tables.s if s is None else s
     mu = tables.mu_grid if mu is None else mu
+    n_mu, n_s = mu.shape[0], s.shape[0]
+    S = jnp.broadcast_to(s[None, :], (n_mu, n_s)).reshape(-1)
+    Mu = jnp.broadcast_to(mu[:, None], (n_mu, n_s)).reshape(-1)
+    return theory_xi_points(tables, spec, opts, params, S, Mu).reshape(n_mu, n_s)
 
+
+def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
+                     S: jnp.ndarray, Mu: jnp.ndarray):
+    """Redshift-space xi at paired scattered points (S, Mu), both flat (q,).
+
+    The workhorse behind `theory_xi_grid` and the 2D-ccf API; replaces the
+    reference's pointwise double loop (victor/ccf_model.py:889-892) with one
+    vectorised evaluation."""
     # --- scalar parameter resolution ---
     if spec.fixed_real_input and opts.matter_model != 'linear_bias':
         beta = jnp.asarray(0.40)   # irrelevant in this case (ccf_model.py:583-585)
@@ -176,13 +188,10 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
         return tables.spline_vel.eval(c_dvr, q / resc_vel) / resc_vel
 
     # --- AP-corrected coordinates (ccf_model.py:641-644) ---
-    # TPU layout: the (mu, s) grid is flattened to one trailing axis q of
-    # length n_mu*n_s (so the minor dimension is large and tile padding is
-    # negligible); the velocity-node axis, when present, leads: (n_v, q).
+    # TPU layout: the (mu, s) points form one flat trailing axis q (so the
+    # minor dimension is large and tile padding is negligible); the
+    # velocity-node axis, when present, leads: (n_v, q).
     needs_v = opts.rsd_model in ('streaming', 'dispersion')
-    n_mu, n_s = mu.shape[0], s.shape[0]
-    S = jnp.broadcast_to(s[None, :], (n_mu, n_s)).reshape(-1)      # (q,)
-    Mu = jnp.broadcast_to(mu[:, None], (n_mu, n_s)).reshape(-1)    # (q,)
     X = tables.x_nodes[:, None] if needs_v else None               # (n_v, 1)
     s_perp = S * jnp.sqrt(1.0 - Mu ** 2) * aperp
     s_par = S * Mu * apar
@@ -245,7 +254,7 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
         integrand = (1.0 + xi_rmu) * jacobian * vel_pdf
         xi_smu = sigma_v * jnp.einsum('vq,v->q', integrand, tables.vel_weights,
                                       precision='highest') - 1.0
-        return xi_smu.reshape(n_mu, n_s)
+        return xi_smu
 
     # --- kaiser / euclid_special: no velocity integral (ccf_model.py:692-784) ---
     M = params.get('M', 1.0)
@@ -284,7 +293,7 @@ def theory_xi_grid(tables, spec: TableSpec, opts: TheoryOptions, params,
             xi_smu = M * xi_rmu - J
     else:
         xi_smu = M * xi_rmu - J
-    return xi_smu.reshape(n_mu, n_s)
+    return xi_smu
 
 
 def theory_multipoles_grid(tables, spec: TableSpec, opts: TheoryOptions, params,

@@ -282,3 +282,134 @@ def esm_s8z(tables, spec, params):
     intends to expose as fsigma8 = f * s8z (victor/ccf_model.py:530-532,
     CCFLikelihood.py:40-42; broken there by the string-comparison bug)."""
     return esm_state(tables, spec, params)['s8z']
+
+
+# ---------------------------------------------------------------------------
+# class wrapper with the reference surface (victor/excursion_set_profile.py:6)
+# ---------------------------------------------------------------------------
+
+class ExcursionSetProfile:
+    """Standalone class API mirroring the reference ExcursionSetProfile.
+
+    Thin host-side wrapper over the functional pipeline above; profile
+    methods return callables (evaluated on device per call), matching the
+    reference's returned scipy interpolator ergonomics.
+    `model_density_profile` and `density_evolution` implement the intended
+    behaviour (both are broken/unreachable in the reference; SURVEY.md §2b).
+    """
+
+    def __init__(self, h, omega_m, omega_b, z=0, ns=0.965, omega_k=0,
+                 mnu=0.06, npts=200, use_eisenstein_hu=True, camb_accuracy=1,
+                 pk_table=None):
+        import types
+        import numpy as np
+        from .. import ops as _ops
+
+        self.omega_m = omega_m
+        self.omega_b = omega_b
+        self.omega_l = 1 - omega_m - omega_k
+        self.z = z
+        k = np.logspace(-4, np.log10(2), npts)
+        tbl = dict(z_eff=jnp.asarray(float(z)), esm_k=jnp.asarray(k),
+                   esm_kw=jnp.asarray(_ops.trapz_weights(k)),
+                   esm_pk0=None, esm_s80=None, esm_s8z=None,
+                   esm_x50=None)
+        use_eh = use_eisenstein_hu
+        if not use_eh and pk_table is not None:
+            tbl['esm_pk0'] = jnp.asarray(pk_table['pk0'])
+            tbl['esm_s80'] = jnp.asarray(pk_table['sigma8_0'])
+            tbl['esm_s8z'] = jnp.asarray(pk_table['sigma8_z'])
+        else:
+            use_eh = True
+        self._tables = types.SimpleNamespace(**tbl)
+        self._spec = types.SimpleNamespace(esm_use_eh=use_eh)
+        self._base = {'H0': h * 100.0, 'Omega_m': omega_m, 'Omega_b': omega_b,
+                      'ns': ns, 'Omega_k': omega_k}
+        st = esm_state(self._tables, self._spec,
+                       {**self._base, 'sigma_8_0': 1.0})
+        # fiducial (un-normalised) sigma8 values, reference attribute names
+        if use_eh:
+            p = eisenstein_hu_params(h, omega_m, omega_b, ns=ns, As=2e-9)
+            self.s80_fiducial = float(sigma80(p))
+            self.s8z_fiducial = self.s80_fiducial * float(st['Dz'])
+        else:
+            self.s80_fiducial = float(pk_table['sigma8_0'])
+            self.s8z_fiducial = float(pk_table['sigma8_z'])
+        self.normalisation = 1.0
+        self._sigma8 = None
+        self.use_eisenstein_hu = use_eh
+
+    # -- reference methods ------------------------------------------------
+    def growth_factor(self, z):
+        return float(esm_growth_factor(jnp.asarray(float(z)), self.omega_m,
+                                       self.omega_l))
+
+    def set_normalisation(self, sigma8, z=0):
+        if z == 0:
+            self.normalisation = (sigma8 / self.s80_fiducial) ** 2
+            self._sigma8 = sigma8
+        else:
+            self.normalisation = (sigma8 / self.s8z_fiducial) ** 2
+            self._sigma8 = sigma8 * self.s80_fiducial / self.s8z_fiducial
+
+    def _params(self, b10, b01, Rp, Rx, delta_c=1.686):
+        s80 = self._sigma8 if self._sigma8 is not None else self.s80_fiducial
+        return {k: jnp.asarray(v) for k, v in
+                {**self._base, 'sigma_8_0': s80, 'b10': b10, 'b01': b01,
+                 'Rp': Rp, 'Rx': Rx, 'delta_c': delta_c}.items()}
+
+    def power(self, k, z):
+        st = esm_state(self._tables, self._spec,
+                       {**self._base,
+                        'sigma_8_0': self.s80_fiducial})  # un-normalised
+        import numpy as np
+        from ..ops.splines import cubic_coeffs_dynamic, ppoly_eval_dynamic
+        D = esm_growth_factor(jnp.asarray(float(z)), self.omega_m, self.omega_l)
+        coeffs = cubic_coeffs_dynamic(st['k'], st['pk'])
+        return np.asarray(ppoly_eval_dynamic(st['k'], coeffs,
+                                             jnp.asarray(k)) * D ** 2)
+
+    def model_enclosed_density_profile(self, r, z, b10, b01, Rp, Rx,
+                                       delta_c=1.686):
+        import numpy as np
+        self._tables.z_eff = jnp.asarray(float(z))
+        params = self._params(b10, b01, Rp, Rx, delta_c)
+        t, spec = self._tables, self._spec
+        r = np.atleast_1d(np.asarray(r, dtype=float))
+
+        class _Profile:
+            def __call__(_s, q):
+                # reuse the module pipeline with r as the Lagrangian grid
+                st = esm_state(t, spec, params)
+                re_, oneh = eulerian_1halo(st, jnp.asarray(r), params['b10'],
+                                           params['b01'], params['Rp'],
+                                           params['Rx'])
+                two = eulerian_2halo(st, re_, params['Rp'], params['Rx'])
+                model = oneh + st['Dz'] ** 2 * two
+                return np.asarray(_masked_monotone_interp(
+                    re_, model, jnp.asarray(np.atleast_1d(q))))
+        return _Profile()
+
+    def model_density_profile(self, r, z, b10, b01, Rp, Rx, delta_c=1.686):
+        import numpy as np
+        enclosed = self.model_enclosed_density_profile(r, z, b10, b01, Rp, Rx,
+                                                       delta_c)
+        r = np.atleast_1d(np.asarray(r, dtype=float))
+        vals = enclosed(r)
+        deriv = np.gradient(vals, r)
+        from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+        return IUS(r, vals + r * deriv / 3.0)
+
+    def density_evolution(self, z, b10, b01, Rp, Rx, delta_c=1.686,
+                          r_max=120, pairwise=False):
+        import numpy as np
+        self._tables.z_eff = jnp.asarray(float(z))
+        self._tables.esm_x50 = jnp.asarray(np.linspace(0.1, r_max, 50))
+        params = self._params(b10, b01, Rp, Rx, delta_c)
+        t, spec = self._tables, self._spec
+
+        def fn(q):
+            return np.asarray(density_evolution_at(
+                t, spec, params, jnp.asarray(np.atleast_1d(q)),
+                pairwise=pairwise))
+        return fn

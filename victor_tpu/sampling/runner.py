@@ -54,18 +54,28 @@ class MCMCResult:
 
 def make_posterior(bundle: CCFModelBundle, space: ParamSpace,
                    opts_kw: Optional[Dict] = None,
-                   fit_kw: Optional[Dict] = None):
-    """Batched (lnpost, aux) function over walker coordinate arrays (W, P)."""
+                   fit_kw: Optional[Dict] = None, bind_tables: bool = True):
+    """Batched (lnpost, aux) function over walker coordinate arrays (W, P).
+
+    With bind_tables=False, returns logpost(tables, coords) so callers can
+    pass the tables pytree as a jit argument — embedding it as closure
+    constants makes MLIR lowering read every array back from the device
+    (minutes over a remote-device tunnel)."""
     opts = bundle.theory_opts.replace(**(opts_kw or {}))
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
-    tables, spec = bundle.tables, bundle.spec
+    spec = bundle.spec
 
-    def scalar(theta):
-        params = space.full_params(theta)
-        return log_likelihood(tables, spec, opts, fit, params)
+    def logpost(tbl, coords):
+        def scalar(theta):
+            params = space.full_params(theta)
+            return log_likelihood(tbl, spec, opts, fit, params)
+        inner = ensemble.make_logpost(space.log_prior, jax.vmap(scalar))
+        return inner(coords)
 
-    batched = jax.vmap(scalar)
-    return ensemble.make_logpost(space.log_prior, batched)
+    if bind_tables:
+        tables = bundle.tables
+        return lambda coords: logpost(tables, coords)
+    return logpost
 
 
 def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
@@ -85,7 +95,8 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     inside the segment.
     """
     space = ParamSpace(params_block)
-    logpost = make_posterior(bundle, space, opts_kw, fit_kw)
+    logpost_t = make_posterior(bundle, space, opts_kw, fit_kw, bind_tables=False)
+    tables = bundle.tables
     key = jax.random.PRNGKey(seed)
 
     segments: list = []
@@ -99,15 +110,19 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
             state = None
     else:
         state = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        tables = jax.device_put(tables, rep)
+
     if state is None:
         key, k0 = jax.random.split(key)
         coords = space.sample_ref(k0, n_walkers)
-        state = ensemble.init_state(logpost, coords, key)
+        state = jax.jit(lambda t, c, k: ensemble.init_state(
+            lambda x: logpost_t(t, x), c, k))(tables, coords, key)
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P(mesh_axis))
-        rep = NamedSharding(mesh, P())
         state = ensemble.EnsembleState(
             coords=jax.device_put(state.coords, shard),
             log_prob=jax.device_put(state.log_prob, shard),
@@ -117,14 +132,15 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
             n_steps=jax.device_put(state.n_steps, rep))
 
     segment = jax.jit(
-        lambda st: ensemble.run(logpost, st, check_every, thin=thin),
-        donate_argnums=0)
+        lambda t, st: ensemble.run(lambda c: logpost_t(t, c), st,
+                                   check_every, thin=thin),
+        donate_argnums=1)
 
     t0 = time.time()
     rhat = np.full(space.ndim, np.inf)
     total_recorded = sum(len(c[0]) for c in segments)
     while total_recorded * thin < max_steps:
-        state, (coords_seg, lnp_seg, aux_seg) = segment(state)
+        state, (coords_seg, lnp_seg, aux_seg) = segment(tables, state)
         jax.block_until_ready(lnp_seg)
         segments.append((np.asarray(coords_seg), np.asarray(lnp_seg),
                          np.asarray(aux_seg)))

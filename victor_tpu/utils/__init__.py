@@ -1,4 +1,9 @@
 from .logging import get_logger
 from .multipoles import multipoles_from_fn, fn_from_multipoles
+from .converters import (convert_old_model_files_to_hdf5,
+                         convert_old_data_files_to_hdf5,
+                         convert_hans_quijote_to_hdf5)
 
-__all__ = ['get_logger', 'multipoles_from_fn', 'fn_from_multipoles']
+__all__ = ['get_logger', 'multipoles_from_fn', 'fn_from_multipoles',
+           'convert_old_model_files_to_hdf5', 'convert_old_data_files_to_hdf5',
+           'convert_hans_quijote_to_hdf5']
