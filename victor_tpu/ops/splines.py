@@ -222,23 +222,26 @@ def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
         c3 = coeffs[..., idx, 3]
         return ((c3 * t + c2) * t + c1) * t + c0
 
-    # masksum: accumulate interval-masked local polynomials under fori_loop.
-    # Interval membership reproduces clip(searchsorted(right)-1, 0, n-2):
-    # interval 0 extends to -inf, interval n-2 to +inf.
-    def body(i, acc):
+    # masksum: accumulate interval-masked local polynomials, statically
+    # unrolled. Interval membership reproduces clip(searchsorted(right)-1,
+    # 0, n-2): interval 0 extends to -inf, interval n-2 to +inf. The unroll
+    # (vs lax.fori_loop) lets XLA keep the accumulator in registers — the
+    # loop form bounced the full-grid carry through HBM every iteration
+    # (2.5x slower) and cost ~6 minutes of TPU compile.
+    acc = None
+    for i in range(n - 1):
         t = qq - x[i]
-        c0 = jnp.take(coeffs[..., 0], i, axis=-1)
-        c1 = jnp.take(coeffs[..., 1], i, axis=-1)
-        c2 = jnp.take(coeffs[..., 2], i, axis=-1)
-        c3 = jnp.take(coeffs[..., 3], i, axis=-1)
-        p = ((c3 * t + c2) * t + c1) * t + c0
-        lo_ok = jnp.where(i > 0, qq >= x[i], True)
-        hi_ok = jnp.where(i < n - 2, qq < x[jnp.minimum(i + 1, n - 1)], True)
-        return acc + jnp.where(lo_ok & hi_ok, p, 0.0)
-
-    shape = jnp.broadcast_shapes(coeffs.shape[:-2], qq.shape)
-    init = jnp.zeros(shape, dtype=qq.dtype)
-    return jax.lax.fori_loop(0, n - 1, body, init)
+        c = coeffs[..., i, :]
+        p = ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
+        if i == 0:
+            m = qq < x[1] if n > 2 else None
+        elif i == n - 2:
+            m = qq >= x[i]
+        else:
+            m = (qq >= x[i]) & (qq < x[i + 1])
+        term = p if m is None else jnp.where(m, p, 0.0)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 @jax.tree_util.register_dataclass
