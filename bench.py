@@ -35,6 +35,8 @@ def main():
     import yaml
     from victor_tpu.io import build_tables
     from victor_tpu.likelihood.batched import make_batched_loglike
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
 
     with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
         cfg = yaml.safe_load(f)

@@ -168,3 +168,43 @@ class TestESMEndToEnd:
                                 jparams(ESM_PARAMS)))
         ref = ref_esp.s8z_fiducial * np.sqrt(ref_esp.normalisation)
         np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+
+class TestESPClassWrapper:
+    """The standalone ExcursionSetProfile class API (reference surface)."""
+
+    def test_vs_reference_class(self, ref_esp):
+        from victor_tpu import ExcursionSetProfile
+        esp = ExcursionSetProfile(h=0.675, omega_m=0.31, omega_b=0.048,
+                                  z=Z_EFF, ns=0.96, use_eisenstein_hu=True)
+        np.testing.assert_allclose(esp.s80_fiducial, ref_esp.s80_fiducial,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(esp.growth_factor(Z_EFF),
+                                   ref_esp.growth_factor(Z_EFF), rtol=1e-10)
+        esp.set_normalisation(0.81, z=0)
+        np.testing.assert_allclose(esp.normalisation, ref_esp.normalisation,
+                                   rtol=1e-8)
+        r = np.linspace(1.0, 100.0, 25)
+        ours = esp.model_enclosed_density_profile(
+            r, Z_EFF, ESM_PARAMS['b10'], ESM_PARAMS['b01'],
+            ESM_PARAMS['Rp'], ESM_PARAMS['Rx'])(r)
+        ref = ref_esp.model_enclosed_density_profile(
+            r, Z_EFF, ESM_PARAMS['b10'], ESM_PARAMS['b01'],
+            ESM_PARAMS['Rp'], ESM_PARAMS['Rx'])(r)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-6, atol=1e-9)
+
+    def test_intended_methods_run(self):
+        from victor_tpu import ExcursionSetProfile
+        esp = ExcursionSetProfile(h=0.675, omega_m=0.31, omega_b=0.048,
+                                  z=Z_EFF, use_eisenstein_hu=True)
+        esp.set_normalisation(0.81)
+        r = np.linspace(1.0, 100.0, 20)
+        # broken in the reference (excursion_set_profile.py:408,460) —
+        # implemented as intended here
+        delta = esp.model_density_profile(r, Z_EFF, -1.544, -4.228, 7.973, 0.467)
+        assert np.all(np.isfinite(delta(r)))
+        evo = esp.density_evolution(Z_EFF, -1.544, -4.228, 7.973, 0.467,
+                                    r_max=float(r.max()))
+        assert np.all(np.isfinite(evo(r)))
+        pk = esp.power(np.logspace(-3, 0, 10), Z_EFF)
+        assert np.all(pk > 0)

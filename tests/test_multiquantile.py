@@ -1,0 +1,118 @@
+"""Multi-quantile joint fit: stacked vectors + cross-covariance."""
+
+import copy
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from victor_tpu.io import build_tables
+from victor_tpu.likelihood import core as lk
+from victor_tpu.likelihood.multiquantile import (build_joint_tables,
+                                                 joint_chi_squared,
+                                                 joint_log_likelihood,
+                                                 make_batched_joint_loglike)
+
+PARAMS = {'fsigma8': 0.47, 'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0}
+
+
+def jp(d):
+    return {k: jnp.asarray(v) for k, v in d.items()}
+
+
+@pytest.fixture(scope='module')
+def single_bundle(boss_config):
+    return build_tables(boss_config['model'], boss_config['data'])
+
+
+@pytest.fixture(scope='module')
+def joint_cfg(boss_config, tmp_path_factory, single_bundle):
+    """Two 'quantiles' (both the BOSS dataset) with a block-diagonal joint
+    covariance equal to the per-dataset covariance at beta=0.37."""
+    tmp = tmp_path_factory.mktemp('joint')
+    cov1 = np.asarray(lk.interpolated_covariance(
+        single_bundle.tables, single_bundle.spec, jnp.asarray(0.37)))
+    D = cov1.shape[0]
+    joint_cov = np.zeros((2 * D, 2 * D))
+    joint_cov[:D, :D] = cov1
+    joint_cov[D:, D:] = cov1
+    cov_fn = tmp / 'joint_cov.hdf5'
+    with h5py.File(cov_fn, 'w') as f:
+        f.create_dataset('covmat', data=joint_cov)
+
+    q = {'model': copy.deepcopy(boss_config['model']),
+         'data': {'redshift_space_ccf':
+                  copy.deepcopy(boss_config['data']['redshift_space_ccf']),
+                  'dir': boss_config['data']['dir']}}
+    return {
+        'quantiles': [copy.deepcopy(q), copy.deepcopy(q)],
+        'covariance_matrix': {'data_file': str(cov_fn), 'cov_key': 'covmat',
+                              'fixed_beta': True},
+        'likelihood': {'form': 'sellentin', 'nmocks': 1000, 'nparams': 4},
+    }
+
+
+class TestJointFit:
+    def test_blockdiag_equals_sum(self, joint_cfg, single_bundle):
+        jb = build_joint_tables(joint_cfg)
+        assert jb.ndata == 120
+        chi2_joint, _ = joint_chi_squared(jb, jp(PARAMS))
+        # individual chi2 with the same fixed covariance
+        from victor_tpu.models.ccf_theory import theory_vector
+        tv1 = lk.multipole_datavector(single_bundle.tables, single_bundle.spec,
+                                      jnp.asarray(0.37))
+        th1 = theory_vector(single_bundle.tables, single_bundle.spec,
+                            single_bundle.theory_opts, jp(PARAMS))
+        icov1 = np.linalg.inv(np.asarray(lk.interpolated_covariance(
+            single_bundle.tables, single_bundle.spec, jnp.asarray(0.37))))
+        d = np.asarray(th1 - tv1)
+        chi2_single = d @ icov1 @ d
+        np.testing.assert_allclose(float(chi2_joint), 2 * chi2_single, rtol=1e-9)
+
+    def test_quantile_override(self, joint_cfg):
+        jb = build_joint_tables(joint_cfg)
+        base, _ = joint_chi_squared(jb, jp(PARAMS))
+        over, _ = joint_chi_squared(jb, jp({**PARAMS, 'sigma_v__q1': 300.0}))
+        # differs from base, and equals the symmetric counterpart
+        assert abs(float(over) - float(base)) > 1e-3
+        sym, _ = joint_chi_squared(jb, jp({**PARAMS, 'sigma_v__q0': 300.0}))
+        np.testing.assert_allclose(float(over), float(sym), rtol=1e-10)
+
+    def test_joint_loglike_and_batching(self, joint_cfg):
+        jb = build_joint_tables(joint_cfg)
+        lnl, chi2 = joint_log_likelihood(jb, jp(PARAMS))
+        assert np.isfinite(float(lnl))
+        batched = make_batched_joint_loglike(
+            jb, ['fsigma8', 'beta'],
+            base_params={'sigma_v': 380.0, 'epsilon': 1.0})
+        theta = jnp.asarray([[0.47, 0.37], [0.5, 0.4]])
+        lnl_b, chi2_b = batched(theta)
+        np.testing.assert_allclose(float(lnl_b[0]), float(lnl), rtol=1e-10)
+        assert lnl_b.shape == (2,)
+
+    def test_beta_varying_joint_cov(self, boss_config, joint_cfg,
+                                    tmp_path_factory, single_bundle):
+        tmp = tmp_path_factory.mktemp('jointb')
+        covs = np.asarray(single_bundle.tables.cov)      # (31, 60, 60)
+        beta = np.asarray(single_bundle.tables.beta_cov)
+        D = covs.shape[1]
+        joint = np.zeros((len(beta), 2 * D, 2 * D))
+        joint[:, :D, :D] = covs
+        joint[:, D:, D:] = covs
+        fn = tmp / 'joint_cov_b.hdf5'
+        with h5py.File(fn, 'w') as f:
+            f.create_dataset('covmat', data=joint)
+            f.create_dataset('beta', data=beta)
+        cfg = copy.deepcopy(joint_cfg)
+        cfg['covariance_matrix'] = {'data_file': str(fn), 'cov_key': 'covmat',
+                                    'fixed_beta': False, 'beta_key': 'beta'}
+        jb = build_joint_tables(cfg)
+        lnl, chi2 = joint_log_likelihood(jb, jp(PARAMS))
+        # chi2 must equal the single-dataset value doubled (block diag at
+        # the interpolated beta)
+        _, chi2_single = lk.log_likelihood(
+            single_bundle.tables, single_bundle.spec,
+            single_bundle.theory_opts, single_bundle.fit_opts, jp(PARAMS))
+        np.testing.assert_allclose(float(chi2), 2 * float(chi2_single), rtol=1e-8)
+        assert np.isfinite(float(lnl))

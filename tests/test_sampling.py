@@ -161,3 +161,56 @@ class TestEndToEndMCMC:
         assert np.all(np.isfinite(res.log_prob))
         assert os.path.exists(tmp_path / 'chains' / 'boss.1.txt')
         assert os.path.exists(tmp_path / 'ckpt.npz')
+
+
+class TestHMC:
+    def test_transforms_roundtrip(self):
+        sp = ParamSpace(COBAYA_BLOCK)
+        theta = jnp.asarray([[0.5, 0.35, 1.05], [1.2, 0.59, 0.9]])
+        y = sp.to_unbounded(theta)
+        back = sp.to_bounded(y)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(theta), rtol=1e-10)
+        assert np.all(np.isfinite(np.asarray(sp.log_jacobian(y))))
+
+    def test_hmc_recovers_gaussian(self):
+        from victor_tpu.sampling import hmc
+        mean = jnp.asarray([1.0, -2.0])
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]])
+        cov_inv = jnp.asarray(np.linalg.inv(cov))
+
+        def logpost(y):
+            d = y - mean
+            return -0.5 * d @ cov_inv @ d, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(0)
+        y0 = mean + jax.random.normal(key, (8, 2))
+        states, (ys, lnps, auxs) = jax.jit(lambda y, k: hmc.run_hmc(
+            logpost, y, k, n_warmup=200, n_samples=500, n_leapfrog=8))(y0, key)
+        flat = np.asarray(ys).reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(mean), atol=0.12)
+        np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.35)
+        acc = float(np.mean(np.asarray(states.n_accepted)) / 500)
+        assert 0.6 < acc <= 1.0
+        # HMC chains should be nearly independent draws: strict R-hat
+        chain = np.asarray(ys).transpose(1, 0, 2)
+        assert np.all(split_rhat(chain) < 1.02)
+        ess = effective_sample_size(chain)
+        assert np.all(ess > 1000)  # >25% efficiency from 8x500 draws
+
+    def test_hmc_on_boss(self, boss_config):
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+                     'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.02}},
+            'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=6, n_samples=6,
+                           n_leapfrog=3, seed=0)
+        assert res.chain.shape == (6, 2, 2)
+        assert np.all(np.isfinite(res.log_prob))
+        lo, hi = res.space.bounds()
+        assert np.all(res.chain >= lo) and np.all(res.chain <= hi)

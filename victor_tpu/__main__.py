@@ -34,7 +34,7 @@ def _load(config_path):
 def cmd_run(args):
     from .io import build_tables
     from .parallel import make_mesh
-    from .sampling import run_mcmc
+    from .sampling import run_hmc_mcmc, run_mcmc
 
     cfg = _load(args.config)
     bundle = build_tables(cfg['model'], cfg['data'])
@@ -46,6 +46,21 @@ def cmd_run(args):
         mc = sampler['mcmc']
         sampler = {'max_steps': mc.get('max_samples', 2000),
                    'rhat_stop': mc.get('Rminus1_stop', 0.01)}
+    kind = args.sampler or sampler.get('kind', 'ensemble')
+    if kind == 'hmc':
+        result = run_hmc_mcmc(
+            bundle, params_block,
+            n_chains=int(sampler.get('n_chains', args.chains)),
+            n_warmup=int(sampler.get('n_warmup', args.warmup)),
+            n_samples=int(sampler.get('n_samples', args.samples)),
+            n_leapfrog=int(sampler.get('n_leapfrog', 16)),
+            seed=int(sampler.get('seed', args.seed)),
+            output=sampler.get('output', cfg.get('output', args.output)))
+        print(json.dumps({'sampler': 'hmc', 'n_samples': result.n_steps,
+                          'acceptance': round(result.acceptance, 3),
+                          'elapsed_s': round(result.elapsed_s, 2),
+                          'summary': result.summary(burn_in=0)}, indent=2))
+        return
     mesh = make_mesh(('chains', 'walkers'))
     result = run_mcmc(
         bundle, params_block,
@@ -134,6 +149,11 @@ def main(argv=None):
     pr.add_argument('config')
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
+    pr.add_argument('--sampler', choices=['ensemble', 'hmc'], default=None)
+    pr.add_argument('--chains', type=int, default=8,
+                    help='HMC chain count (sampler=hmc)')
+    pr.add_argument('--warmup', type=int, default=300)
+    pr.add_argument('--samples', type=int, default=700)
     pr.add_argument('--seed', type=int, default=0)
     pr.add_argument('--output', default=None)
     pr.add_argument('--checkpoint', default=None)
@@ -154,6 +174,8 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    from .utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
     args.fn(args)
 
 

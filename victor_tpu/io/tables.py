@@ -102,13 +102,18 @@ class CCFTables:
     icov: Optional[jax.Array]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CCFModelBundle:
-    """Tables + static spec + default options, ready for the functional core."""
+    """Tables + static spec + default options, ready for the functional core.
+
+    Registered as a pytree (tables are leaves; spec/options static metadata)
+    so a whole bundle can be passed as a jit argument."""
     tables: CCFTables
-    spec: TableSpec
-    theory_opts: TheoryOptions
-    fit_opts: Optional[FitOptions] = None
+    spec: TableSpec = dataclasses.field(metadata=dict(static=True))
+    theory_opts: TheoryOptions = dataclasses.field(metadata=dict(static=True))
+    fit_opts: Optional[FitOptions] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 # ---------------------------------------------------------------------------
@@ -416,8 +421,13 @@ def build_tables(model: dict, data: Optional[dict] = None,
     if data is not None:
         data_dir = data.get('dir', '')
         data_fn = os.path.join(data_dir, data['redshift_space_ccf'].get('data_file'))
-        cov_fn = os.path.join(data_dir, data['covariance_matrix'].get('data_file'))
-        for fn in [data_fn, cov_fn]:
+        # the covariance block is optional: multi-quantile joint fits supply
+        # one joint cross-covariance at the JointBundle level instead
+        # (victor_tpu/likelihood/multiquantile.py)
+        has_cov = 'covariance_matrix' in data and data['covariance_matrix']
+        cov_fn = os.path.join(data_dir, data['covariance_matrix'].get('data_file')) \
+            if has_cov else None
+        for fn in ([data_fn, cov_fn] if has_cov else [data_fn]):
             if not os.path.isfile(fn):
                 raise InputError(f'Data file {fn} not found')
         ccf = data['redshift_space_ccf']
@@ -468,33 +478,34 @@ def build_tables(model: dict, data: Optional[dict] = None,
             data_mult_pchip_c = ops.pchip_coeffs(beta_ccf, np.moveaxis(dstack, 1, 0))
 
         # covariance (ccf_fit.py:116-164)
-        covariance = data['covariance_matrix']
-        cdict = load_key_value_file(cov_fn)
-        if not fixed_data:
-            fixed_covmat = covariance.get('fixed_beta', True)
-            if not fixed_covmat:
-                beta_key = covariance.get('beta_key', None)
-                if beta_key and beta_key in cdict:
-                    beta_cov = np.asarray(cdict[beta_key], dtype=np.float64)
-                    if not np.all(np.diff(beta_cov) > 0):
-                        raise InputError('Covariance beta grid must be strictly '
-                                         'monotonically increasing')
-                else:
-                    beta_cov = beta_ccf.copy()
-        else:
-            fixed_covmat = True
-        cov_key = covariance['cov_key']
-        if cov_key not in cdict:
-            raise InputError(f'Key {cov_key} not found in file {cov_fn}')
-        cov = np.asarray(cdict[cov_key], dtype=np.float64)
-        D = len(s) * len(poles_s)
-        if fixed_covmat:
-            if cov.shape != (D, D):
-                raise InputError('Unexpected shape of (fixed) covariance matrix')
-        else:
-            if cov.shape != (len(beta_cov), D, D):
-                raise InputError('Unexpected shape of (beta-varying) covariance matrix')
-        icov = np.linalg.inv(cov)
+        if has_cov:
+            covariance = data['covariance_matrix']
+            cdict = load_key_value_file(cov_fn)
+            if not fixed_data:
+                fixed_covmat = covariance.get('fixed_beta', True)
+                if not fixed_covmat:
+                    beta_key = covariance.get('beta_key', None)
+                    if beta_key and beta_key in cdict:
+                        beta_cov = np.asarray(cdict[beta_key], dtype=np.float64)
+                        if not np.all(np.diff(beta_cov) > 0):
+                            raise InputError('Covariance beta grid must be strictly '
+                                             'monotonically increasing')
+                    else:
+                        beta_cov = beta_ccf.copy()
+            else:
+                fixed_covmat = True
+            cov_key = covariance['cov_key']
+            if cov_key not in cdict:
+                raise InputError(f'Key {cov_key} not found in file {cov_fn}')
+            cov = np.asarray(cdict[cov_key], dtype=np.float64)
+            D = len(s) * len(poles_s)
+            if fixed_covmat:
+                if cov.shape != (D, D):
+                    raise InputError('Unexpected shape of (fixed) covariance matrix')
+            else:
+                if cov.shape != (len(beta_cov), D, D):
+                    raise InputError('Unexpected shape of (beta-varying) covariance matrix')
+            icov = np.linalg.inv(cov)
         fit_opts = fit_options_from_config(data)
 
     # projection matrix over the theory mu grid for the data-side multipoles

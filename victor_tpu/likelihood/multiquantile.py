@@ -1,0 +1,212 @@
+"""Density-split multi-quantile joint fits: stacked CCF data vectors with a
+full cross-covariance, batched over quantiles.
+
+Density-split analyses fit several quantile-defined centre sets (e.g. DS1-DS5)
+simultaneously: each quantile has its own model inputs (real-space CCF,
+density/velocity templates) and redshift-space data vector, and a single
+joint covariance couples all of them. The reference package handles one
+dataset per CCFFit instance and has no joint machinery; here a JointBundle
+carries one frozen table-set per quantile plus the joint (possibly
+beta-dependent) covariance, and the joint likelihood is a pure jit/vmap-able
+function reusing the single-dataset theory core per quantile.
+
+Per-quantile parameter overrides use a `<name>__q<i>` suffix convention:
+`sigma_v__q0` overrides `sigma_v` for quantile 0 only (each quantile can have
+its own dispersion amplitude / AP nuisances while sharing cosmology/growth).
+
+Config schema::
+
+    joint:
+      quantiles:          # list of single-dataset blocks (no covariance)
+        - model: {...}
+          data: {redshift_space_ccf: {...}}
+        - ...
+      covariance_matrix:  # joint cross-covariance over the stacked vector
+        data_file: ...
+        cov_key: covmat
+        fixed_beta: False
+        beta_key: beta
+      likelihood: {form: sellentin, nmocks: 1000, nparams: ...}
+      beta_interpolation: datavector
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FitOptions, fit_options_from_config
+from ..errors import InputError
+from ..io.loaders import load_key_value_file
+from ..io.tables import CCFModelBundle, build_tables
+from ..models.ccf_theory import theory_vector
+from .core import _apply_form, _interp_matrix_stack, _like_factor, \
+    multipole_datavector
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class JointBundle:
+    """Per-quantile bundles + the joint covariance over the stacked vector.
+
+    A pytree (bundle tables + covariances are leaves; shapes/options static)
+    so the whole thing is a jit argument — never closure constants."""
+    bundles: Tuple[CCFModelBundle, ...]
+    cov: jax.Array                   # (D, D) or (n_b, D, D)
+    icov: jax.Array
+    beta_cov: Optional[jax.Array]
+    fixed_covmat: bool = dataclasses.field(metadata=dict(static=True))
+    fit_opts: FitOptions = dataclasses.field(metadata=dict(static=True))
+    ndata: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_joint_tables(joint: Dict, base_dir: str = '') -> JointBundle:
+    """Build a JointBundle from a `joint:` config block (schema above)."""
+    quantiles = joint.get('quantiles')
+    if not quantiles:
+        raise InputError('joint fit requires a non-empty quantiles: list')
+    bundles = []
+    for q in quantiles:
+        model = dict(q['model'])
+        data = dict(q.get('data') or {})
+        model.setdefault('dir', base_dir)
+        if data:
+            data.setdefault('dir', base_dir)
+        if 'covariance_matrix' in data:
+            raise InputError('quantile data blocks must not carry their own '
+                             'covariance_matrix; supply the joint one')
+        bundles.append(build_tables(model, data or None))
+
+    D = sum(b.spec.n_s * len(b.spec.poles_s) for b in bundles)
+
+    covariance = joint.get('covariance_matrix')
+    if not covariance:
+        raise InputError('joint fit requires a covariance_matrix block')
+    cov_fn = os.path.join(base_dir, covariance['data_file'])
+    if not os.path.isfile(cov_fn):
+        raise InputError(f'Joint covariance file {cov_fn} not found')
+    cdict = load_key_value_file(cov_fn)
+    cov_key = covariance.get('cov_key', 'covmat')
+    if cov_key not in cdict:
+        raise InputError(f'Key {cov_key} not found in file {cov_fn}')
+    cov = np.asarray(cdict[cov_key], dtype=np.float64)
+
+    fixed_covmat = covariance.get('fixed_beta', True)
+    beta_cov = None
+    if not fixed_covmat:
+        beta_key = covariance.get('beta_key', 'beta')
+        if beta_key not in cdict:
+            raise InputError(f'Joint covariance beta key {beta_key} not found')
+        beta_cov = np.asarray(cdict[beta_key], dtype=np.float64)
+        if cov.shape != (len(beta_cov), D, D):
+            raise InputError(f'Joint covariance shape {cov.shape} does not '
+                             f'match ({len(beta_cov)}, {D}, {D})')
+    elif cov.shape != (D, D):
+        raise InputError(f'Joint covariance shape {cov.shape} does not match '
+                         f'({D}, {D})')
+
+    fit_opts = fit_options_from_config(joint)
+    return JointBundle(
+        bundles=tuple(bundles),
+        cov=jnp.asarray(cov), icov=jnp.asarray(np.linalg.inv(cov)),
+        beta_cov=None if beta_cov is None else jnp.asarray(beta_cov),
+        fixed_covmat=fixed_covmat, fit_opts=fit_opts, ndata=D)
+
+
+def quantile_params(params: Dict, i: int) -> Dict:
+    """Resolve `<name>__q<i>` per-quantile overrides for quantile i."""
+    suffix = f'__q{i}'
+    out = {k: v for k, v in params.items() if '__q' not in k}
+    for k, v in params.items():
+        if k.endswith(suffix):
+            out[k[: -len(suffix)]] = v
+    return out
+
+
+def joint_theory_vector(jb: JointBundle, params: Dict,
+                        opts_kw: Optional[Dict] = None) -> jnp.ndarray:
+    """Stacked theory vector over quantiles (length jb.ndata)."""
+    parts = []
+    for i, b in enumerate(jb.bundles):
+        opts = b.theory_opts.replace(**(opts_kw or {}))
+        parts.append(theory_vector(b.tables, b.spec, opts,
+                                   quantile_params(params, i)))
+    return jnp.concatenate(parts)
+
+
+def joint_datavector(jb: JointBundle, params: Dict) -> jnp.ndarray:
+    parts = []
+    for i, b in enumerate(jb.bundles):
+        p = quantile_params(params, i)
+        beta = p.get('beta', jnp.asarray(0.0))
+        parts.append(multipole_datavector(b.tables, b.spec, beta))
+    return jnp.concatenate(parts)
+
+
+def joint_covariance(jb: JointBundle, beta) -> jax.Array:
+    if jb.fixed_covmat:
+        return jb.cov
+    return _interp_matrix_stack(jb.beta_cov, jb.cov, beta)
+
+
+def joint_precision(jb: JointBundle, beta) -> jax.Array:
+    if jb.fixed_covmat:
+        return jb.icov
+    return _interp_matrix_stack(jb.beta_cov, jb.icov, beta)
+
+
+def joint_chi_squared(jb: JointBundle, params: Dict,
+                      opts_kw: Optional[Dict] = None):
+    tv = joint_theory_vector(jb, params, opts_kw)
+    dv = joint_datavector(jb, params)
+    beta = params.get('beta', jnp.asarray(0.0))
+    cov = joint_covariance(jb, beta)
+    icov = joint_precision(jb, beta)
+    diff = tv - dv
+    chisq = jnp.einsum('i,ij,j->', diff, icov, diff, precision='highest')
+    return chisq, cov
+
+
+def joint_log_likelihood(jb: JointBundle, params: Dict,
+                         opts_kw: Optional[Dict] = None,
+                         fit_kw: Optional[Dict] = None):
+    """(lnlike, chisq) for the joint multi-quantile fit; same likelihood
+    forms and guards as the single-dataset path (victor/ccf_fit.py:356-483
+    semantics over the stacked vector)."""
+    fit = jb.fit_opts.replace(**(fit_kw or {}))
+    chisq, cov = joint_chi_squared(jb, params, opts_kw)
+    if not jb.fixed_covmat:
+        lf, ok = _like_factor(cov)
+    else:
+        lf = jnp.zeros(())
+        ok = jnp.asarray(True)
+    lnlike = _apply_form(chisq, lf, fit, jb.ndata)
+    bad = jnp.logical_or(~ok, jnp.isnan(lnlike))
+    return jnp.where(bad, -jnp.inf, lnlike), jnp.where(bad, jnp.inf, chisq)
+
+
+def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
+                               base_params: Optional[Dict] = None,
+                               opts_kw: Optional[Dict] = None,
+                               fit_kw: Optional[Dict] = None):
+    """Jitted vmapped joint likelihood: theta (N, P) -> ((N,), (N,)).
+
+    Table pytrees are jit arguments (never closure constants)."""
+    names = tuple(param_names)
+    base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
+
+    def fn(jb_arg, theta):
+        def scalar(t):
+            params = dict(base)
+            for i, name in enumerate(names):
+                params[name] = t[..., i]
+            return joint_log_likelihood(jb_arg, params, opts_kw, fit_kw)
+        return jax.vmap(scalar)(theta)
+
+    jfn = jax.jit(fn, static_argnames=())
+    return lambda theta: jfn(jb, theta)

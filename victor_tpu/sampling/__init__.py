@@ -1,6 +1,7 @@
 from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
-from .runner import run_mcmc, make_posterior, MCMCResult
+from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
+from . import hmc
 from .chains import save_checkpoint, load_checkpoint, export_getdist
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
                           acceptance_fraction)
@@ -8,7 +9,7 @@ from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
 __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
-    'run_mcmc', 'make_posterior', 'MCMCResult',
+    'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
     'acceptance_fraction',

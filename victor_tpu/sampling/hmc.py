@@ -1,0 +1,190 @@
+"""Hamiltonian Monte Carlo with on-device warmup adaptation.
+
+The gradient-based companion to the ensemble sampler: the entire likelihood
+(splines, velocity convolution, covariance solve) is exactly differentiable
+under `jax.grad` (AD matches finite differences to ~1e-6), so HMC cuts the
+per-walker autocorrelation of the stretch move by an order of magnitude —
+this is what makes the cobaya R−1 < 0.01 criterion reachable in seconds of
+wall-clock on a TPU chip, versus minutes for random-walk samplers.
+
+Design: chains are fully independent and vmapped (each adapts its own step
+size by dual averaging and a diagonal mass matrix by Welford accumulation
+during warmup); bounded (uniform-prior) parameters are sampled in an
+unbounded logit reparameterisation with the exact log-Jacobian
+(ParamSpace.to_unbounded / log_jacobian), so trajectories never hit the
+support boundary. Everything — warmup and sampling — runs under `lax.scan`
+inside one jit.
+
+No reference counterpart (victor delegates sampling to cobaya's
+random-walk Metropolis, victor/README.md:30).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class HMCState(NamedTuple):
+    q: jnp.ndarray            # (ndim,) position (unbounded space)
+    lnp: jnp.ndarray          # scalar log posterior at q
+    grad: jnp.ndarray         # (ndim,) gradient at q
+    aux: jnp.ndarray          # (n_aux,) auxiliary outputs (e.g. chi2)
+    key: jax.Array
+    # adaptation state
+    log_eps: jnp.ndarray      # current log step size
+    log_eps_avg: jnp.ndarray  # dual-averaging iterate
+    h_bar: jnp.ndarray        # dual-averaging error accumulator
+    welford_mean: jnp.ndarray
+    welford_m2: jnp.ndarray
+    welford_n: jnp.ndarray
+    inv_mass: jnp.ndarray     # (ndim,) diagonal inverse mass
+    n_accepted: jnp.ndarray
+
+
+def _leapfrog(value_grad: Callable, q, p, grad, eps, inv_mass, n_steps: int):
+    """n_steps leapfrog integration steps; returns (q, p, lnp, grad, aux)."""
+    def body(_, carry):
+        q, p, grad = carry
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        (lnp, aux), grad = value_grad(q)
+        p = p + 0.5 * eps * grad
+        return (q, p, grad)
+
+    q, p, grad = lax.fori_loop(0, n_steps, body, (q, p, grad))
+    (lnp, aux), grad = value_grad(q)
+    return q, p, lnp, grad, aux
+
+
+def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
+              adapt: bool, target_accept: float = 0.8,
+              t0: float = 10.0, gamma: float = 0.05, kappa: float = 0.75,
+              mu_offset: float = 1.5) -> HMCState:
+    key, k_mom, k_acc, k_jit = jax.random.split(state.key, 4)
+    eps = jnp.exp(state.log_eps) * \
+        jax.random.uniform(k_jit, (), minval=0.9, maxval=1.1)
+    inv_mass = state.inv_mass
+    p0 = jax.random.normal(k_mom, state.q.shape) / jnp.sqrt(inv_mass)
+    ke0 = 0.5 * jnp.sum(inv_mass * p0 ** 2)
+
+    q1, p1, lnp1, grad1, aux1 = _leapfrog(value_grad, state.q, p0, state.grad,
+                                          eps, inv_mass, n_leapfrog)
+    ke1 = 0.5 * jnp.sum(inv_mass * p1 ** 2)
+    log_accept = (lnp1 - ke1) - (state.lnp - ke0)
+    log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
+    accept = jnp.log(jax.random.uniform(k_acc, ())) < log_accept
+
+    q = jnp.where(accept, q1, state.q)
+    lnp = jnp.where(accept, lnp1, state.lnp)
+    grad = jnp.where(accept, grad1, state.grad)
+    aux = jnp.where(accept, aux1, state.aux)
+
+    # dual averaging of log eps toward the target acceptance (Hoffman &
+    # Gelman 2014 §3.2), frozen outside warmup
+    n = state.welford_n + 1.0
+    h_bar = jnp.where(
+        adapt,
+        (1.0 - 1.0 / (n + t0)) * state.h_bar
+        + (target_accept - accept_prob) / (n + t0),
+        state.h_bar)
+    # mu_offset anchors the shrinkage point at log(10 * eps0)
+    log_eps = jnp.where(adapt, mu_offset - jnp.sqrt(n) / gamma * h_bar,
+                        state.log_eps)
+    w = n ** (-kappa)
+    log_eps_avg = jnp.where(adapt, w * log_eps + (1.0 - w) * state.log_eps_avg,
+                            state.log_eps_avg)
+
+    # Welford accumulation of posterior variance (for the diagonal mass)
+    delta = q - state.welford_mean
+    welford_mean = jnp.where(adapt, state.welford_mean + delta / n,
+                             state.welford_mean)
+    welford_m2 = jnp.where(adapt,
+                           state.welford_m2 + delta * (q - welford_mean),
+                           state.welford_m2)
+
+    return HMCState(q=q, lnp=lnp, grad=grad, aux=aux, key=key,
+                    log_eps=log_eps, log_eps_avg=log_eps_avg, h_bar=h_bar,
+                    welford_mean=welford_mean, welford_m2=welford_m2,
+                    welford_n=jnp.where(adapt, n, state.welford_n),
+                    inv_mass=inv_mass,
+                    n_accepted=state.n_accepted + accept)
+
+
+def init_state(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
+               eps0: float = 0.1) -> HMCState:
+    (lnp, aux), grad = value_grad(q0)
+    ndim = q0.shape[0]
+    return HMCState(
+        q=q0, lnp=lnp, grad=grad, aux=jnp.atleast_1d(aux), key=key,
+        log_eps=jnp.log(jnp.asarray(eps0)),
+        log_eps_avg=jnp.log(jnp.asarray(eps0)),
+        h_bar=jnp.zeros(()),
+        welford_mean=jnp.zeros(ndim), welford_m2=jnp.zeros(ndim),
+        welford_n=jnp.zeros(()),
+        inv_mass=jnp.ones(ndim),
+        n_accepted=jnp.zeros(()))
+
+
+def warmup_and_sample(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
+                      n_warmup: int, n_samples: int, n_leapfrog: int = 16,
+                      eps0: float = 0.1, target_accept: float = 0.8
+                      ) -> Tuple[HMCState, Tuple[jnp.ndarray, ...]]:
+    """One chain: adapt (eps by dual averaging; diagonal mass by Welford,
+    applied at the warmup midpoint) then draw n_samples.
+
+    Returns (final_state, (q_samples, lnp_samples, aux_samples)) with
+    positions still in the unbounded space.
+    """
+    state = init_state(value_grad, q0, key, eps0)
+    import math
+    mu_offset = math.log(10.0 * eps0)
+
+    half = n_warmup // 2
+    step_adapt = lambda st, _: (_hmc_step(value_grad, st, n_leapfrog, True,  # noqa: E731
+                                          target_accept, mu_offset=mu_offset), None)
+    state, _ = lax.scan(step_adapt, state, None, length=half)
+
+    # set the mass matrix from the first-half posterior variance, reset the
+    # dual averaging so eps re-adapts to the new metric
+    var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
+    var = jnp.where(var > 0, var, 1.0)
+    state = state._replace(inv_mass=var,
+                           h_bar=jnp.zeros(()), welford_n=jnp.zeros(()),
+                           welford_mean=jnp.zeros_like(state.welford_mean),
+                           welford_m2=jnp.zeros_like(state.welford_m2))
+    state, _ = lax.scan(step_adapt, state, None, length=n_warmup - half)
+
+    # freeze at the averaged step size
+    state = state._replace(log_eps=state.log_eps_avg,
+                           n_accepted=jnp.zeros(()))
+
+    def step_sample(st, _):
+        st = _hmc_step(value_grad, st, n_leapfrog, False, target_accept)
+        return st, (st.q, st.lnp, st.aux)
+
+    state, samples = lax.scan(step_sample, state, None, length=n_samples)
+    return state, samples
+
+
+def run_hmc(logpost_y: Callable, y0: jnp.ndarray, key: jax.Array,
+            n_warmup: int = 300, n_samples: int = 700, n_leapfrog: int = 16,
+            eps0: float = 0.1, target_accept: float = 0.8):
+    """Vmapped independent HMC chains.
+
+    logpost_y(y) -> (lnp, aux) on the unbounded space; y0: (n_chains, ndim).
+    Returns (states, (q, lnp, aux)) with sample arrays shaped
+    (n_chains, n_samples, ...).
+    """
+    value_grad = jax.value_and_grad(logpost_y, has_aux=True)
+
+    def one_chain(q0, k):
+        return warmup_and_sample(value_grad, q0, k, n_warmup, n_samples,
+                                 n_leapfrog, eps0, target_accept)
+
+    keys = jax.random.split(key, y0.shape[0])
+    return jax.vmap(one_chain)(y0, keys)

@@ -159,6 +159,41 @@ class ParamSpace:
         return jnp.stack(cols, axis=-1)
 
     # ------------------------------------------------------------------
+    # unbounded reparameterisation (for gradient-based samplers): uniform
+    # priors map through a scaled logit, norm priors through identity
+    # ------------------------------------------------------------------
+    def to_unbounded(self, theta: jnp.ndarray) -> jnp.ndarray:
+        cols = []
+        for i, p in enumerate(self.sampled):
+            x = theta[..., i]
+            if p.dist == 'uniform':
+                u = jnp.clip((x - p.lo) / (p.hi - p.lo), 1e-12, 1 - 1e-12)
+                cols.append(jnp.log(u) - jnp.log1p(-u))
+            else:
+                cols.append(x)
+        return jnp.stack(cols, axis=-1)
+
+    def to_bounded(self, y: jnp.ndarray) -> jnp.ndarray:
+        cols = []
+        for i, p in enumerate(self.sampled):
+            v = y[..., i]
+            if p.dist == 'uniform':
+                cols.append(p.lo + (p.hi - p.lo) * jax.nn.sigmoid(v))
+            else:
+                cols.append(v)
+        return jnp.stack(cols, axis=-1)
+
+    def log_jacobian(self, y: jnp.ndarray) -> jnp.ndarray:
+        """log |d theta / d y| summed over parameters."""
+        lj = jnp.zeros(y.shape[:-1])
+        for i, p in enumerate(self.sampled):
+            if p.dist == 'uniform':
+                v = y[..., i]
+                lj = lj + math.log(p.hi - p.lo) + jax.nn.log_sigmoid(v) \
+                    + jax.nn.log_sigmoid(-v)
+        return lj
+
+    # ------------------------------------------------------------------
     def full_params(self, theta: jnp.ndarray) -> Dict:
         """theta (..., ndim) -> params dict incl. fixed and derived values."""
         params = {k: jnp.asarray(v) for k, v in self.fixed.items()}

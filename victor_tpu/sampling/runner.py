@@ -28,6 +28,18 @@ from .priors import ParamSpace
 log = get_logger('sampling')
 
 
+def _freeze(obj):
+    """Recursively freeze dicts/lists into hashable tuples (jit-cache keys)."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+_HMC_RUNNERS: dict = {}
+
+
 @dataclasses.dataclass
 class MCMCResult:
     space: ParamSpace
@@ -76,6 +88,74 @@ def make_posterior(bundle: CCFModelBundle, space: ParamSpace,
         tables = bundle.tables
         return lambda coords: logpost(tables, coords)
     return logpost
+
+
+def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
+                 n_chains: int = 8, n_warmup: int = 300, n_samples: int = 700,
+                 n_leapfrog: int = 16, seed: int = 0,
+                 opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
+                 output: Optional[str] = None,
+                 burn_in_fraction: float = 0.0) -> MCMCResult:
+    """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
+
+    ~10x lower autocorrelation per draw than the stretch move; warmup +
+    sampling run as ONE jitted computation with no host round trips.
+    Positions are sampled in the unbounded reparameterisation and returned
+    in the physical space.
+    """
+    from . import hmc as _hmc
+
+    space = ParamSpace(params_block)
+    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    fit = bundle.fit_opts.replace(**(fit_kw or {}))
+    spec = bundle.spec
+
+    def logpost_y(tbl, y):
+        theta = space.to_bounded(y)
+        params = space.full_params(theta)
+        lnl, chisq = log_likelihood(tbl, spec, opts, fit, params)
+        lp = space.log_prior(theta) + space.log_jacobian(y)
+        total = lnl + lp
+        total = jnp.where(jnp.isfinite(total), total, -jnp.inf)
+        return total, jnp.stack([chisq])
+
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    theta0 = space.sample_ref(k0, n_chains)
+    y0 = space.to_unbounded(theta0)
+
+    t0 = time.time()
+    # cache the jitted runner across calls (a fresh lambda per call would
+    # defeat jax's jit cache and recompile the ~minutes-long HMC graph)
+    cache_key = (_freeze(params_block), opts, fit, spec, _freeze(opts_kw),
+                 _freeze(fit_kw), n_warmup, n_samples, n_leapfrog, n_chains)
+    run = _HMC_RUNNERS.get(cache_key)
+    if run is None:
+        run = jax.jit(lambda tbl, y, k: _hmc.run_hmc(
+            lambda yy: logpost_y(tbl, yy), y, k,
+            n_warmup=n_warmup, n_samples=n_samples, n_leapfrog=n_leapfrog))
+        _HMC_RUNNERS[cache_key] = run
+    states, (ys, lnps, auxs) = run(bundle.tables, y0, key)
+    jax.block_until_ready(lnps)
+
+    chain = np.asarray(space.to_bounded(ys)).transpose(1, 0, 2)  # (S, C, P)
+    lnp = np.asarray(lnps).T
+    aux = np.asarray(auxs).transpose(1, 0, 2)
+    rhat = diagnostics.split_rhat(chain)
+    acc = float(np.mean(np.asarray(states.n_accepted)) / n_samples)
+    log.info('HMC: %d chains x %d samples, acceptance=%.3f max(R-1)=%.4f',
+             n_chains, n_samples, acc, float(np.max(rhat - 1)))
+
+    result = MCMCResult(
+        space=space, chain=chain, log_prob=lnp, aux=aux,
+        state=jax.device_get(states), rhat=rhat, acceptance=acc,
+        n_steps=n_samples, elapsed_s=time.time() - t0)
+    if output:
+        burn = int(len(chain) * burn_in_fraction)
+        chain_io.export_getdist(output, space, chain, lnp, aux,
+                                aux_names=['chi2_ccf_correct'], burn_in=burn)
+        log.info('chains written to %s.*', output)
+    return result
 
 
 def run_mcmc(bundle: CCFModelBundle, params_block: Dict,

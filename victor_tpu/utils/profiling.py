@@ -1,0 +1,108 @@
+"""Tracing / profiling hooks (SURVEY §5: absent in the reference).
+
+- `timed(name)`: wall-clock phase timer with `block_until_ready` semantics —
+  use around init/compile/eval/sample phases; results accumulate in
+  `phase_times()` and log at DEBUG.
+- `trace(logdir)`: context manager around `jax.profiler.trace` for a full
+  device trace viewable in TensorBoard/Perfetto.
+- `throughput(fn, args, reps)`: compile-excluded evals/sec measurement, the
+  BASELINE.md metric.
+- `debug_nans(enable)`: toggles jax_debug_nans (the jit-era equivalent of a
+  sanitizer: any NaN produced under jit raises at the producing op).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+import jax
+
+from .logging import get_logger
+
+log = get_logger('profiling')
+_PHASES: Dict[str, float] = defaultdict(float)
+_COUNTS: Dict[str, int] = defaultdict(int)
+
+
+@contextlib.contextmanager
+def timed(name: str, sync: bool = True):
+    """Accumulating wall-clock timer; `sync` blocks on all device work."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            try:
+                jax.effects_barrier()
+            except Exception:
+                pass
+        dt = time.perf_counter() - t0
+        _PHASES[name] += dt
+        _COUNTS[name] += 1
+        log.debug('phase %s: %.3fs (total %.3fs over %d)', name, dt,
+                  _PHASES[name], _COUNTS[name])
+
+
+def phase_times() -> Dict[str, Dict[str, float]]:
+    return {k: {'total_s': _PHASES[k], 'count': _COUNTS[k]}
+            for k in sorted(_PHASES)}
+
+
+def reset_phase_times() -> None:
+    _PHASES.clear()
+    _COUNTS.clear()
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device profile into `logdir` (TensorBoard 'profile' plugin
+    or Perfetto can open it)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info('profiler trace written to %s', logdir)
+
+
+def throughput(fn, *args, reps: int = 5, warmup: int = 1):
+    """(result, evals_per_sec_per_call) excluding compile: runs `fn(*args)`
+    `warmup` times, then times `reps` calls bracketed by block_until_ready."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return out, 1.0 / dt
+
+
+def debug_nans(enable: bool = True) -> None:
+    jax.config.update('jax_debug_nans', enable)
+
+
+def enable_persistent_cache(path: str | None = None,
+                            min_compile_secs: float = 1.0) -> None:
+    """Enable JAX's on-disk compilation cache.
+
+    Cold compiles of the big theory/HMC graphs take minutes (especially via
+    remote-device tunnels); the persistent cache makes them once-per-machine
+    instead of once-per-process. Call before the first jit execution.
+    """
+    import os
+    path = path or os.environ.get(
+        'VICTOR_TPU_CACHE', os.path.expanduser('~/.cache/victor_tpu/xla'))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', path)
+    try:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          min_compile_secs)
+    except Exception:
+        pass
+    log.info('persistent compilation cache at %s', path)
