@@ -60,12 +60,14 @@ def main():
     batched = make_batched_loglike(fit.bundle,
                                    ['fsigma8', 'beta', 'sigma_v', 'epsilon'],
                                    chunk=128)
+    import jax
+    n = 1024 if jax.default_backend() != 'cpu' else 128
     rng = np.random.default_rng(0)
     theta = jnp.asarray(np.column_stack([
-        rng.uniform(0.3, 0.6, 1024), rng.uniform(0.25, 0.55, 1024),
-        rng.uniform(250, 450, 1024), rng.uniform(0.9, 1.1, 1024)]))
+        rng.uniform(0.3, 0.6, n), rng.uniform(0.25, 0.55, n),
+        rng.uniform(250, 450, n), rng.uniform(0.9, 1.1, n)]))
     _, calls_per_sec = throughput(batched, theta, reps=3)
-    print(f'{1024 * calls_per_sec:,.0f} likelihood evals/sec '
+    print(f'{n * calls_per_sec:,.0f} likelihood evals/sec '
           f'(reference victor: 11.8/sec on one CPU core)')
 
     if args.sample:

@@ -287,6 +287,7 @@ class Bicubic2D:
     y: jax.Array          # (ny,)
     cu: jax.Array         # (R, nx-1, 4) x-factor piecewise-cubic coefficients
     cv: jax.Array         # (R, ny-1, 4) y-factor piecewise-cubic coefficients
+    y_const: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @classmethod
     def build(cls, x, y, z):
@@ -301,14 +302,29 @@ class Bicubic2D:
                        for m in range(rank)])
         cv = np.stack([hermite_coeffs(y, Vt[m], Dy @ Vt[m])
                        for m in range(rank)])
+        # y-independent surface (e.g. an isotropic dispersion template tiled
+        # over mu, io/tables.py): every y-factor is a constant function, so
+        # evaluation skips the y-direction piecewise polynomial entirely —
+        # ~40% of the hot-path interval terms for the BOSS config. Fold the
+        # constants into cu so ev() multiplies by nothing.
+        scale = np.max(np.abs(Vt[:rank])) or 1.0
+        y_const = bool(np.all(np.ptp(Vt[:rank], axis=1) < 1e-13 * scale))
+        if y_const:
+            cu = cu * Vt[:rank, 0][:, None, None]  # fold constant y-values in
         return cls(x=jnp.asarray(x), y=jnp.asarray(y),
-                   cu=jnp.asarray(cu), cv=jnp.asarray(cv))
+                   cu=jnp.asarray(cu), cv=jnp.asarray(cv), y_const=y_const)
 
     def ev(self, q: jax.Array, p: jax.Array) -> jax.Array:
         # FITPACK .ev clamps out-of-range arguments to the grid boundary
         qc = jnp.clip(q, self.x[0], self.x[-1])
-        pc = jnp.clip(p, self.y[0], self.y[-1])
         rank = self.cu.shape[0]
+        if self.y_const:
+            out = None
+            for m in range(rank):
+                term = ppoly_eval(self.x, self.cu[m], qc, clamp=False)
+                out = term if out is None else out + term
+            return out
+        pc = jnp.clip(p, self.y[0], self.y[-1])
         out = None
         for m in range(rank):
             term = ppoly_eval(self.x, self.cu[m], qc, clamp=False) * \
