@@ -1,0 +1,199 @@
+"""Option-matrix parity vs the (shimmed) reference for the loader/model paths
+not covered by the BOSS golden fixtures: linear-bias matter model,
+realspace-from-data mode, (r,mu)-format input, velocity-mean templates, the
+shipped toy example config, simulation_number selection, and .npy inputs.
+"""
+
+import copy
+import os
+import sys
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+import refshim  # noqa: E402
+
+refshim.install()
+
+from victor_tpu.io import build_tables  # noqa: E402
+from victor_tpu.likelihood import core as lk  # noqa: E402
+from victor_tpu.models import ccf_theory as th  # noqa: E402
+
+PARAMS = {'fsigma8': 0.47, 'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def jp(d):
+    return {k: jnp.asarray(v) for k, v in d.items()}
+
+
+def ref_loglike(model, data, params):
+    from victor.ccf_fit import CCFFit
+    fit = CCFFit(copy.deepcopy(model), copy.deepcopy(data))
+    return fit.log_likelihood(dict(params))
+
+
+def our_loglike(model, data, params):
+    b = build_tables(copy.deepcopy(model), copy.deepcopy(data))
+    lnl, chi2 = lk.log_likelihood(b.tables, b.spec, b.theory_opts, b.fit_opts,
+                                  jp(params))
+    return float(lnl), float(chi2)
+
+
+class TestMatterAndAPModes:
+    def test_linear_bias(self, boss_config):
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['matter_ccf'] = {'model': 'linear_bias', 'bias': 1.9,
+                                      'template_sigma8': 0.628}
+        p = {**PARAMS, 'bias': 1.9}
+        ref = ref_loglike(cfg['model'], cfg['data'], p)
+        got = our_loglike(cfg['model'], cfg['data'], p)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+    def test_realspace_from_data(self, boss_config):
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['realspace_ccf']['from_data'] = True
+        cfg['model']['matter_ccf'] = {'model': 'linear_bias', 'bias': 1.9}
+        p = {**PARAMS, 'bias': 1.9, 'epsilon': 1.03}
+        ref = ref_loglike(cfg['model'], cfg['data'], p)
+        got = our_loglike(cfg['model'], cfg['data'], p)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+
+class TestInputFormats:
+    def test_rmu_format(self, boss_config, tmp_path):
+        """(r, mu)-grid real-space input converted to multipoles on load
+        (victor/ccf_model.py:169-181)."""
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            r = f['r'][:]
+            mono = f['monopole'][:]   # (31, 30) beta grid
+            quad = f['quadrupole'][:]
+            payload = {k: f[k][:] for k in f}
+        mu = np.linspace(0.0, 1.0, 64)
+        p2 = 1.5 * mu ** 2 - 0.5
+        # fixed input: use the central beta row
+        ccf_rmu = mono[15][:, None] + quad[15][:, None] * p2[None, :]
+        fn = tmp_path / 'rmu_model.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                if k not in ('monopole', 'quadrupole', 'beta'):
+                    f.create_dataset(k, data=v)
+            f.create_dataset('mu', data=mu)
+            f.create_dataset('xi_rmu', data=ccf_rmu)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        cfg['model']['realspace_ccf'] = {
+            'reconstruction': False, 'format': 'rmu',
+            'ccf_keys': ['r', 'mu', 'xi_rmu'], 'assume_isotropic': True}
+        # fixed real input -> the data block must name its own beta grid
+        cfg['data']['redshift_space_ccf']['beta_key'] = 'beta'
+        p = {'fsigma8': 0.47, 'sigma_v': 380.0, 'epsilon': 1.0, 'beta': 0.37}
+        ref = ref_loglike(cfg['model'], cfg['data'], p)
+        got = our_loglike(cfg['model'], cfg['data'], p)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+    def test_npy_input(self, boss_config, tmp_path):
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        fn = tmp_path / 'model.npy'
+        np.save(fn, payload)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        base = our_loglike({**copy.deepcopy(boss_config['model'])},
+                           boss_config['data'], PARAMS)
+        np.testing.assert_allclose(got, base, rtol=1e-12)
+
+    def test_simulation_number(self, boss_config, tmp_path):
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        rng = np.random.default_rng(0)
+        stacked = {k: payload[k] for k in payload}
+        # fixed input: stack 3 mock monopoles, mock 1 is the beta-15 row
+        mono = np.stack([payload['monopole'][15] + rng.normal(0, 1e-3, 30),
+                         payload['monopole'][15],
+                         payload['monopole'][15] - rng.normal(0, 1e-3, 30)])
+        quad = np.stack([payload['quadrupole'][15]] * 3)
+        fn = tmp_path / 'mocks.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in stacked.items():
+                if k not in ('monopole', 'quadrupole', 'beta'):
+                    f.create_dataset(k, data=v)
+            f.create_dataset('monopole', data=mono)
+            f.create_dataset('quadrupole', data=quad)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        cfg['model']['realspace_ccf'] = {
+            'reconstruction': False, 'format': 'multipoles',
+            'ccf_keys': ['r', 'monopole', 'quadrupole'],
+            'simulation_number': 1, 'assume_isotropic': True}
+        b = build_tables(cfg['model'], None)
+        np.testing.assert_array_equal(np.asarray(b.tables.real_mult_fixed[0]),
+                                      mono[1])
+
+
+class TestVelocityTemplate:
+    def test_template_mean_model(self, boss_config, tmp_path):
+        """velocity_pdf.mean.model='template' with fsigma8/H/z rescaling
+        (victor/ccf_model.py:439-443,483-490)."""
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        r = payload['r']
+        vr = -120.0 * (r / 30.0) * np.exp(-r / 35.0)   # smooth outflow profile
+        fn = tmp_path / 'vel_model.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+            f.create_dataset('rv', data=r)
+            f.create_dataset('vr', data=vr)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        cfg['model']['velocity_pdf']['mean'] = {
+            'model': 'template', 'template_fsigma8': 0.45, 'z_sim': 0.52,
+            'template_hubble_ratio': 1.02, 'template_keys': ['rv', 'vr']}
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+
+class TestToyExample:
+    def test_example_void_model(self):
+        """The shipped fixed-input monopole-only toy config
+        (reference config/example_model_input.yaml)."""
+        from victor.ccf_model import CCFModel
+        model = {
+            'input_model_data_file': 'data/example_data/example_void_model.hdf5',
+            'dir': REPO, 'rsd_model': 'streaming', 'z_eff': 0.50,
+            'cosmology': {'Omega_m': 0.31},
+            'realspace_ccf': {'reconstruction': False, 'format': 'multipoles',
+                              'ccf_keys': ['r', 'monopole']},
+            'matter_ccf': {'model': 'template', 'integrated': False,
+                           'template_keys': ['rdelta', 'delta'],
+                           'template_sigma8': 0.628, 'bias': 1.9},
+            'velocity_pdf': {'mean': {'model': 'linear'},
+                             'dispersion': {'model': 'template',
+                                            'template_keys': ['rsv', 'sigmav']}},
+        }
+        ref_model = CCFModel(copy.deepcopy(model))
+        b = build_tables(copy.deepcopy(model), None)
+        p = {'fsigma8': 0.47, 'sigma_v': 380.0, 'epsilon': 1.0}
+        s = np.asarray(b.tables.r)
+        ref_mult = ref_model.theory_multipoles(s, dict(p), poles=[0, 2])
+        xi = th.theory_xi_grid(b.tables, b.spec, b.theory_opts, jp(p), s=jnp.asarray(s))
+        import victor_tpu.ops as ops
+        proj = ops.multipole_projection_matrix(
+            np.asarray(b.tables.mu_grid), [0, 2], npts=200, even=True)
+        ours = proj @ np.asarray(xi)
+        np.testing.assert_allclose(ours[0], ref_mult['0'], atol=1e-9)
+        np.testing.assert_allclose(ours[1], ref_mult['2'], atol=1e-9)
