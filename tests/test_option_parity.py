@@ -197,3 +197,40 @@ class TestToyExample:
         ours = proj @ np.asarray(xi)
         np.testing.assert_allclose(ours[0], ref_mult['0'], atol=1e-9)
         np.testing.assert_allclose(ours[1], ref_mult['2'], atol=1e-9)
+
+
+class TestRemainingOptions:
+    def test_constant_dispersion_model(self, boss_config):
+        """dispersion.model='constant' — dead code in the reference (unbound
+        local, victor/ccf_model.py:284-297, SURVEY bug 1); implemented as
+        intended: unit dispersion shape so sigma_v sets the scale."""
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['velocity_pdf']['dispersion'] = {'model': 'constant'}
+        b = build_tables(cfg['model'], cfg['data'])
+        lnl, chi2 = lk.log_likelihood(b.tables, b.spec, b.theory_opts,
+                                      b.fit_opts, jp(PARAMS))
+        assert np.isfinite(float(lnl))
+        # constant surface: sv == 1 everywhere
+        sv = b.tables.sv_surf.ev(jnp.asarray([10.0, 50.0]), jnp.asarray([0.1, 0.9]))
+        np.testing.assert_allclose(np.asarray(sv), 1.0, atol=1e-12)
+
+    def test_md_covariance_variant(self, boss_config):
+        """The 15-point MD beta-grid covariance file parity vs reference."""
+        cfg = copy.deepcopy(boss_config)
+        cfg['data']['covariance_matrix']['data_file'] = \
+            'data/BOSS_DR12_CMASS_data/' \
+            'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_variable_isotropic_MD_covariance.hdf5'
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+    def test_fixed_covariance_variant(self, boss_config):
+        """fixed_beta covariance (no log-det term, ccf_fit.py:445-453)."""
+        cfg = copy.deepcopy(boss_config)
+        cfg['data']['covariance_matrix'] = {
+            'data_file': 'data/BOSS_DR12_CMASS_data/'
+                         'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_fixed_D_covariance.hdf5',
+            'cov_key': 'covmat', 'fixed_beta': True}
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
