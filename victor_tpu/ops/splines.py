@@ -407,3 +407,66 @@ def gradient_nonuniform(y, x):
     left = (y[..., 1] - y[..., 0]) / (x[1] - x[0])
     right = (y[..., -1] - y[..., -2]) / (x[-1] - x[-2])
     return jnp.concatenate([left[..., None], interior, right[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel variant of the interval-mask evaluation
+# ---------------------------------------------------------------------------
+
+def ppoly_eval_pallas(x, coeffs, q, clamp: bool = True, tile: int = 32,
+                      interpret: bool | None = None):
+    """`ppoly_eval` masksum as a hand-written Pallas TPU kernel.
+
+    Bit-identical to the XLA masksum path (measured max diff 0.0 on the
+    production shapes). Benchmarked on a v5e chip at (6400, 3072) points with
+    55 intervals: XLA fused masksum 8.2 ms vs this kernel 9.4 ms — XLA's
+    fusion already runs the algorithm at the VPU roofline, so the kernel is
+    NOT the default; it is kept as the measured reference point for that
+    conclusion (and it cold-compiles 35x faster: 4.7 s vs 163 s).
+
+    `q` must be 2D with the minor dimension a multiple of 128 and rows a
+    multiple of `tile`. `interpret=True` runs the kernel in interpreter mode
+    (for CPU testing); default interprets automatically off-TPU.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    n = x.shape[0]
+    if q.ndim != 2 or q.shape[0] % tile or q.shape[1] % 128:
+        raise ValueError('ppoly_eval_pallas needs q of shape '
+                         '(k*tile, m*128); use ppoly_eval for general shapes')
+
+    def kernel(x_ref, c_ref, q_ref, o_ref):
+        qq = jnp.clip(q_ref[:], x_ref[0, 0], x_ref[0, n - 1]) if clamp \
+            else q_ref[:]
+        acc = jnp.zeros_like(qq)
+        for i in range(n - 1):
+            t = qq - x_ref[0, i]
+            p = ((c_ref[i, 3] * t + c_ref[i, 2]) * t + c_ref[i, 1]) * t \
+                + c_ref[i, 0]
+            if i == 0:
+                m = qq < x_ref[0, 1]
+            elif i == n - 2:
+                m = qq >= x_ref[0, i]
+            else:
+                m = (qq >= x_ref[0, i]) & (qq < x_ref[0, i + 1])
+            acc = acc + jnp.where(m, p, 0.0)
+        o_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(q.shape[0] // tile,),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n - 1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, q.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, q.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x[None, :], coeffs, q)
