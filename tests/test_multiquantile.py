@@ -116,3 +116,21 @@ class TestJointFit:
             single_bundle.theory_opts, single_bundle.fit_opts, jp(PARAMS))
         np.testing.assert_allclose(float(chi2), 2 * float(chi2_single), rtol=1e-8)
         assert np.isfinite(float(lnl))
+
+
+class TestJointSampling:
+    def test_run_mcmc_on_joint_bundle(self, joint_cfg):
+        """The sampling runner accepts a JointBundle directly."""
+        from victor_tpu.sampling import run_mcmc
+        jb = build_joint_tables(joint_cfg)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+                     'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.02}},
+            'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_mcmc(jb, block, n_walkers=8, max_steps=4, check_every=2,
+                       rhat_stop=0.0, seed=3)
+        assert res.chain.shape == (4, 8, 2)
+        assert np.all(np.isfinite(res.log_prob))

@@ -64,15 +64,30 @@ class MCMCResult:
                 for i, p in enumerate(self.space.sampled)}
 
 
-def make_posterior(bundle: CCFModelBundle, space: ParamSpace,
+def make_posterior(bundle, space: ParamSpace,
                    opts_kw: Optional[Dict] = None,
                    fit_kw: Optional[Dict] = None, bind_tables: bool = True):
     """Batched (lnpost, aux) function over walker coordinate arrays (W, P).
 
+    Accepts a single-dataset CCFModelBundle or a multi-quantile JointBundle.
     With bind_tables=False, returns logpost(tables, coords) so callers can
     pass the tables pytree as a jit argument — embedding it as closure
     constants makes MLIR lowering read every array back from the device
     (minutes over a remote-device tunnel)."""
+    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
+
+    if isinstance(bundle, JointBundle):
+        def logpost(jb, coords):
+            def scalar(theta):
+                params = space.full_params(theta)
+                return joint_log_likelihood(jb, params, opts_kw, fit_kw)
+            inner = ensemble.make_logpost(space.log_prior, jax.vmap(scalar))
+            return inner(coords)
+
+        if bind_tables:
+            return lambda coords: logpost(bundle, coords)
+        return logpost
+
     opts = bundle.theory_opts.replace(**(opts_kw or {}))
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     spec = bundle.spec
@@ -176,7 +191,9 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     """
     space = ParamSpace(params_block)
     logpost_t = make_posterior(bundle, space, opts_kw, fit_kw, bind_tables=False)
-    tables = bundle.tables
+    # the pytree passed as the jit argument: tables for a single dataset,
+    # the whole JointBundle for multi-quantile fits
+    tables = getattr(bundle, 'tables', bundle)
     key = jax.random.PRNGKey(seed)
 
     segments: list = []
