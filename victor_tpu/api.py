@@ -14,7 +14,7 @@ retrace only when they change the computation's structure.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

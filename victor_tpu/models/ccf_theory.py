@@ -16,16 +16,14 @@ input, and the `realspace_ccf_from_data` inverse-AP mode are all supported.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax.numpy as jnp
 
-import functools
-
 from ..config import TableSpec, TheoryOptions
 from ..errors import InputError
 from ..ops.legendre import legendre_p
-from ..ops.splines import ppoly_eval
 
 SQRT2PI = 2.5066282746310002
 

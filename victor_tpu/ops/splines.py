@@ -26,7 +26,6 @@ makes the whole hot path precomputable.
 from __future__ import annotations
 
 import dataclasses
-from math import factorial  # noqa: F401  (kept for clarity of the cell-fit derivation)
 
 import numpy as np
 import jax
