@@ -177,3 +177,45 @@ class TestPallasKernel:
         with pytest.raises(ValueError):
             ppoly_eval_pallas(jnp.zeros(5), jnp.zeros((4, 4)),
                               jnp.zeros((3, 100)), interpret=True)
+
+
+class TestUtilsTransforms:
+    """utils.multipoles_from_fn / fn_from_multipoles vs the reference."""
+
+    def test_multipoles_from_fn_parity(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+        import refshim
+        refshim.install()
+        from victor import utils as ref_utils
+        from victor_tpu.utils import multipoles_from_fn
+        r = np.linspace(5, 100, 12)
+
+        def frmu(rr, mu):
+            mu = np.atleast_1d(mu)
+            return (np.exp(-rr / 40.0) * (1 + 0.3 * mu ** 2))[:, None]
+
+        for even in (True, False):
+            ref = ref_utils.multipoles_from_fn(frmu, r, ell=[0, 2, 4], even=even)
+            got = multipoles_from_fn(frmu, r, ell=[0, 2, 4], even=even)
+            for l in (0, 2, 4):
+                np.testing.assert_allclose(got[f'{l}'], ref[f'{l}'],
+                                           rtol=1e-10, atol=1e-15)
+
+    def test_fn_from_multipoles_parity(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+        import refshim
+        refshim.install()
+        from victor import utils as ref_utils
+        from victor_tpu.utils import fn_from_multipoles
+        rng = np.random.default_rng(2)
+        r = np.linspace(5, 100, 15)
+        mult = rng.standard_normal((2, 15))
+        ref_fn = ref_utils.fn_from_multipoles(r, [0, 2], mult)
+        got_fn = fn_from_multipoles(r, [0, 2], mult)
+        q = np.linspace(6, 99, 9)
+        m = np.linspace(-0.95, 0.95, 7)
+        np.testing.assert_allclose(got_fn(q, m), ref_fn(q, m), rtol=1e-10)
+        with pytest.raises(ValueError):
+            fn_from_multipoles(r, [0, 2], mult[:1])

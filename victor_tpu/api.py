@@ -50,10 +50,11 @@ class Interp2D:
     reference returns from theory_xi_2D (victor/ccf_model.py:893): f(x, y)
     evaluates on the tensor grid and returns shape (len(y), len(x))."""
 
-    def __init__(self, x, y, z_yx):
+    def __init__(self, x, y, z_yx, kind: str = 'cubic'):
         from scipy.interpolate import RectBivariateSpline
+        k = 3 if kind == 'cubic' else 1
         self._spl = RectBivariateSpline(np.asarray(x), np.asarray(y),
-                                        np.asarray(z_yx).T, kx=3, ky=3, s=0)
+                                        np.asarray(z_yx).T, kx=k, ky=k, s=0)
 
     def __call__(self, x, y):
         x = np.atleast_1d(np.asarray(x, dtype=float))

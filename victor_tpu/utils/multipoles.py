@@ -1,38 +1,38 @@
 """Legendre multipole <-> f(r, mu) transforms (victor/utils.py:9-95 parity).
 
-Host-side numpy utilities used at data-preparation time; the hot-path
-equivalents live in `victor_tpu.ops` as precomputed projection matrices.
+Host-side numpy utilities used at data-preparation time with the reference's
+exact signatures and conventions; the hot-path equivalents live in
+`victor_tpu.ops` as precomputed projection matrices.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence
+from typing import Sequence
 
 import numpy as np
 
-from ..errors import InputError
-from ..ops.legendre import legendre_p
 from ..ops.integrate import trapz_weights
+from ..ops.legendre import legendre_p
 
 
-def multipoles_from_fn(fn: Callable, r: np.ndarray,
-                       ell: Sequence[int] = (0,), npts: int = 200,
-                       mu_range: str = 'full') -> Dict[str, np.ndarray]:
-    """Legendre multipoles of a callable f(r, mu) via trapezoid quadrature.
+def multipoles_from_fn(frmu, r, ell: Sequence[int] = (0, 2, 4),
+                       even: bool = True, npts: int = 200) -> dict:
+    """Legendre multipoles of f(r, mu) via trapezoid quadrature
+    (victor/utils.py:9-58).
 
-    Matches the reference (victor/utils.py:9-58): `mu_range='full'` integrates
-    mu in [-1, 1] with factor (2l+1)/2; 'positive' integrates [0, 1] with
-    factor (2l+1) (valid when f is even in mu, as for the CCF).
+    `even=True` integrates mu over [0, 1] with factor (2l+1) (valid for
+    functions even in mu, and safe for interpolators built on [0, 1]);
+    `even=False` integrates [-1, 1] with factor (2l+1)/2. Accepts callables
+    returning either 1D arrays over mu or interp2d-style (len(mu), 1) grids.
+    Returns {str(l): array over r}.
     """
     ell = np.atleast_1d(ell)
-    if mu_range == 'full':
-        mu = np.linspace(-1.0, 1.0, npts)
-        factors = (2 * ell + 1) / 2.0
-    elif mu_range == 'positive':
+    if even:
         mu = np.linspace(0.0, 1.0, npts)
         factors = (2 * ell + 1).astype(float)
     else:
-        raise InputError(f"mu_range must be 'full' or 'positive', got {mu_range!r}")
+        mu = np.linspace(-1.0, 1.0, npts)
+        factors = (2 * ell + 1) / 2.0
     w = trapz_weights(mu)
     r = np.atleast_1d(r)
     out = {}
@@ -40,33 +40,33 @@ def multipoles_from_fn(fn: Callable, r: np.ndarray,
         lw = factors[i] * w * np.asarray(legendre_p(int(l), mu))
         vals = np.empty(len(r))
         for j, rj in enumerate(r):
-            vals[j] = np.dot(np.asarray(fn(rj, mu)).reshape(-1), lw)
+            y = np.asarray(frmu(rj, mu))
+            if y.ndim == 2:                    # interp2d convention (n_mu, 1)
+                y = y.T[0]
+            vals[j] = np.dot(y.reshape(-1), lw)
         out[f'{int(l)}'] = vals
     return out
 
 
-def fn_from_multipoles(r: np.ndarray, ell: Sequence[int],
-                       multipoles: np.ndarray):
+def fn_from_multipoles(r, poles, multipoles, npts: int = 200):
     """Rebuild f(r, mu) from multipole arrays (victor/utils.py:60-95).
 
-    `multipoles` is (n_ell, n_r) stacked in the order of `ell`. Returns a
-    callable f(r, mu) using cubic-spline radial interpolation of each
-    multipole, summed against Legendre polynomials.
+    `multipoles` is (len(poles), len(r)). Returns a callable with the old
+    scipy.interp2d convention the reference returns: f(r, mu) evaluated on
+    the tensor grid with shape (len(mu), len(r)).
     """
-    from scipy.interpolate import InterpolatedUnivariateSpline as IUS
-    ell = [int(l) for l in np.atleast_1d(ell)]
-    multipoles = np.atleast_2d(multipoles)
-    if multipoles.shape[0] != len(ell):
-        raise InputError(
-            f'multipoles shape {multipoles.shape} does not match {len(ell)} ells')
-    splines = [IUS(r, multipoles[i], k=3, ext=3) for i in range(len(ell))]
+    poles = [poles] if isinstance(poles, (int, np.integer)) else list(poles)
+    multipoles = np.atleast_2d(np.asarray(multipoles, dtype=float))
+    if multipoles.shape != (len(poles), len(r)):
+        raise ValueError(f'Wrong shape of multipoles: expected '
+                         f'({len(poles)}, {len(r)}), but received '
+                         f'{multipoles.shape}')
+    mu = np.linspace(-1.0, 1.0, npts)
+    grid = np.zeros((len(mu), len(r)))
+    for i, l in enumerate(poles):
+        grid += np.asarray(legendre_p(int(l), mu))[:, None] * multipoles[i]
 
-    def fn(rr, mu):
-        rr = np.atleast_1d(rr)
-        mu = np.atleast_1d(mu)
-        out = np.zeros((len(rr), len(mu)))
-        for i, l in enumerate(ell):
-            out += splines[i](rr)[:, None] * np.asarray(legendre_p(l, mu))[None, :]
-        return np.squeeze(out)
-
-    return fn
+    from ..api import Interp2D
+    # the reference returns si.interp2d(r, mu, grid) with its default
+    # *linear* interpolation (victor/utils.py:94)
+    return Interp2D(np.asarray(r, dtype=float), mu, grid, kind='linear')
