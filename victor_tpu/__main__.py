@@ -53,7 +53,7 @@ def cmd_run(args):
             n_chains=int(sampler.get('n_chains', args.chains)),
             n_warmup=int(sampler.get('n_warmup', args.warmup)),
             n_samples=int(sampler.get('n_samples', args.samples)),
-            n_leapfrog=int(sampler.get('n_leapfrog', 16)),
+            n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
             seed=int(sampler.get('seed', args.seed)),
             output=sampler.get('output', cfg.get('output', args.output)))
         print(json.dumps({'sampler': 'hmc', 'n_samples': result.n_steps,
@@ -154,6 +154,7 @@ def main(argv=None):
                     help='HMC chain count (sampler=hmc)')
     pr.add_argument('--warmup', type=int, default=300)
     pr.add_argument('--samples', type=int, default=700)
+    pr.add_argument('--leapfrog', type=int, default=16)
     pr.add_argument('--seed', type=int, default=0)
     pr.add_argument('--output', default=None)
     pr.add_argument('--checkpoint', default=None)

@@ -39,18 +39,20 @@ class HMCState(NamedTuple):
     log_eps_avg: jnp.ndarray  # dual-averaging iterate
     h_bar: jnp.ndarray        # dual-averaging error accumulator
     welford_mean: jnp.ndarray
-    welford_m2: jnp.ndarray
+    welford_m2: jnp.ndarray   # (ndim, ndim) full-covariance accumulator
     welford_n: jnp.ndarray
-    inv_mass: jnp.ndarray     # (ndim,) diagonal inverse mass
+    chol_cov: jnp.ndarray     # (ndim, ndim) lower Cholesky of the position
+                              # covariance estimate == inverse mass matrix
     n_accepted: jnp.ndarray
 
 
-def _leapfrog(value_grad: Callable, q, p, grad, eps, inv_mass, n_steps: int):
-    """n_steps leapfrog integration steps; returns (q, p, lnp, grad, aux)."""
+def _leapfrog(value_grad: Callable, q, p, grad, eps, chol_cov, n_steps: int):
+    """n_steps leapfrog integration steps with a dense (inverse-)mass matrix
+    Sigma = L L^T; returns (q, p, lnp, grad, aux)."""
     def body(_, carry):
         q, p, grad = carry
         p = p + 0.5 * eps * grad
-        q = q + eps * inv_mass * p
+        q = q + eps * (chol_cov @ (chol_cov.T @ p))
         (lnp, aux), grad = value_grad(q)
         p = p + 0.5 * eps * grad
         return (q, p, grad)
@@ -64,16 +66,24 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
               adapt: bool, target_accept: float = 0.8,
               t0: float = 10.0, gamma: float = 0.05, kappa: float = 0.75,
               mu_offset: float = 1.5) -> HMCState:
-    key, k_mom, k_acc, k_jit = jax.random.split(state.key, 4)
+    import jax.scipy.linalg as jsl
+    key, k_mom, k_acc, k_jit, k_len = jax.random.split(state.key, 5)
     eps = jnp.exp(state.log_eps) * \
         jax.random.uniform(k_jit, (), minval=0.9, maxval=1.1)
-    inv_mass = state.inv_mass
-    p0 = jax.random.normal(k_mom, state.q.shape) / jnp.sqrt(inv_mass)
-    ke0 = 0.5 * jnp.sum(inv_mass * p0 ** 2)
+    # jittered trajectory length breaks the periodic return of fixed-length
+    # trajectories (which wrecks ESS once the dense metric isotropises the
+    # posterior)
+    n_steps = jax.random.randint(k_len, (), max(1, n_leapfrog // 2),
+                                 n_leapfrog + 1)
+    L = state.chol_cov
+    # momenta ~ N(0, M) with M = (L L^T)^{-1}: p = L^{-T} xi
+    xi = jax.random.normal(k_mom, state.q.shape)
+    p0 = jsl.solve_triangular(L.T, xi, lower=False)
+    ke0 = 0.5 * jnp.sum((L.T @ p0) ** 2)
 
     q1, p1, lnp1, grad1, aux1 = _leapfrog(value_grad, state.q, p0, state.grad,
-                                          eps, inv_mass, n_leapfrog)
-    ke1 = 0.5 * jnp.sum(inv_mass * p1 ** 2)
+                                          eps, L, n_steps)
+    ke1 = 0.5 * jnp.sum((L.T @ p1) ** 2)
     log_accept = (lnp1 - ke1) - (state.lnp - ke0)
     log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
     accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))
@@ -99,19 +109,20 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
     log_eps_avg = jnp.where(adapt, w * log_eps + (1.0 - w) * state.log_eps_avg,
                             state.log_eps_avg)
 
-    # Welford accumulation of posterior variance (for the diagonal mass)
+    # Welford accumulation of the full posterior covariance (dense mass)
     delta = q - state.welford_mean
     welford_mean = jnp.where(adapt, state.welford_mean + delta / n,
                              state.welford_mean)
     welford_m2 = jnp.where(adapt,
-                           state.welford_m2 + delta * (q - welford_mean),
+                           state.welford_m2
+                           + jnp.outer(delta, q - welford_mean),
                            state.welford_m2)
 
     return HMCState(q=q, lnp=lnp, grad=grad, aux=aux, key=key,
                     log_eps=log_eps, log_eps_avg=log_eps_avg, h_bar=h_bar,
                     welford_mean=welford_mean, welford_m2=welford_m2,
                     welford_n=jnp.where(adapt, n, state.welford_n),
-                    inv_mass=inv_mass,
+                    chol_cov=L,
                     n_accepted=state.n_accepted + accept)
 
 
@@ -124,9 +135,9 @@ def init_state(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
         log_eps=jnp.log(jnp.asarray(eps0)),
         log_eps_avg=jnp.log(jnp.asarray(eps0)),
         h_bar=jnp.zeros(()),
-        welford_mean=jnp.zeros(ndim), welford_m2=jnp.zeros(ndim),
+        welford_mean=jnp.zeros(ndim), welford_m2=jnp.zeros((ndim, ndim)),
         welford_n=jnp.zeros(()),
-        inv_mass=jnp.ones(ndim),
+        chol_cov=jnp.eye(ndim),
         n_accepted=jnp.zeros(()))
 
 
@@ -143,21 +154,41 @@ def warmup_and_sample(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
     state = init_state(value_grad, q0, key, eps0)
     import math
     mu_offset = math.log(10.0 * eps0)
+    ndim = q0.shape[0]
 
-    half = n_warmup // 2
     step_adapt = lambda st, _: (_hmc_step(value_grad, st, n_leapfrog, True,  # noqa: E731
                                           target_accept, mu_offset=mu_offset), None)
-    state, _ = lax.scan(step_adapt, state, None, length=half)
 
-    # set the mass matrix from the first-half posterior variance, reset the
-    # dual averaging so eps re-adapts to the new metric
-    var = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
-    var = jnp.where(var > 0, var, 1.0)
-    state = state._replace(inv_mass=var,
+    def _reset_adaptation(st, chol):
+        chol = jnp.where(jnp.all(jnp.isfinite(chol)), chol, st.chol_cov)
+        return st._replace(chol_cov=chol,
                            h_bar=jnp.zeros(()), welford_n=jnp.zeros(()),
-                           welford_mean=jnp.zeros_like(state.welford_mean),
-                           welford_m2=jnp.zeros_like(state.welford_m2))
-    state, _ = lax.scan(step_adapt, state, None, length=n_warmup - half)
+                           welford_mean=jnp.zeros_like(st.welford_mean),
+                           welford_m2=jnp.zeros_like(st.welford_m2))
+
+    # Stan-style staged adaptation: (1) eps only under the identity metric,
+    # collecting variances -> set a DIAGONAL metric; (2) eps re-adapts under
+    # the diagonal metric (good mixing now), collecting the full covariance
+    # -> set the DENSE metric (shrunk toward its diagonal); (3) final eps
+    # re-adaptation. A dense metric estimated straight from the identity
+    # phase is garbage on correlated posteriors (stuck chains); the dense
+    # metric itself isotropises e.g. the fsigma8-sigma_v degeneracy valley.
+    w1 = n_warmup // 3
+    w2 = n_warmup // 3
+    w3 = n_warmup - w1 - w2
+
+    state, _ = lax.scan(step_adapt, state, None, length=w1)
+    var = state.welford_m2.diagonal() / jnp.maximum(state.welford_n - 1.0, 1.0)
+    var = jnp.where(var > 0, var, 1.0)
+    state = _reset_adaptation(state, jnp.diag(jnp.sqrt(var)))
+
+    state, _ = lax.scan(step_adapt, state, None, length=w2)
+    cov = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
+    diag = jnp.diag(jnp.where(jnp.diag(cov) > 0, jnp.diag(cov), 1.0))
+    cov = 0.8 * cov + 0.2 * diag + 1e-10 * jnp.eye(ndim)
+    state = _reset_adaptation(state, jnp.linalg.cholesky(cov))
+
+    state, _ = lax.scan(step_adapt, state, None, length=w3)
 
     # freeze at the averaged step size
     state = state._replace(log_eps=state.log_eps_avg,
