@@ -214,3 +214,24 @@ class TestHMC:
         assert np.all(np.isfinite(res.log_prob))
         lo, hi = res.space.bounds()
         assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
+
+    def test_hmc_dense_mass_on_correlated_gaussian(self):
+        """The staged dense-mass adaptation must handle a rho=0.95 valley
+        (diagonal-mass HMC mixes ~20x slower there)."""
+        from victor_tpu.sampling import hmc
+        cov = np.array([[1.0, 0.95 * 3.0], [0.95 * 3.0, 9.0]])
+        ci = jnp.asarray(np.linalg.inv(cov))
+
+        def logpost(y):
+            return -0.5 * y @ ci @ y, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(2)
+        y0 = jax.random.normal(key, (8, 2)) * jnp.asarray([1.0, 3.0])
+        states, (ys, _, _) = jax.jit(lambda y, k: hmc.run_hmc(
+            logpost, y, k, n_warmup=300, n_samples=500, n_leapfrog=8))(y0, key)
+        chain = np.asarray(ys).transpose(1, 0, 2)
+        assert np.all(split_rhat(chain) < 1.02)
+        flat = chain.reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.2, atol=0.15)
+        # the adapted metric should absorb the correlation: high ESS
+        assert np.all(effective_sample_size(chain) > 1000)
