@@ -223,3 +223,14 @@ class TestCobayaAdapter:
         lk = CCFLikelihood.__new__(CCFLikelihood)
         with pytest.raises(ImportError):
             lk.initialize()
+
+
+class TestCobayaConfigIngestion:
+    def test_reference_cobaya_run_config(self, capsys):
+        """The reference's own cobaya-run YAML works unchanged
+        (model/data nested under likelihood.CCFLikelihood)."""
+        from victor_tpu.__main__ import main
+        main(['eval', '/root/reference/config/boss_cobaya_config.yaml',
+              '--param', 'beta=0.37'])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert abs(out['chi2'] - 65.01) < 0.01

@@ -208,3 +208,28 @@ class TestESPClassWrapper:
         assert np.all(np.isfinite(evo(r)))
         pk = esp.power(np.logspace(-3, 0, 10), Z_EFF)
         assert np.all(pk > 0)
+
+
+class TestESMGradients:
+    def test_ad_matches_finite_differences(self, esm_bundle):
+        """The full ESM likelihood is exactly differentiable (enables HMC
+        over excursion-set + cosmology parameters)."""
+        from victor_tpu.likelihood import core as lk2
+        t, s, o, f = (esm_bundle.tables, esm_bundle.spec,
+                      esm_bundle.theory_opts, esm_bundle.fit_opts)
+        base = jparams(ESM_PARAMS)
+
+        def nll(theta):
+            p = dict(base)
+            p['f'], p['b10'], p['Rp'], p['sigma_8_0'] = (theta[0], theta[1],
+                                                         theta[2], theta[3])
+            lnl, _ = lk2.log_likelihood(t, s, o, f, p)
+            return -lnl
+
+        theta = jnp.asarray([0.778, -1.544, 7.973, 0.81])
+        g = jax.jit(jax.grad(nll))(theta)
+        for i in range(4):
+            eps = 1e-6
+            fd = (nll(theta.at[i].add(eps)) - nll(theta.at[i].add(-eps))) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), float(fd), rtol=2e-4,
+                                       err_msg=f'param {i}')

@@ -26,7 +26,24 @@ def _load(config_path):
         sys.exit(f'config file not found: {config_path}')
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
-    if not isinstance(cfg, dict) or 'model' not in cfg or 'data' not in cfg:
+    if not isinstance(cfg, dict):
+        sys.exit('config must contain model: and data: blocks')
+    if 'model' not in cfg and 'likelihood' in cfg:
+        # reference cobaya-run layout (config/boss_cobaya_config.yaml):
+        # model/data nested under likelihood.<LikelihoodName> (possibly via
+        # config_file) — accept it verbatim so existing run configs work
+        for like_cfg in (cfg.get('likelihood') or {}).values():
+            if not isinstance(like_cfg, dict):
+                continue
+            if 'config_file' in like_cfg and like_cfg['config_file']:
+                with open(like_cfg['config_file']) as f:
+                    inner = yaml.safe_load(f)
+                cfg.setdefault('model', inner.get('model'))
+                cfg.setdefault('data', inner.get('data'))
+            if like_cfg.get('model') and like_cfg.get('data'):
+                cfg.setdefault('model', like_cfg['model'])
+                cfg.setdefault('data', like_cfg['data'])
+    if 'model' not in cfg or 'data' not in cfg:
         sys.exit('config must contain model: and data: blocks')
     return cfg
 
