@@ -234,3 +234,28 @@ class TestRemainingOptions:
         ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
         got = our_loglike(cfg['model'], cfg['data'], PARAMS)
         np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+    def test_anisotropic_dispersion_template(self, boss_config, tmp_path):
+        """3-key sigma_v(r, mu) dispersion template (victor/ccf_model.py:
+        252-283) including savgol filtering and monopole normalisation."""
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        r_sv = payload['rsv']
+        mu_sv = np.linspace(0.0, 1.0, 21)
+        # mu-dependent surface built off the isotropic template
+        sv2d = payload['sigmav'][:, None] * (1.0 + 0.25 * mu_sv[None, :] ** 2)
+        fn = tmp_path / 'aniso_model.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+            f.create_dataset('musv', data=mu_sv)
+            f.create_dataset('sigmav2d', data=sv2d)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        cfg['model']['velocity_pdf']['dispersion'] = {
+            'model': 'template', 'template_keys': ['rsv', 'musv', 'sigmav2d']}
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-7)
