@@ -235,3 +235,22 @@ class TestHMC:
         np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.2, atol=0.15)
         # the adapted metric should absorb the correlation: high ESS
         assert np.all(effective_sample_size(chain) > 1000)
+
+    def test_hmc_checkpoint_resume(self, boss_config, tmp_path):
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        ckpt = str(tmp_path / 'hmc.npz')
+        r1 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
+                          n_leapfrog=2, seed=0, checkpoint=ckpt)
+        assert os.path.exists(ckpt)
+        r2 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
+                          n_leapfrog=2, seed=1, checkpoint=ckpt, resume=True)
+        # resumed run starts from the checkpointed positions and appends
+        assert r2.chain.shape == (8, 2, 1)
+        np.testing.assert_array_equal(r2.chain[:4], r1.chain)

@@ -72,7 +72,9 @@ def cmd_run(args):
             n_samples=int(sampler.get('n_samples', args.samples)),
             n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
             seed=int(sampler.get('seed', args.seed)),
-            output=sampler.get('output', cfg.get('output', args.output)))
+            output=sampler.get('output', cfg.get('output', args.output)),
+            checkpoint=sampler.get('checkpoint', args.checkpoint),
+            resume=args.resume)
         print(json.dumps({'sampler': 'hmc', 'n_samples': result.n_steps,
                           'acceptance': round(result.acceptance, 3),
                           'elapsed_s': round(result.elapsed_s, 2),

@@ -2,7 +2,8 @@ from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
 from . import hmc
-from .chains import save_checkpoint, load_checkpoint, export_getdist
+from .chains import (save_checkpoint, load_checkpoint, export_getdist,
+                     save_hmc_checkpoint, load_hmc_checkpoint)
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
                           acceptance_fraction)
 
@@ -11,6 +12,7 @@ __all__ = [
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
+    'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
     'acceptance_fraction',
 ]

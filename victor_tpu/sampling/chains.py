@@ -110,3 +110,33 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
             hi_s = f'{hi[i]:.6g}' if np.isfinite(hi[i]) else 'N'
             f.write(f'{p.name}\t{lo_s}\t{hi_s}\n')
     return chain_file
+
+
+def save_hmc_checkpoint(path: str, states, chain=None, log_prob=None,
+                        aux=None) -> None:
+    """Serialize vmapped HMCState chains (+ optionally recorded samples)."""
+    payload = {f'hmc_{k}': np.asarray(v) for k, v in states._asdict().items()}
+    if chain is not None:
+        payload['chain'] = np.asarray(chain)
+        payload['chain_log_prob'] = np.asarray(log_prob)
+        payload['chain_aux'] = np.asarray(aux)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    tmp = path + '.tmp.npz'
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_hmc_checkpoint(path: str):
+    """Returns (HMCState, chain | None, log_prob | None, aux | None)."""
+    import jax.numpy as jnp
+
+    from .hmc import HMCState
+    with np.load(path) as z:
+        fields = {k[4:]: jnp.asarray(z[k]) for k in z.files
+                  if k.startswith('hmc_')}
+        state = HMCState(**fields)
+        chain = z['chain'] if 'chain' in z else None
+        lnp = z['chain_log_prob'] if 'chain_log_prob' in z else None
+        aux = z['chain_aux'] if 'chain_aux' in z else None
+    return state, chain, lnp, aux

@@ -110,6 +110,7 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  n_leapfrog: int = 16, seed: int = 0,
                  opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
                  output: Optional[str] = None,
+                 checkpoint: Optional[str] = None, resume: bool = False,
                  burn_in_fraction: float = 0.0) -> MCMCResult:
     """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
 
@@ -136,8 +137,17 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
 
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
+    prev = None
+    resume_state = None
+    if resume and checkpoint:
+        try:
+            resume_state, pc, pl, pa = chain_io.load_hmc_checkpoint(checkpoint)
+            prev = (pc, pl, pa) if pc is not None else None
+            log.info('resumed HMC from %s', checkpoint)
+        except FileNotFoundError:
+            pass
     theta0 = space.sample_ref(k0, n_chains)
-    y0 = space.to_unbounded(theta0)
+    y0 = space.to_unbounded(theta0) if resume_state is None else resume_state.q
 
     t0 = time.time()
     # cache the jitted runner across calls (a fresh lambda per call would
@@ -156,6 +166,13 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     chain = np.asarray(space.to_bounded(ys)).transpose(1, 0, 2)  # (S, C, P)
     lnp = np.asarray(lnps).T
     aux = np.asarray(auxs).transpose(1, 0, 2)
+    if prev is not None:
+        chain = np.concatenate([prev[0], chain])
+        lnp = np.concatenate([prev[1], lnp])
+        aux = np.concatenate([prev[2], aux])
+    if checkpoint:
+        chain_io.save_hmc_checkpoint(checkpoint, jax.device_get(states),
+                                     chain, lnp, aux)
     rhat = diagnostics.split_rhat(chain)
     acc = float(np.mean(np.asarray(states.n_accepted)) / n_samples)
     log.info('HMC: %d chains x %d samples, acceptance=%.3f max(R-1)=%.4f',
