@@ -259,3 +259,52 @@ class TestRemainingOptions:
         ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
         got = our_loglike(cfg['model'], cfg['data'], PARAMS)
         np.testing.assert_allclose(got, ref, rtol=1e-7)
+
+    def test_hexadecapole_three_multipole_fit(self, boss_config, tmp_path):
+        """ell=0,2,4 stacking: 90-dim data vector + (3x30)^2 covariance."""
+        rng = np.random.default_rng(7)
+        # model file: add a (31, 30) hexadecapole (small, smooth)
+        src_m = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src_m) as f:
+            mpay = {k: f[k][:] for k in f}
+        r = mpay['r']
+        hexa_m = 0.02 * np.exp(-r / 50.0)[None, :] * np.ones((31, 1))
+        fm = tmp_path / 'model3.hdf5'
+        with h5py.File(fm, 'w') as f:
+            for k, v in mpay.items():
+                f.create_dataset(k, data=v)
+            f.create_dataset('hexadecapole', data=hexa_m)
+        # data file: add hexadecapole + build a fixed 90x90 covariance
+        src_d = os.path.join(REPO, boss_config['data']['redshift_space_ccf']['data_file'])
+        with h5py.File(src_d) as f:
+            dpay = {k: f[k][:] for k in f}
+        hexa_d = 0.02 * np.exp(-dpay['s'] / 50.0)[None, :] * np.ones((31, 1)) \
+            + rng.normal(0, 1e-3, (31, 30))
+        fd = tmp_path / 'data3.hdf5'
+        with h5py.File(fd, 'w') as f:
+            for k, v in dpay.items():
+                f.create_dataset(k, data=v)
+            f.create_dataset('hexadecapole', data=hexa_d)
+        A = rng.normal(0, 1e-2, (90, 120))
+        cov90 = A @ A.T + np.eye(90) * 1e-4
+        fc = tmp_path / 'cov3.hdf5'
+        with h5py.File(fc, 'w') as f:
+            f.create_dataset('covmat', data=cov90)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fm)
+        cfg['model']['dir'] = ''
+        cfg['model']['realspace_ccf']['ccf_keys'] = \
+            ['r', 'monopole', 'quadrupole', 'hexadecapole']
+        cfg['data']['redshift_space_ccf']['data_file'] = str(fd)
+        cfg['data']['redshift_space_ccf']['ccf_keys'] = \
+            ['s', 'monopole', 'quadrupole', 'hexadecapole']
+        cfg['data']['covariance_matrix'] = {'data_file': str(fc),
+                                            'cov_key': 'covmat',
+                                            'fixed_beta': True}
+        cfg['data']['dir'] = ''
+        p = {**PARAMS, 'assume_isotropic': False}
+        del p['assume_isotropic']
+        cfg['model']['realspace_ccf']['assume_isotropic'] = False
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-7)
