@@ -76,7 +76,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         out = batched(theta)
-    jax.block_until_ready(out)
+        # force a host transfer each rep: through remote-device tunnels,
+        # block_until_ready alone can resolve before execution finishes
+        np.asarray(out[0])
     dt = time.perf_counter() - t0
 
     evals_per_sec = reps * n / dt
