@@ -7,9 +7,11 @@ per-walker autocorrelation of the stretch move by an order of magnitude —
 this is what makes the cobaya R−1 < 0.01 criterion reachable in seconds of
 wall-clock on a TPU chip, versus minutes for random-walk samplers.
 
-Design: chains are fully independent and vmapped (each adapts its own step
-size by dual averaging and a diagonal mass matrix by Welford accumulation
-during warmup); bounded (uniform-prior) parameters are sampled in an
+Design: chains are fully independent and vmapped. Each chain adapts its own
+step size by dual averaging and a DENSE mass matrix (full posterior
+covariance, Welford-accumulated) through Stan-style staged warmup, with
+jittered trajectory lengths; bounded (uniform-prior) parameters are sampled
+in an
 unbounded logit reparameterisation with the exact log-Jacobian
 (ParamSpace.to_unbounded / log_jacobian), so trajectories never hit the
 support boundary. Everything — warmup and sampling — runs under `lax.scan`
@@ -145,8 +147,8 @@ def warmup_and_sample(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
                       n_warmup: int, n_samples: int, n_leapfrog: int = 16,
                       eps0: float = 0.1, target_accept: float = 0.8
                       ) -> Tuple[HMCState, Tuple[jnp.ndarray, ...]]:
-    """One chain: adapt (eps by dual averaging; diagonal mass by Welford,
-    applied at the warmup midpoint) then draw n_samples.
+    """One chain: staged warmup (eps-only -> diagonal metric -> dense
+    metric, see inline comments) then draw n_samples.
 
     Returns (final_state, (q_samples, lnp_samples, aux_samples)) with
     positions still in the unbounded space.

@@ -141,6 +141,9 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     resume_state = None
     if resume and checkpoint:
         try:
+            # resume = continue from the checkpointed positions; warmup
+            # re-runs (re-adapting eps/metric) and only the new sampling
+            # phase is appended to the recorded chain
             resume_state, pc, pl, pa = chain_io.load_hmc_checkpoint(checkpoint)
             prev = (pc, pl, pa) if pc is not None else None
             log.info('resumed HMC from %s', checkpoint)
