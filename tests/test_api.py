@@ -234,3 +234,15 @@ class TestCobayaConfigIngestion:
               '--param', 'beta=0.37'])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert abs(out['chi2'] - 65.01) < 0.01
+
+
+class TestBetaNoneParity:
+    def test_beta_none_raises_like_reference(self, fit):
+        """Reference raises InputError for beta=None on beta-grid inputs
+        (victor/ccf_model.py:321-322, ccf_fit.py:188-189)."""
+        with pytest.raises(InputError):
+            fit.get_interpolated_real_multipoles(None)
+        with pytest.raises(InputError):
+            fit.get_interpolated_redshift_multipoles(None)
+        with pytest.raises(InputError):
+            fit.multipole_datavector(None)

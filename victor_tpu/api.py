@@ -111,6 +111,8 @@ class CCFModel:
     def get_interpolated_real_multipoles(self, beta=None) -> np.ndarray:
         """(n_ell, n_r) real-space multipoles at beta (victor/ccf_model.py:299)."""
         t, spec = self.bundle.tables, self.bundle.spec
+        if beta is None and not spec.fixed_real_input:
+            raise InputError('Need to supply a valid value of beta for interpolation')
         b = jnp.asarray(0.0 if beta is None else beta)
         return np.atleast_2d(np.asarray(_th.real_multipoles(t, spec, b)))
 
@@ -273,12 +275,16 @@ class CCFFit(CCFModel):
     # ------------------------------------------------------------------
     def get_interpolated_redshift_multipoles(self, beta=None) -> np.ndarray:
         t, spec = self.bundle.tables, self.bundle.spec
+        if beta is None and not spec.fixed_data:
+            raise InputError('Need to supply a valid value of beta for interpolation')
         b = jnp.asarray(0.0 if beta is None else beta)
         dv = _lk.multipole_datavector(t, spec, b)
         return np.atleast_2d(np.asarray(dv).reshape(len(self.poles_s), len(self.s)))
 
     def multipole_datavector(self, beta=None) -> np.ndarray:
         t, spec = self.bundle.tables, self.bundle.spec
+        if beta is None and not spec.fixed_data:
+            raise InputError('Need to supply a valid value of beta for interpolation')
         b = jnp.asarray(0.0 if beta is None else beta)
         return np.asarray(_lk.multipole_datavector(t, spec, b))
 
