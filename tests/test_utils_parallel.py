@@ -1,0 +1,70 @@
+"""utils.profiling and parallel.mesh helper coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from victor_tpu.parallel import (cross_chain_rhat, make_mesh, replicate,
+                                 shard_along, distributed_init)
+from victor_tpu.utils import (debug_nans, phase_times, reset_phase_times,
+                              throughput, timed)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        devs = jax.devices()
+        assert len(devs) == 8
+        m2 = make_mesh(('chains', 'walkers'))
+        assert m2.devices.shape in ((2, 4), (4, 2))
+        m1 = make_mesh(('walkers',))
+        assert m1.devices.shape == (8,)
+        with pytest.raises(ValueError):
+            make_mesh(('a', 'b'), shape=(3, 2))
+
+    def test_shard_and_replicate(self):
+        mesh = make_mesh(('walkers',))
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = shard_along(x, mesh, ['walkers'])
+        assert not xs.sharding.is_fully_replicated
+        xr = replicate(x, mesh)
+        assert xr.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+    def test_distributed_init_noop(self):
+        distributed_init()                      # single-host: must be a no-op
+        distributed_init(num_processes=1)
+
+    def test_cross_chain_rhat_converged_vs_not(self):
+        rng = np.random.default_rng(0)
+        good = rng.normal(0, 1, (8, 400, 2))
+        r = np.asarray(cross_chain_rhat(jnp.asarray(good)))
+        assert np.all(r < 1.03)
+        bad = good + np.arange(8)[:, None, None]     # separated chains
+        r2 = np.asarray(cross_chain_rhat(jnp.asarray(bad)))
+        assert np.all(r2 > 1.5)
+
+
+class TestProfiling:
+    def test_timed_and_phase_times(self):
+        reset_phase_times()
+        with timed('unit-test-phase'):
+            _ = jnp.arange(10).sum()
+        pt = phase_times()
+        assert pt['unit-test-phase']['count'] == 1
+        assert pt['unit-test-phase']['total_s'] >= 0
+        reset_phase_times()
+        assert phase_times() == {}
+
+    def test_throughput(self):
+        f = jax.jit(lambda x: (x * 2).sum())
+        out, calls_per_sec = throughput(f, jnp.arange(100.0), reps=3)
+        assert float(out) == float(jnp.arange(100.0).sum() * 2)
+        assert calls_per_sec > 0
+
+    def test_debug_nans_toggle(self):
+        debug_nans(True)
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jnp.asarray(0.0))
+        debug_nans(False)
+        assert bool(jnp.isnan(jax.jit(lambda x: x / 0.0 * 0.0)(jnp.asarray(0.0))))
