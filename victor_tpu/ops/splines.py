@@ -397,19 +397,24 @@ def cubic_coeffs_dynamic(x, y):
 def ppoly_eval_dynamic(x, coeffs, q, clamp: bool = True):
     """Piecewise-cubic evaluation when knots `x` are traced values.
 
-    Same interval semantics as `ppoly_eval`; uses compare-all bucketing (the
-    knot count is small) so it lowers to vector compares on TPU.
+    Same interval semantics as `ppoly_eval`, via the same broadcast
+    interval-axis mask-sum (works unchanged for traced knots: the masks are
+    elementwise comparisons) — no gathers, tiny traced graph.
     """
-    n = x.shape[0]
     qq = jnp.clip(q, x[0], x[-1]) if clamp else q
-    idx = jnp.clip(jnp.searchsorted(x, qq, side='right',
-                                    method='compare_all') - 1, 0, n - 2)
-    t = qq - x[idx]
-    c0 = coeffs[..., idx, 0]
-    c1 = coeffs[..., idx, 1]
-    c2 = coeffs[..., idx, 2]
-    c3 = coeffs[..., idx, 3]
-    return ((c3 * t + c2) * t + c1) * t + c0
+    expand = (slice(None),) + (None,) * qq.ndim
+    t = qq[None] - x[:-1][expand]
+    c0 = coeffs[:, 0][expand]
+    c1 = coeffs[:, 1][expand]
+    c2 = coeffs[:, 2][expand]
+    c3 = coeffs[:, 3][expand]
+    p = ((c3 * t + c2) * t + c1) * t + c0
+    neg_inf = jnp.asarray([-jnp.inf], dtype=x.dtype)
+    pos_inf = jnp.asarray([jnp.inf], dtype=x.dtype)
+    lo = jnp.concatenate([neg_inf, x[1:-1]])
+    hi = jnp.concatenate([x[1:-1], pos_inf])
+    m = (qq[None] >= lo[expand]) & (qq[None] < hi[expand])
+    return jnp.sum(jnp.where(m, p, 0.0), axis=0)
 
 
 def gradient_nonuniform(y, x):
