@@ -69,8 +69,10 @@ def main():
     ])
     theta = jnp.asarray(theta)
 
-    # warm-up / compile
-    jax.block_until_ready(batched(theta))
+    # warm-up / compile; forced host transfer so no execution tail leaks into
+    # the timed region (block_until_ready can resolve early through the
+    # remote-device tunnel)
+    np.asarray(batched(theta)[0])
 
     reps = int(os.environ.get('VICTOR_BENCH_REPS', 5))
     t0 = time.perf_counter()

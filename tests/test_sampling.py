@@ -57,6 +57,68 @@ class TestParamSpace:
         lo, hi = sp.bounds()
         assert np.all(np.asarray(draws) >= lo) and np.all(np.asarray(draws) <= hi)
 
+    def test_scalar_ref_gets_start_scatter(self):
+        # cobaya scalar refs (ref: 0.47) must NOT start every walker at the
+        # identical point (the stretch-move ensemble would be permanently
+        # degenerate); scatter falls back to proposal, else 1% of prior width
+        block = {
+            'a': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 2.0},
+                  'ref': 0.47, 'proposal': 0.02},
+            'b': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 1.0},
+                  'ref': 0.5},
+        }
+        sp = ParamSpace(block)
+        assert sp.sampled[0].ref_scale == 0.02           # proposal width
+        assert sp.sampled[1].ref_scale == pytest.approx(0.01)  # 1% of width
+        draws = np.asarray(sp.sample_ref(jax.random.PRNGKey(0), 64))
+        assert draws[:, 0].std() > 0 and draws[:, 1].std() > 0
+
+    def test_loguniform_prior(self):
+        from scipy import stats
+        block = {'s': {'prior': {'dist': 'loguniform', 'min': 1e-3, 'max': 10.0}}}
+        sp = ParamSpace(block)
+        x = 0.37
+        expect = stats.loguniform.logpdf(x, 1e-3, 10.0)
+        np.testing.assert_allclose(float(sp.log_prior(jnp.asarray([x]))),
+                                   expect, rtol=1e-10)
+        assert float(sp.log_prior(jnp.asarray([5e-4]))) == -np.inf
+        draws = np.asarray(sp.sample_ref(jax.random.PRNGKey(1), 2000))
+        assert draws.min() >= 1e-3 and draws.max() <= 10.0
+        # log-scale uniformity: median of log-draws near the log-midpoint
+        mid = 0.5 * (np.log(1e-3) + np.log(10.0))
+        assert abs(np.median(np.log(draws)) - mid) < 0.2
+
+    def test_halfnorm_prior(self):
+        from scipy import stats
+        block = {'s': {'prior': {'dist': 'halfnorm', 'loc': 2.0, 'scale': 3.0}}}
+        sp = ParamSpace(block)
+        x = 4.5
+        expect = stats.halfnorm.logpdf(x, loc=2.0, scale=3.0)
+        np.testing.assert_allclose(float(sp.log_prior(jnp.asarray([x]))),
+                                   expect, rtol=1e-10)
+        assert float(sp.log_prior(jnp.asarray([1.9]))) == -np.inf
+
+    def test_unbounded_transforms_new_dists(self):
+        # round-trip + change-of-variables normalization: the pushforward
+        # density exp(logprior(theta(y)) + logjac(y)) must integrate to 1
+        # over the unbounded coordinate
+        specs = {
+            's': {'prior': {'dist': 'loguniform', 'min': 1e-2, 'max': 4.0}},
+            't': {'prior': {'dist': 'halfnorm', 'loc': 1.0, 'scale': 2.0}},
+        }
+        sp2 = ParamSpace(specs)
+        theta = jnp.asarray([[0.5, 2.5], [3.0, 1.1]])
+        np.testing.assert_allclose(
+            np.asarray(sp2.to_bounded(sp2.to_unbounded(theta))),
+            np.asarray(theta), rtol=1e-10)
+        yy = np.linspace(-40, 40, 40001)
+        for name, spec in specs.items():
+            sp = ParamSpace({name: spec})
+            g = jnp.asarray(yy[:, None])
+            dens = np.exp(np.asarray(sp.log_prior(sp.to_bounded(g))
+                                     + sp.log_jacobian(g)))
+            np.testing.assert_allclose(np.trapezoid(dens, yy), 1.0, rtol=1e-4)
+
 
 def _gaussian_logpost(mean, cov_inv):
     def fn(coords):
@@ -235,6 +297,63 @@ class TestHMC:
         np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.2, atol=0.15)
         # the adapted metric should absorb the correlation: high ESS
         assert np.all(effective_sample_size(chain) > 1000)
+
+    def test_hmc_segments_bitexact_vs_monolithic(self):
+        """Segmented dispatch (runner-style) must reproduce one monolithic
+        warmup+sample scan bit-for-bit: stage transitions key on the global
+        step index."""
+        from victor_tpu.sampling import hmc
+        mean = jnp.asarray([1.0, -2.0])
+        ci = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.6], [0.6, 2.0]])))
+
+        def logpost(y):
+            d = y - mean
+            return -0.5 * d @ ci @ d, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(3)
+        y0 = mean + jax.random.normal(key, (4, 2))
+        keys = jax.random.split(key, 4)
+        n_warmup, n_samples = 20, 15
+        _, (ys_mono, lnp_mono, _) = jax.jit(lambda y, ks: hmc.run_hmc(
+            logpost, y, keys=ks, n_warmup=n_warmup, n_samples=n_samples,
+            n_leapfrog=4))(y0, keys)
+
+        states = hmc.init_chains(logpost, y0, keys)
+        recs = []
+        i0 = 0
+        seg = jax.jit(lambda st, i: hmc.run_segment(
+            logpost, st, i, 7, n_warmup=n_warmup, n_leapfrog=4))
+        seg_last = jax.jit(lambda st, i: hmc.run_segment(
+            logpost, st, i, 35 - 28, n_warmup=n_warmup, n_leapfrog=4))
+        while i0 < n_warmup + n_samples:
+            fn = seg if i0 + 7 <= 35 else seg_last
+            states, (qs, lnps, auxs) = fn(states, jnp.asarray(i0, jnp.int32))
+            recs.append((np.asarray(qs), np.asarray(lnps)))
+            i0 += 7
+        ys_seg = np.concatenate([r[0] for r in recs], axis=1)[:, n_warmup:]
+        lnp_seg = np.concatenate([r[1] for r in recs], axis=1)[:, n_warmup:]
+        np.testing.assert_array_equal(ys_seg, np.asarray(ys_mono))
+        np.testing.assert_array_equal(lnp_seg, np.asarray(lnp_mono))
+
+    def test_hmc_sharded_on_mesh(self, boss_config):
+        """HMC chains sharded across the 8-device CPU mesh must match the
+        unsharded run exactly (independent chains, zero collectives)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.parallel import make_mesh
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        mesh = make_mesh(('chains',))
+        r_mesh = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=4,
+                              n_samples=4, n_leapfrog=2, seed=0, mesh=mesh)
+        r_none = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=4,
+                              n_samples=4, n_leapfrog=2, seed=0)
+        assert r_mesh.chain.shape == (4, 8, 1)
+        np.testing.assert_allclose(r_mesh.chain, r_none.chain, rtol=5e-6)
 
     def test_hmc_checkpoint_resume(self, boss_config, tmp_path):
         from victor_tpu.io import build_tables

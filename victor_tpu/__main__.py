@@ -60,9 +60,11 @@ def cmd_run(args):
         sys.exit('config must contain a params: block to sample')
     sampler = cfg.get('sampler', {}) or {}
     if isinstance(sampler.get('mcmc'), dict):    # cobaya-style nesting
-        mc = sampler['mcmc']
-        sampler = {'max_steps': mc.get('max_samples', 2000),
-                   'rhat_stop': mc.get('Rminus1_stop', 0.01)}
+        # merge the recognised cobaya mcmc keys into the sampler block so any
+        # sibling keys (seed/output/checkpoint/kind/...) are preserved
+        mc = sampler.pop('mcmc')
+        sampler.setdefault('max_steps', mc.get('max_samples', 2000))
+        sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
     kind = args.sampler or sampler.get('kind', 'ensemble')
     if kind == 'hmc':
         result = run_hmc_mcmc(
@@ -149,15 +151,22 @@ def cmd_bench(args):
     batched = make_batched_loglike(bundle, space.names,
                                    base_params=space.fixed, chunk=args.chunk)
     theta = space.sample_ref(jax.random.PRNGKey(0), args.batch)
-    jax.block_until_ready(batched(theta))
+    # warm-up/compile; np.asarray (not block_until_ready, which can resolve
+    # early through a remote-device tunnel) so no execution tail leaks into
+    # the timed region
+    np.asarray(batched(theta)[0])
     t0 = time.time()
     for _ in range(args.reps):
         out = batched(theta)
-    jax.block_until_ready(out)
+        # force a device->host transfer per rep: through a remote-device
+        # tunnel block_until_ready can resolve before execution finishes,
+        # inflating repeat-dispatch timings ~1000x (BASELINE.md measurement
+        # honesty note) — np.asarray of an output is the real barrier
+        sink = float(np.asarray(out[0][-1]))
     dt = (time.time() - t0) / args.reps
     print(json.dumps({'evals_per_sec': round(args.batch / dt, 1),
                       'ms_per_batch': round(dt * 1e3, 2),
-                      'batch': args.batch}))
+                      'batch': args.batch, 'lnlike_tail': sink}))
 
 
 def main(argv=None):
@@ -188,7 +197,7 @@ def main(argv=None):
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')
-    pb.add_argument('--batch', type=int, default=4096)
+    pb.add_argument('--batch', type=int, default=8192)
     pb.add_argument('--reps', type=int, default=5)
     pb.add_argument('--chunk', type=int, default=128)
     pb.set_defaults(fn=cmd_bench)

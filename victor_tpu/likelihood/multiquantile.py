@@ -106,11 +106,22 @@ def build_joint_tables(joint: Dict, base_dir: str = '') -> JointBundle:
         if cov.shape != (len(beta_cov), D, D):
             raise InputError(f'Joint covariance shape {cov.shape} does not '
                              f'match ({len(beta_cov)}, {D}, {D})')
+        if not np.all(np.diff(beta_cov) > 0):
+            # _interp_matrix_stack's searchsorted silently mis-interpolates
+            # on an unsorted grid (same check as io/tables.py single-dataset)
+            raise InputError('Joint covariance beta grid must be strictly '
+                             'increasing')
     elif cov.shape != (D, D):
         raise InputError(f'Joint covariance shape {cov.shape} does not match '
                          f'({D}, {D})')
 
     fit_opts = fit_options_from_config(joint)
+    if fit_opts.beta_interpolation == 'likelihood':
+        # the single-dataset core supports this mode (likelihood/core.py), but
+        # the bracketing grid is ambiguous when quantiles carry their own beta
+        # grids; refuse rather than silently fall back to datavector interp
+        raise InputError("beta_interpolation: 'likelihood' is not supported "
+                         "for joint multi-quantile fits; use 'datavector'")
     return JointBundle(
         bundles=tuple(bundles),
         cov=jnp.asarray(cov), icov=jnp.asarray(np.linalg.inv(cov)),

@@ -113,9 +113,14 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
 
 
 def save_hmc_checkpoint(path: str, states, chain=None, log_prob=None,
-                        aux=None) -> None:
-    """Serialize vmapped HMCState chains (+ optionally recorded samples)."""
+                        aux=None, i0: Optional[int] = None) -> None:
+    """Serialize vmapped HMCState chains (+ optionally recorded samples).
+
+    `i0` is the global step index reached (segmented runs, runner.py);
+    resume continues the scan exactly from there."""
     payload = {f'hmc_{k}': np.asarray(v) for k, v in states._asdict().items()}
+    if i0 is not None:
+        payload['i0'] = np.asarray(i0)
     if chain is not None:
         payload['chain'] = np.asarray(chain)
         payload['chain_log_prob'] = np.asarray(log_prob)
@@ -128,7 +133,8 @@ def save_hmc_checkpoint(path: str, states, chain=None, log_prob=None,
 
 
 def load_hmc_checkpoint(path: str):
-    """Returns (HMCState, chain | None, log_prob | None, aux | None)."""
+    """Returns (HMCState, chain | None, log_prob | None, aux | None,
+    i0 | None); i0 is the global step index for exact segmented resume."""
     import jax.numpy as jnp
 
     from .hmc import HMCState
@@ -139,4 +145,5 @@ def load_hmc_checkpoint(path: str):
         chain = z['chain'] if 'chain' in z else None
         lnp = z['chain_log_prob'] if 'chain_log_prob' in z else None
         aux = z['chain_aux'] if 'chain_aux' in z else None
-    return state, chain, lnp, aux
+        i0 = int(z['i0']) if 'i0' in z else None
+    return state, chain, lnp, aux, i0

@@ -48,20 +48,24 @@ class HMCState(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def _leapfrog(value_grad: Callable, q, p, grad, eps, chol_cov, n_steps: int):
+def _leapfrog(value_grad: Callable, q, p, grad, lnp, aux, eps, chol_cov,
+              n_steps: int):
     """n_steps leapfrog integration steps with a dense (inverse-)mass matrix
-    Sigma = L L^T; returns (q, p, lnp, grad, aux)."""
+    Sigma = L L^T; returns (q, p, lnp, grad, aux).
+
+    (lnp, aux) ride through the carry so the trajectory costs exactly ONE
+    posterior+gradient evaluation per step — a post-loop re-evaluation would
+    double the dominant subgraph in the traced program (the full likelihood
+    forward+backward), doubling HMC compile time."""
     def body(_, carry):
-        q, p, grad = carry
+        q, p, grad, lnp, aux = carry
         p = p + 0.5 * eps * grad
         q = q + eps * (chol_cov @ (chol_cov.T @ p))
         (lnp, aux), grad = value_grad(q)
         p = p + 0.5 * eps * grad
-        return (q, p, grad)
+        return (q, p, grad, lnp, aux)
 
-    q, p, grad = lax.fori_loop(0, n_steps, body, (q, p, grad))
-    (lnp, aux), grad = value_grad(q)
-    return q, p, lnp, grad, aux
+    return lax.fori_loop(0, n_steps, body, (q, p, grad, lnp, aux))
 
 
 def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
@@ -83,8 +87,8 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
     p0 = jsl.solve_triangular(L.T, xi, lower=False)
     ke0 = 0.5 * jnp.sum((L.T @ p0) ** 2)
 
-    q1, p1, lnp1, grad1, aux1 = _leapfrog(value_grad, state.q, p0, state.grad,
-                                          eps, L, n_steps)
+    q1, p1, grad1, lnp1, aux1 = _leapfrog(value_grad, state.q, p0, state.grad,
+                                          state.lnp, state.aux, eps, L, n_steps)
     ke1 = 0.5 * jnp.sum((L.T @ p1) ** 2)
     log_accept = (lnp1 - ke1) - (state.lnp - ke0)
     log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
@@ -154,62 +158,111 @@ def warmup_and_sample(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
     positions still in the unbounded space.
     """
     state = init_state(value_grad, q0, key, eps0)
-    import math
-    mu_offset = math.log(10.0 * eps0)
-    ndim = q0.shape[0]
+    state, samples = chain_segment(value_grad, state, jnp.zeros((), jnp.int32),
+                                   n_warmup + n_samples, n_warmup,
+                                   n_leapfrog, eps0, target_accept)
+    return state, jax.tree.map(lambda x: x[n_warmup:], samples)
 
-    step_adapt = lambda st, _: (_hmc_step(value_grad, st, n_leapfrog, True,  # noqa: E731
-                                          target_accept, mu_offset=mu_offset), None)
 
-    def _reset_adaptation(st, chol):
-        chol = jnp.where(jnp.all(jnp.isfinite(chol)), chol, st.chol_cov)
-        return st._replace(chol_cov=chol,
-                           h_bar=jnp.zeros(()), welford_n=jnp.zeros(()),
-                           welford_mean=jnp.zeros_like(st.welford_mean),
-                           welford_m2=jnp.zeros_like(st.welford_m2))
+def _reset_adaptation(st, chol):
+    chol = jnp.where(jnp.all(jnp.isfinite(chol)), chol, st.chol_cov)
+    return st._replace(chol_cov=chol,
+                       h_bar=jnp.zeros(()), welford_n=jnp.zeros(()),
+                       welford_mean=jnp.zeros_like(st.welford_mean),
+                       welford_m2=jnp.zeros_like(st.welford_m2))
 
-    # Stan-style staged adaptation: (1) eps only under the identity metric,
-    # collecting variances -> set a DIAGONAL metric; (2) eps re-adapts under
-    # the diagonal metric (good mixing now), collecting the full covariance
-    # -> set the DENSE metric (shrunk toward its diagonal); (3) final eps
-    # re-adaptation. A dense metric estimated straight from the identity
-    # phase is garbage on correlated posteriors (stuck chains); the dense
-    # metric itself isotropises e.g. the fsigma8-sigma_v degeneracy valley.
-    w1 = n_warmup // 3
-    w2 = n_warmup // 3
-    w3 = n_warmup - w1 - w2
 
-    state, _ = lax.scan(step_adapt, state, None, length=w1)
-    var = state.welford_m2.diagonal() / jnp.maximum(state.welford_n - 1.0, 1.0)
+def _diag_reset(st):
+    var = st.welford_m2.diagonal() / jnp.maximum(st.welford_n - 1.0, 1.0)
     var = jnp.where(var > 0, var, 1.0)
-    state = _reset_adaptation(state, jnp.diag(jnp.sqrt(var)))
+    return _reset_adaptation(st, jnp.diag(jnp.sqrt(var)))
 
-    state, _ = lax.scan(step_adapt, state, None, length=w2)
-    cov = state.welford_m2 / jnp.maximum(state.welford_n - 1.0, 1.0)
+
+def _dense_reset(st):
+    ndim = st.q.shape[0]
+    cov = st.welford_m2 / jnp.maximum(st.welford_n - 1.0, 1.0)
     diag = jnp.diag(jnp.where(jnp.diag(cov) > 0, jnp.diag(cov), 1.0))
     cov = 0.8 * cov + 0.2 * diag + 1e-10 * jnp.eye(ndim)
-    state = _reset_adaptation(state, jnp.linalg.cholesky(cov))
+    return _reset_adaptation(st, jnp.linalg.cholesky(cov))
 
-    state, _ = lax.scan(step_adapt, state, None, length=w3)
 
-    # freeze at the averaged step size
-    state = state._replace(log_eps=state.log_eps_avg,
-                           n_accepted=jnp.zeros(()))
+def _freeze(st):
+    return st._replace(log_eps=st.log_eps_avg, n_accepted=jnp.zeros(()))
 
-    def step_sample(st, _):
-        st = _hmc_step(value_grad, st, n_leapfrog, False, target_accept)
+
+def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
+                  n_warmup: int, n_leapfrog: int = 16, eps0: float = 0.1,
+                  target_accept: float = 0.8
+                  ) -> Tuple[HMCState, Tuple[jnp.ndarray, ...]]:
+    """Advance ONE chain `length` steps starting at global step index `i0`.
+
+    Stan-style staged adaptation: (1) eps only under the identity metric,
+    collecting variances -> set a DIAGONAL metric; (2) eps re-adapts under
+    the diagonal metric (good mixing now), collecting the full covariance
+    -> set the DENSE metric (shrunk toward its diagonal); (3) final eps
+    re-adaptation, then freeze at the averaged step size and sample.
+    A dense metric estimated straight from the identity phase is garbage on
+    correlated posteriors (stuck chains); the dense metric itself
+    isotropises e.g. the fsigma8-sigma_v degeneracy valley.
+
+    ALL stages run inside ONE lax.scan, with stage transitions fired by the
+    global step index (lax.cond on tiny branches). Separate scans per stage
+    would each re-trace the step body — whose dominant subgraph is the full
+    likelihood forward+backward — and compile the big graph 4x over.
+    Because transitions key on the *global* index, a run split into segments
+    (bounded dispatches; see runner.run_hmc_mcmc) is bit-identical to one
+    monolithic dispatch.
+    """
+    import math
+    mu_offset = math.log(10.0 * eps0)
+    w1 = n_warmup // 3
+    w2 = n_warmup // 3
+
+    def body(st, i):
+        st = lax.cond(i == w1, _diag_reset, lambda s: s, st)
+        st = lax.cond(i == w1 + w2, _dense_reset, lambda s: s, st)
+        st = lax.cond(i == n_warmup, _freeze, lambda s: s, st)
+        st = _hmc_step(value_grad, st, n_leapfrog, i < n_warmup,
+                       target_accept, mu_offset=mu_offset)
         return st, (st.q, st.lnp, st.aux)
 
-    state, samples = lax.scan(step_sample, state, None, length=n_samples)
-    return state, samples
+    return lax.scan(body, state, i0 + jnp.arange(length))
 
 
-def run_hmc(logpost_y: Callable, y0: jnp.ndarray, key: jax.Array,
+def init_chains(logpost_y: Callable, y0: jnp.ndarray, keys: jax.Array,
+                eps0: float = 0.1) -> HMCState:
+    """Vmapped initial HMCState for a batch of chains."""
+    value_grad = jax.value_and_grad(logpost_y, has_aux=True)
+    return jax.vmap(lambda q, k: init_state(value_grad, q, k, eps0))(y0, keys)
+
+
+def run_segment(logpost_y: Callable, states: HMCState, i0, length: int,
+                n_warmup: int, n_leapfrog: int = 16, eps0: float = 0.1,
+                target_accept: float = 0.8):
+    """Vmapped `chain_segment` over the chain axis: one bounded dispatch.
+
+    Splitting a run into segments keeps each XLA dispatch short (a single
+    monolithic warmup+sample program at 32 chains ran long enough to trip
+    the remote-TPU watchdog) and gives mid-run checkpoints; results are
+    bit-identical to the monolithic dispatch.
+    """
+    value_grad = jax.value_and_grad(logpost_y, has_aux=True)
+    return jax.vmap(
+        lambda st: chain_segment(value_grad, st, i0, length, n_warmup,
+                                 n_leapfrog, eps0, target_accept))(states)
+
+
+def run_hmc(logpost_y: Callable, y0: jnp.ndarray, key: jax.Array = None,
             n_warmup: int = 300, n_samples: int = 700, n_leapfrog: int = 16,
-            eps0: float = 0.1, target_accept: float = 0.8):
+            eps0: float = 0.1, target_accept: float = 0.8,
+            keys: jax.Array = None):
     """Vmapped independent HMC chains.
 
     logpost_y(y) -> (lnp, aux) on the unbounded space; y0: (n_chains, ndim).
+    Either `key` (split internally) or pre-split per-chain `keys`
+    (n_chains, ...) may be given; pass pre-split keys when the chain axis is
+    sharded so the key array carries the sharding (the TPU replacement for
+    the reference's per-process MPI chains, victor/README.md:30).
     Returns (states, (q, lnp, aux)) with sample arrays shaped
     (n_chains, n_samples, ...).
     """
@@ -219,5 +272,6 @@ def run_hmc(logpost_y: Callable, y0: jnp.ndarray, key: jax.Array,
         return warmup_and_sample(value_grad, q0, k, n_warmup, n_samples,
                                  n_leapfrog, eps0, target_accept)
 
-    keys = jax.random.split(key, y0.shape[0])
+    if keys is None:
+        keys = jax.random.split(key, y0.shape[0])
     return jax.vmap(one_chain)(y0, keys)

@@ -11,8 +11,15 @@ Supported per-parameter forms:
   name: 1.9                  -> fixed value
   name: {prior: {dist: uniform, min, max}, ref: {...}, proposal, latex}
   name: {prior: {dist: norm, loc, scale}, ...}
+  name: {prior: {dist: loguniform, min, max}, ...}    (scipy a/b also accepted)
+  name: {prior: {dist: halfnorm, loc, scale}, ...}
   name: {value: "lambda a, b: ..."}   -> derived from other params
   name: {derived: True}      -> derived output (filled by the likelihood)
+
+A scalar ref (`ref: 0.47`) or a zero-width ref would start every ensemble
+walker at the identical point, making the stretch move permanently degenerate
+(proposal == current point for all walkers); the start scatter falls back to
+the `proposal` width, else 1% of the prior scale.
 """
 
 from __future__ import annotations
@@ -31,9 +38,9 @@ from ..errors import InputError
 @dataclasses.dataclass(frozen=True)
 class SampledParam:
     name: str
-    dist: str                 # 'uniform' | 'norm'
-    lo: float                 # min (uniform) / loc (norm)
-    hi: float                 # max (uniform) / scale (norm)
+    dist: str                 # 'uniform' | 'norm' | 'loguniform' | 'halfnorm'
+    lo: float                 # min (uniform/loguniform) / loc (norm/halfnorm)
+    hi: float                 # max (uniform/loguniform) / scale (norm/halfnorm)
     ref_dist: str = 'prior'
     ref_loc: float = 0.0
     ref_scale: float = 1.0
@@ -94,20 +101,35 @@ class ParamSpace:
             if prior is None:
                 raise InputError(f"Parameter '{name}' needs a prior, value, or derived flag")
             dist = prior.get('dist', 'uniform')
-            if dist == 'uniform':
-                lo, hi = float(prior['min']), float(prior['max'])
-            elif dist == 'norm':
-                lo, hi = float(prior['loc']), float(prior['scale'])
+            if dist in ('uniform', 'loguniform'):
+                # scipy.stats.loguniform uses a/b; cobaya configs write min/max
+                lo = float(prior['min'] if 'min' in prior else prior['a'])
+                hi = float(prior['max'] if 'max' in prior else prior['b'])
+                if dist == 'loguniform' and lo <= 0:
+                    raise InputError(f"loguniform prior for '{name}' needs min > 0")
+            elif dist in ('norm', 'halfnorm'):
+                lo = float(prior.get('loc', 0.0))
+                hi = float(prior.get('scale', 1.0))
             else:
                 raise InputError(f"Unsupported prior dist '{dist}' for '{name}'")
             ref = spec.get('ref') or {}
             if isinstance(ref, (int, float)):
                 ref = {'dist': 'norm', 'loc': float(ref), 'scale': 0.0}
+            ref_scale = float(ref.get('scale', 1.0))
+            if ref.get('dist') == 'norm' and ref_scale == 0.0:
+                # zero start scatter would collapse the walker ensemble (see
+                # module docstring); proposal width, else 1% of prior scale
+                if spec.get('proposal'):
+                    ref_scale = float(spec['proposal'])
+                elif dist in ('uniform', 'loguniform'):
+                    ref_scale = 0.01 * (hi - lo)
+                else:
+                    ref_scale = 0.01 * hi
             self.sampled.append(SampledParam(
                 name=name, dist=dist, lo=lo, hi=hi,
                 ref_dist=ref.get('dist', 'prior'),
                 ref_loc=float(ref.get('loc', 0.0)),
-                ref_scale=float(ref.get('scale', 1.0)),
+                ref_scale=ref_scale,
                 proposal=spec.get('proposal'),
                 latex=spec.get('latex'),
             ))
@@ -122,8 +144,10 @@ class ParamSpace:
         return len(self.sampled)
 
     def bounds(self) -> Tuple[np.ndarray, np.ndarray]:
-        lo = np.array([p.lo if p.dist == 'uniform' else -np.inf for p in self.sampled])
-        hi = np.array([p.hi if p.dist == 'uniform' else np.inf for p in self.sampled])
+        lo = np.array([p.lo if p.dist in ('uniform', 'loguniform', 'halfnorm')
+                       else -np.inf for p in self.sampled])
+        hi = np.array([p.hi if p.dist in ('uniform', 'loguniform')
+                       else np.inf for p in self.sampled])
         return lo, hi
 
     # ------------------------------------------------------------------
@@ -135,6 +159,16 @@ class ParamSpace:
             if p.dist == 'uniform':
                 inside = (x >= p.lo) & (x <= p.hi)
                 lp = jnp.where(inside, lp - math.log(p.hi - p.lo), -jnp.inf)
+            elif p.dist == 'loguniform':
+                inside = (x >= p.lo) & (x <= p.hi)
+                lp = jnp.where(inside,
+                               lp - jnp.log(x) - math.log(math.log(p.hi / p.lo)),
+                               -jnp.inf)
+            elif p.dist == 'halfnorm':
+                inside = x >= p.lo
+                dens = -0.5 * ((x - p.lo) / p.hi) ** 2 - math.log(p.hi) \
+                    + 0.5 * math.log(2.0 / math.pi)
+                lp = jnp.where(inside, lp + dens, -jnp.inf)
             else:  # norm
                 lp = lp - 0.5 * ((x - p.lo) / p.hi) ** 2 \
                      - math.log(p.hi) - 0.5 * math.log(2 * math.pi)
@@ -150,25 +184,40 @@ class ParamSpace:
                 col = p.ref_loc + p.ref_scale * jax.random.normal(keys[i], (n,))
             elif p.dist == 'uniform':
                 col = jax.random.uniform(keys[i], (n,), minval=p.lo, maxval=p.hi)
+            elif p.dist == 'loguniform':
+                col = jnp.exp(jax.random.uniform(
+                    keys[i], (n,), minval=math.log(p.lo), maxval=math.log(p.hi)))
+            elif p.dist == 'halfnorm':
+                col = p.lo + p.hi * jnp.abs(jax.random.normal(keys[i], (n,)))
             else:
                 col = p.lo + p.hi * jax.random.normal(keys[i], (n,))
-            if p.dist == 'uniform':
+            if p.dist in ('uniform', 'loguniform'):
                 width = p.hi - p.lo
                 col = jnp.clip(col, p.lo + 1e-6 * width, p.hi - 1e-6 * width)
+            elif p.dist == 'halfnorm':
+                col = jnp.maximum(col, p.lo + 1e-6 * p.hi)
             cols.append(col)
         return jnp.stack(cols, axis=-1)
 
     # ------------------------------------------------------------------
-    # unbounded reparameterisation (for gradient-based samplers): uniform
-    # priors map through a scaled logit, norm priors through identity
+    # unbounded reparameterisation (for gradient-based samplers): interval
+    # priors (uniform: linear scale; loguniform: log scale) map through a
+    # scaled logit, half-line priors (halfnorm) through log, norm priors
+    # through identity — trajectories never hit the support boundary
     # ------------------------------------------------------------------
     def to_unbounded(self, theta: jnp.ndarray) -> jnp.ndarray:
         cols = []
         for i, p in enumerate(self.sampled):
             x = theta[..., i]
-            if p.dist == 'uniform':
-                u = jnp.clip((x - p.lo) / (p.hi - p.lo), 1e-12, 1 - 1e-12)
+            if p.dist in ('uniform', 'loguniform'):
+                if p.dist == 'loguniform':
+                    u = (jnp.log(x) - math.log(p.lo)) / math.log(p.hi / p.lo)
+                else:
+                    u = (x - p.lo) / (p.hi - p.lo)
+                u = jnp.clip(u, 1e-12, 1 - 1e-12)
                 cols.append(jnp.log(u) - jnp.log1p(-u))
+            elif p.dist == 'halfnorm':
+                cols.append(jnp.log(jnp.maximum(x - p.lo, 1e-300)))
             else:
                 cols.append(x)
         return jnp.stack(cols, axis=-1)
@@ -179,6 +228,11 @@ class ParamSpace:
             v = y[..., i]
             if p.dist == 'uniform':
                 cols.append(p.lo + (p.hi - p.lo) * jax.nn.sigmoid(v))
+            elif p.dist == 'loguniform':
+                cols.append(jnp.exp(math.log(p.lo)
+                                    + math.log(p.hi / p.lo) * jax.nn.sigmoid(v)))
+            elif p.dist == 'halfnorm':
+                cols.append(p.lo + jnp.exp(v))
             else:
                 cols.append(v)
         return jnp.stack(cols, axis=-1)
@@ -187,10 +241,19 @@ class ParamSpace:
         """log |d theta / d y| summed over parameters."""
         lj = jnp.zeros(y.shape[:-1])
         for i, p in enumerate(self.sampled):
+            v = y[..., i]
             if p.dist == 'uniform':
-                v = y[..., i]
                 lj = lj + math.log(p.hi - p.lo) + jax.nn.log_sigmoid(v) \
                     + jax.nn.log_sigmoid(-v)
+            elif p.dist == 'loguniform':
+                # theta = exp(log lo + W sig(v)), W = log(hi/lo):
+                # dtheta/dv = theta * W * sig(v) sig(-v)
+                s = jax.nn.sigmoid(v)
+                lj = lj + math.log(p.lo) + math.log(p.hi / p.lo) * s \
+                    + math.log(math.log(p.hi / p.lo)) \
+                    + jax.nn.log_sigmoid(v) + jax.nn.log_sigmoid(-v)
+            elif p.dist == 'halfnorm':
+                lj = lj + v
         return lj
 
     # ------------------------------------------------------------------

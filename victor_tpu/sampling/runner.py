@@ -111,25 +111,54 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
                  output: Optional[str] = None,
                  checkpoint: Optional[str] = None, resume: bool = False,
-                 burn_in_fraction: float = 0.0) -> MCMCResult:
+                 burn_in_fraction: float = 0.0,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 mesh_axis=None, segment_steps: int = 100) -> MCMCResult:
     """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
 
     ~10x lower autocorrelation per draw than the stretch move; warmup +
     sampling run as ONE jitted computation with no host round trips.
     Positions are sampled in the unbounded reparameterisation and returned
     in the physical space.
+
+    `mesh`: optional device mesh; chains are independent, so their axis is
+    sharded over `mesh_axis` (default: all mesh axes) and each chip advances
+    its local chains with zero collectives — the TPU-native replacement for
+    the reference's `mpirun -n N cobaya-run` per-process chains
+    (victor/README.md:30). Accepts a single-dataset CCFModelBundle or a
+    multi-quantile JointBundle.
+
+    The run executes in bounded dispatches of `segment_steps` steps
+    (bit-identical to one monolithic dispatch): a single XLA program holding
+    the full warmup+sampling scan can run for minutes at high chain counts,
+    long enough to trip remote-TPU watchdogs, and offers no mid-run
+    checkpoints. Each segment boundary writes the checkpoint (exact resume).
     """
     from . import hmc as _hmc
+    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
 
     space = ParamSpace(params_block)
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
-    fit = bundle.fit_opts.replace(**(fit_kw or {}))
-    spec = bundle.spec
+    if isinstance(bundle, JointBundle):
+        tables_arg = bundle
+        cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
+                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
+
+        def loglike(tbl, params):
+            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
+    else:
+        opts = bundle.theory_opts.replace(**(opts_kw or {}))
+        fit = bundle.fit_opts.replace(**(fit_kw or {}))
+        spec = bundle.spec
+        tables_arg = bundle.tables
+        cache_id = (opts, fit, spec)
+
+        def loglike(tbl, params):
+            return log_likelihood(tbl, spec, opts, fit, params)
 
     def logpost_y(tbl, y):
         theta = space.to_bounded(y)
         params = space.full_params(theta)
-        lnl, chisq = log_likelihood(tbl, spec, opts, fit, params)
+        lnl, chisq = loglike(tbl, params)
         lp = space.log_prior(theta) + space.log_jacobian(y)
         total = lnl + lp
         total = jnp.where(jnp.isfinite(total), total, -jnp.inf)
@@ -139,52 +168,100 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     key, k0 = jax.random.split(key)
     prev = None
     resume_state = None
+    resume_i0 = None
     if resume and checkpoint:
         try:
-            # resume = continue from the checkpointed positions; warmup
-            # re-runs (re-adapting eps/metric) and only the new sampling
-            # phase is appended to the recorded chain
-            resume_state, pc, pl, pa = chain_io.load_hmc_checkpoint(checkpoint)
+            resume_state, pc, pl, pa, resume_i0 = \
+                chain_io.load_hmc_checkpoint(checkpoint)
             prev = (pc, pl, pa) if pc is not None else None
-            log.info('resumed HMC from %s', checkpoint)
+            log.info('resumed HMC from %s at step %s', checkpoint, resume_i0)
         except FileNotFoundError:
             pass
     theta0 = space.sample_ref(k0, n_chains)
     y0 = space.to_unbounded(theta0) if resume_state is None else resume_state.q
+    chain_keys = jax.random.split(key, n_chains)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if mesh_axis is None:
+            mesh_axis = tuple(mesh.axis_names)
+        shard = NamedSharding(mesh, P(mesh_axis))
+        rep = NamedSharding(mesh, P())
+        y0 = jax.device_put(y0, shard)
+        chain_keys = jax.device_put(chain_keys, shard)
+        tables_arg = jax.device_put(tables_arg, rep)
+        if resume_state is not None:
+            resume_state = jax.device_put(resume_state, shard)
 
     t0 = time.time()
-    # cache the jitted runner across calls (a fresh lambda per call would
-    # defeat jax's jit cache and recompile the ~minutes-long HMC graph)
-    cache_key = (_freeze(params_block), opts, fit, spec, _freeze(opts_kw),
-                 _freeze(fit_kw), n_warmup, n_samples, n_leapfrog, n_chains)
-    run = _HMC_RUNNERS.get(cache_key)
-    if run is None:
-        run = jax.jit(lambda tbl, y, k: _hmc.run_hmc(
-            lambda yy: logpost_y(tbl, yy), y, k,
-            n_warmup=n_warmup, n_samples=n_samples, n_leapfrog=n_leapfrog))
-        _HMC_RUNNERS[cache_key] = run
-    states, (ys, lnps, auxs) = run(bundle.tables, y0, key)
-    jax.block_until_ready(lnps)
+    # cache the jitted segment/init functions across calls (a fresh lambda
+    # per call would defeat jax's jit cache and recompile the big HMC graph)
+    cache_key = (_freeze(params_block), cache_id, _freeze(opts_kw),
+                 _freeze(fit_kw), n_warmup, n_leapfrog, n_chains,
+                 None if mesh is None else (mesh.shape_tuple, mesh_axis))
+    fns = _HMC_RUNNERS.setdefault(cache_key, {})
+    if 'init' not in fns:
+        fns['init'] = jax.jit(lambda tbl, y, ks: _hmc.init_chains(
+            lambda yy: logpost_y(tbl, yy), y, ks))
 
-    chain = np.asarray(space.to_bounded(ys)).transpose(1, 0, 2)  # (S, C, P)
-    lnp = np.asarray(lnps).T
-    aux = np.asarray(auxs).transpose(1, 0, 2)
-    if prev is not None:
-        chain = np.concatenate([prev[0], chain])
-        lnp = np.concatenate([prev[1], lnp])
-        aux = np.concatenate([prev[2], aux])
-    if checkpoint:
-        chain_io.save_hmc_checkpoint(checkpoint, jax.device_get(states),
-                                     chain, lnp, aux)
+    def _segment_fn(length):
+        if ('seg', length) not in fns:
+            fns[('seg', length)] = jax.jit(
+                lambda tbl, st, i: _hmc.run_segment(
+                    lambda yy: logpost_y(tbl, yy), st, i, length,
+                    n_warmup=n_warmup, n_leapfrog=n_leapfrog))
+        return fns[('seg', length)]
+
+    n_total = n_warmup + n_samples
+    if resume_state is not None and resume_i0 is not None:
+        states, i0 = resume_state, int(resume_i0)
+        if i0 >= n_total:
+            # resuming a completed run extends it by n_samples more draws
+            # (adaptation stays frozen: all new indices are >= n_warmup)
+            n_total = i0 + n_samples
+    else:
+        states = fns['init'](tables_arg, y0, chain_keys)
+        i0 = 0
+    recs = [prev] if prev is not None else []   # post-warmup (S,C,·) records
+    while i0 < n_total:
+        length = min(segment_steps, n_total - i0)
+        states, (qs, lnps, auxs) = _segment_fn(length)(
+            tables_arg, states, jnp.asarray(i0, jnp.int32))
+        # np.asarray forces the device->host transfer (completion barrier)
+        qs, lnps, auxs = np.asarray(qs), np.asarray(lnps), np.asarray(auxs)
+        i0 += length
+        keep = length - max(min(n_warmup - (i0 - length), length), 0)
+        if keep > 0:
+            recs.append((
+                np.asarray(space.to_bounded(qs[:, length - keep:])
+                           ).transpose(1, 0, 2),
+                lnps[:, length - keep:].T,
+                auxs[:, length - keep:].transpose(1, 0, 2)))
+        if checkpoint:
+            chain_io.save_hmc_checkpoint(
+                checkpoint, jax.device_get(states),
+                *((np.concatenate([r[j] for r in recs]) for j in range(3))
+                  if recs else (None, None, None)),
+                i0=i0)
+    if recs:
+        chain = np.concatenate([r[0] for r in recs])   # (S, C, P)
+        lnp = np.concatenate([r[1] for r in recs])
+        aux = np.concatenate([r[2] for r in recs])
+    else:
+        ndim_a = states.aux.shape[-1]
+        chain = np.empty((0, n_chains, space.ndim))
+        lnp = np.empty((0, n_chains))
+        aux = np.empty((0, n_chains, ndim_a))
     rhat = diagnostics.split_rhat(chain)
-    acc = float(np.mean(np.asarray(states.n_accepted)) / n_samples)
+    n_recorded = max(len(chain), 1)
+    acc = float(np.mean(np.asarray(states.n_accepted)) / n_recorded)
     log.info('HMC: %d chains x %d samples, acceptance=%.3f max(R-1)=%.4f',
-             n_chains, n_samples, acc, float(np.max(rhat - 1)))
+             n_chains, len(chain), acc, float(np.max(rhat - 1)))
 
     result = MCMCResult(
         space=space, chain=chain, log_prob=lnp, aux=aux,
         state=jax.device_get(states), rhat=rhat, acceptance=acc,
-        n_steps=n_samples, elapsed_s=time.time() - t0)
+        n_steps=len(chain), elapsed_s=time.time() - t0)
     if output:
         burn = int(len(chain) * burn_in_fraction)
         chain_io.export_getdist(output, space, chain, lnp, aux,
