@@ -34,6 +34,12 @@ class TheoryOptions:
     pdf_form: str = 'gaussian'
     velocity_independent_of_AP: bool = True
     niter: int = 5
+    # interior iterations of the dispersion fixed-point solve: 'chebyshev'
+    # compresses the velocity spline for the (niter-1) interior Picard steps
+    # (final step always exact; result within ~2e-6 relative of 'exact' —
+    # see models/ccf_theory.py); 'exact' reproduces the reference float-
+    # for-float and is used by the parity test suite
+    dispersion_interior: str = 'chebyshev'
 
     def replace(self, **kw):
         # accept the reference's per-call kwarg vocabulary

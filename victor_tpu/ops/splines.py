@@ -432,6 +432,53 @@ def gradient_nonuniform(y, x):
 
 
 # ---------------------------------------------------------------------------
+# Chebyshev compression of a 1D function (cheap re-evaluation)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _cheb_probe_inverse(degree: int) -> np.ndarray:
+    """Static inverse of the Chebyshev collocation matrix at the degree+1
+    Chebyshev points: coef = INV @ f(nodes). Also returns the node cosines."""
+    k = np.arange(degree + 1)
+    nodes = np.cos((2 * k + 1) * np.pi / (2 * (degree + 1)))
+    T = np.cos(np.outer(np.arccos(nodes), np.arange(degree + 1)))
+    return np.linalg.inv(T), nodes
+
+
+def chebyshev_fit(fn, a, b, degree: int = 32):
+    """Fit fn on [a, b] (a, b may be traced) by a degree-`degree` Chebyshev
+    interpolant: returns the (degree+1,) coefficient array.
+
+    Used to compress a spline into a dense polynomial that evaluates in
+    ~2*degree FMA per point instead of ~12 ops per knot interval — a ~5x op
+    reduction for the 30-knot velocity spline. The interpolant of a C^2
+    cubic spline converges fast enough that degree 32 reaches ~5e-4 relative
+    (measured on the BOSS velocity profile); use ONLY where a downstream
+    contraction bounds the error (see models/ccf_theory.py dispersion loop).
+    """
+    inv, nodes = _cheb_probe_inverse(degree)
+    mid = 0.5 * (a + b)
+    half = 0.5 * (b - a)
+    rn = mid + half * jnp.asarray(nodes)
+    f = fn(rn)
+    return jnp.einsum('ij,j->i', jnp.asarray(inv), f, precision='highest')
+
+
+def chebyshev_eval(coef: jax.Array, a, b, q: jax.Array) -> jax.Array:
+    """Clenshaw evaluation of a Chebyshev series on [a, b]; q clipped into
+    the domain (matching constant extrapolation to fit accuracy)."""
+    u = jnp.clip((2.0 * q - (a + b)) / (b - a), -1.0, 1.0)
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    for k in range(coef.shape[0] - 1, 0, -1):
+        b1, b2 = 2.0 * u * b1 - b2 + coef[k], b1
+    return u * b1 - b2 + coef[0]
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel variant of the interval-mask evaluation
 # ---------------------------------------------------------------------------
 
