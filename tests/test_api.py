@@ -224,8 +224,78 @@ class TestCobayaAdapter:
         with pytest.raises(ImportError):
             lk.initialize()
 
+    def test_defaults_yaml_matches_reference_vocabulary(self):
+        """The class-defaults YAML must carry the reference's full parameter
+        vocabulary (victor/likelihoods/CCFLikelihood.yaml:1-40)."""
+        import victor_tpu.likelihoods as pkg
+        import yaml
+        path = os.path.join(os.path.dirname(pkg.__file__), 'CCFLikelihood.yaml')
+        assert os.path.isfile(path)
+        with open(path) as f:
+            defaults = yaml.safe_load(f)
+        assert set(defaults) >= {'model', 'data', 'config_file', 'params'}
+        expected = {'fsigma8', 'beta', 'epsilon', 'b', 'alpha', 'aperp',
+                    'apar', 'astar', 'sigma_v', 'Av', 'f', 'sigma_8_0',
+                    'b10', 'b01', 'Rp', 'Rx', 'Omega_m', 'Omega_b', 'H0',
+                    'ns', 'mnu', 'Omega_k', 'delta_c', 'M', 'Q',
+                    'chi2_ccf_correct'}
+        assert set(defaults['params']) == expected
+        assert defaults['params']['chi2_ccf_correct'] == {
+            'derived': True, 'latex': r'\chi^2'}
+
+    def test_adapter_executes_under_cobaya_stub(self, boss_config):
+        """Execute initialize() + calculate() through a minimal stand-in for
+        cobaya's Likelihood base class (cobaya itself is not installed):
+        logp and derived chi2 must hit the notebook cell-22 goldens."""
+        import importlib
+        import sys
+        import types
+
+        cobaya = types.ModuleType('cobaya')
+        cobaya_like = types.ModuleType('cobaya.likelihood')
+
+        class Likelihood:      # the attribute-bag contract the adapter uses
+            pass
+
+        cobaya_like.Likelihood = Likelihood
+        cobaya.likelihood = cobaya_like
+        sys.modules['cobaya'] = cobaya
+        sys.modules['cobaya.likelihood'] = cobaya_like
+        try:
+            mod = importlib.reload(
+                importlib.import_module('victor_tpu.likelihoods.CCFLikelihood'))
+            lk = mod.CCFLikelihood()
+            lk.model = boss_config['model']
+            lk.data = boss_config['data']
+            lk.config_file = None
+            lk.initialize()
+            assert lk.get_can_provide_params() == ['chi2_ccf_correct', 'fsigma8']
+            state = {}
+            lk.calculate(state, want_derived=True,
+                         fsigma8=0.47, beta=0.37, sigma_v=380.0, epsilon=1.0)
+            assert abs(state['logp'] - 284.76) < 0.01
+            assert abs(state['derived']['chi2_ccf_correct'] - 65.01) < 0.01
+        finally:
+            del sys.modules['cobaya']
+            del sys.modules['cobaya.likelihood']
+            importlib.reload(
+                importlib.import_module('victor_tpu.likelihoods.CCFLikelihood'))
+
 
 class TestCobayaConfigIngestion:
+    def test_toy_example_config_model_only(self, capsys):
+        """configs/example_model_input.yaml (the reference's toy config,
+        config/example_model_input.yaml:1-23) evaluates out of the box:
+        model-only, so eval prints theory multipoles instead of a chi2."""
+        from victor_tpu.__main__ import main
+        main(['eval', 'configs/example_model_input.yaml',
+              '--param', 'fsigma8=0.47'])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 'theory_multipoles' in out and '0' in out['theory_multipoles']
+        mono = np.asarray(out['theory_multipoles']['0'])
+        assert mono.shape == (len(out['s']),)
+        assert np.all(np.isfinite(mono)) and mono.min() < -0.04
+
     def test_reference_cobaya_run_config(self, capsys):
         """The reference's own cobaya-run YAML works unchanged
         (model/data nested under likelihood.CCFLikelihood)."""

@@ -3,6 +3,7 @@
 import os
 import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -61,6 +62,24 @@ class TestBackgroundCosmology:
                                    ref_cosmo.growth_rate(ZS), rtol=1e-12)
         np.testing.assert_allclose(our_cosmo.fsigma8(ZS),
                                    ref_cosmo.fsigma8(ZS), rtol=1e-12)
+
+    def test_growth_traces_under_jit(self, our_cosmo, ref_cosmo):
+        """growth_factor/sigma8z/fsigma8 run the on-device 2F1
+        (ops/special.py) so they trace under jit and differentiate,
+        matching scipy.special.hyp2f1 host values (ref cosmology.py:234-293)."""
+        import jax
+        got = jax.jit(lambda z: (our_cosmo.growth_factor(z),
+                                 our_cosmo.sigma8z(z),
+                                 our_cosmo.fsigma8(z)))(jnp.asarray(ZS))
+        np.testing.assert_allclose(np.asarray(got[0]),
+                                   ref_cosmo.growth_factor(ZS), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(got[2]),
+                                   ref_cosmo.fsigma8(ZS), rtol=1e-10)
+        g = jax.grad(lambda z: our_cosmo.fsigma8(z))(0.52)
+        # finite-difference check of the gradient
+        h = 1e-5
+        fd = (our_cosmo.fsigma8(0.52 + h) - our_cosmo.fsigma8(0.52 - h)) / (2 * h)
+        np.testing.assert_allclose(float(g), fd, rtol=1e-5)
 
     def test_nonflat(self):
         ours = BackgroundCosmology({'Omega_m': 0.31, 'Omega_K': 0.05})

@@ -200,6 +200,32 @@ class TestChainIO:
         ranges = open(root + '.ranges').read().splitlines()
         assert ranges[0].split() == ['fsigma8', '0.05', '1.5']
 
+    def test_getdist_export_per_chain_files(self, tmp_path):
+        """cobaya/MPI layout: one <root>.<i>.txt per chain group, so GetDist
+        sees N chains and can compute cross-chain R-hat
+        (reference config/boss_cobaya_config.yaml:1)."""
+        sp = ParamSpace(COBAYA_BLOCK)
+        n_steps, n_walkers = 5, 8
+        chain = np.random.default_rng(0).normal(
+            [0.47, 0.4, 1.0], 0.02, (n_steps, n_walkers, 3))
+        lnp = -np.ones((n_steps, n_walkers))
+        aux = np.full((n_steps, n_walkers, 1), 65.0)
+        root = str(tmp_path / 'chains' / 'test')
+        export_getdist(root, sp, chain, lnp, aux,
+                       aux_names=['chi2_ccf_correct'], n_chain_files=4)
+        tables = [np.loadtxt(f'{root}.{i}.txt') for i in range(1, 5)]
+        assert not os.path.exists(f'{root}.5.txt')
+        assert all(t.shape == (n_steps * 2, 7) for t in tables)
+        # every (step, walker) row lands in exactly one file; walker w -> file w//2
+        np.testing.assert_allclose(
+            np.sort(np.concatenate([t[:, 2] for t in tables])),
+            np.sort(chain[..., 0].reshape(-1)), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.sort(tables[0][:, 2]),
+            np.sort(chain[:, :2, 0].reshape(-1)), rtol=1e-6)
+        assert os.path.exists(root + '.paramnames')
+        assert os.path.exists(root + '.ranges')
+
 
 class TestEndToEndMCMC:
     def test_short_boss_run(self, boss_config, tmp_path):

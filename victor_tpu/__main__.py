@@ -43,8 +43,8 @@ def _load(config_path):
             if like_cfg.get('model') and like_cfg.get('data'):
                 cfg.setdefault('model', like_cfg['model'])
                 cfg.setdefault('data', like_cfg['data'])
-    if 'model' not in cfg or 'data' not in cfg:
-        sys.exit('config must contain model: and data: blocks')
+    if 'model' not in cfg:
+        sys.exit('config must contain a model: block')
     return cfg
 
 
@@ -54,6 +54,8 @@ def cmd_run(args):
     from .sampling import run_hmc_mcmc, run_mcmc
 
     cfg = _load(args.config)
+    if 'data' not in cfg:
+        sys.exit('run requires a data: block (data vector + covariance)')
     bundle = build_tables(cfg['model'], cfg['data'])
     params_block = cfg.get('params')
     if not params_block:
@@ -101,6 +103,7 @@ def cmd_run(args):
 
 
 def cmd_eval(args):
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -108,7 +111,7 @@ def cmd_eval(args):
     from .likelihood.core import log_likelihood
 
     cfg = _load(args.config)
-    bundle = build_tables(cfg['model'], cfg['data'])
+    bundle = build_tables(cfg['model'], cfg.get('data'))
     params = {}
     for spec_ in (cfg.get('params') or {}).items():
         name, spec = spec_
@@ -125,13 +128,34 @@ def cmd_eval(args):
         except ValueError:
             sys.exit(f"bad --param '{kv}': value must be numeric")
     t0 = time.time()
-    # jit is essential off-CPU: eager dispatch would round-trip per op
-    fn = jax.jit(lambda p: log_likelihood(bundle.tables, bundle.spec,
-                                          bundle.theory_opts, bundle.fit_opts, p))
-    lnl, chisq = fn(params)
-    print(json.dumps({'log_likelihood': float(lnl), 'chi2': float(chisq),
-                      'wall_s': round(time.time() - t0, 3),
-                      'params': {k: float(v) for k, v in params.items()}}))
+    if cfg.get('data'):
+        # jit is essential off-CPU: eager dispatch would round-trip per op
+        fn = jax.jit(lambda p: log_likelihood(bundle.tables, bundle.spec,
+                                              bundle.theory_opts,
+                                              bundle.fit_opts, p))
+        lnl, chisq = fn(params)
+        print(json.dumps({'log_likelihood': float(lnl), 'chi2': float(chisq),
+                          'wall_s': round(time.time() - t0, 3),
+                          'params': {k: float(v) for k, v in params.items()}}))
+        return
+    # model-only config (e.g. configs/example_model_input.yaml, mirroring the
+    # reference's toy config/example_model_input.yaml): no data vector to fit,
+    # so evaluate the theory multipoles on the model's own r grid
+    from .models.ccf_theory import theory_multipoles_grid
+    params.setdefault('fsigma8', jnp.asarray(0.47))
+    params.setdefault('beta', jnp.asarray(0.37))
+    params.setdefault('sigma_v', jnp.asarray(380.0))
+    params.setdefault('epsilon', jnp.asarray(1.0))
+    s = bundle.tables.r_v
+    fn = jax.jit(lambda p: theory_multipoles_grid(
+        bundle.tables, bundle.spec, bundle.theory_opts, p, s=s))
+    mult = fn(params)
+    print(json.dumps({
+        'theory_multipoles': {str(ell): np.asarray(mult[i]).round(6).tolist()
+                              for i, ell in enumerate(bundle.spec.poles_s)},
+        's': np.asarray(s).round(3).tolist(),
+        'wall_s': round(time.time() - t0, 3),
+        'params': {k: float(v) for k, v in params.items()}}))
 
 
 def cmd_bench(args):
@@ -144,6 +168,8 @@ def cmd_bench(args):
     from .sampling.priors import ParamSpace
 
     cfg = _load(args.config)
+    if 'data' not in cfg:
+        sys.exit('bench requires a data: block (data vector + covariance)')
     bundle = build_tables(cfg['model'], cfg['data'])
     space = ParamSpace(cfg.get('params') or {})
     if not space.ndim:

@@ -33,17 +33,26 @@ class BackgroundCosmology:
         # fixed 128-node Gauss-Legendre rule reused for all distance integrals
         self._gl_x, self._gl_w = np.polynomial.legendre.leggauss(128)
 
+    @staticmethod
+    def _as_numeric(z):
+        """np.asarray for concrete inputs; traced jax values pass through
+        (so Ez/Om/growth quantities work both host-side and under jit)."""
+        import jax
+        if isinstance(z, jax.core.Tracer):
+            return z
+        return np.asarray(z, dtype=float)
+
     # --- expansion ---
     def Ez(self, z):
-        z = np.asarray(z, dtype=float)
-        return np.sqrt(self.OmegaM * (1 + z) ** 3 + self.OmegaK * (1 + z) ** 2
-                       + self.OmegaL)
+        z = self._as_numeric(z)
+        return (self.OmegaM * (1 + z) ** 3 + self.OmegaK * (1 + z) ** 2
+                + self.OmegaL) ** 0.5
 
     def H(self, z):
         return self.H0 * self.Ez(z)
 
     def Om(self, z):
-        z = np.asarray(z, dtype=float)
+        z = self._as_numeric(z)
         return self.OmegaM * (1 + z) ** 3 / self.Ez(z) ** 2
 
     # --- distances ---
@@ -116,13 +125,20 @@ class BackgroundCosmology:
 
     # --- growth approximations (victor/cosmology.py:234-293) ---
     def growth_factor(self, z):
-        """Closed-form LCDM growth factor D(z), normalised to D(0)=1."""
-        from scipy.special import hyp2f1
+        """Closed-form LCDM growth factor D(z), normalised to D(0)=1.
+
+        Evaluated with the on-device 2F1 (ops/special.py, parity with
+        scipy.special.hyp2f1 at ~1e-13), so D(z) — and sigma8z/fsigma8 built
+        on it — trace under jit and differentiate under jax.grad; traced
+        inputs pass through, concrete inputs come back as plain floats/
+        ndarrays like every other method here."""
+        import jax
+        from ..ops.special import growth_factor_lcdm
+        if isinstance(z, jax.core.Tracer):
+            return growth_factor_lcdm(z, self.OmegaM, self.OmegaL)
         z = np.asarray(z, dtype=float)
-        az = 1.0 / (1 + z)
-        growth = az ** 2.5 * np.sqrt(self.OmegaL + self.OmegaM * az ** -3.0) * \
-            hyp2f1(5 / 6, 3 / 2, 11 / 6, -(self.OmegaL * az ** 3.0) / self.OmegaM) / \
-            hyp2f1(5 / 6, 3 / 2, 11 / 6, -self.OmegaL / self.OmegaM)
+        growth = np.asarray(growth_factor_lcdm(z, self.OmegaM, self.OmegaL),
+                            dtype=float)
         return growth if growth.ndim else float(growth)
 
     def growth_rate(self, z, gamma=0.545):

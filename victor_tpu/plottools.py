@@ -1,7 +1,10 @@
 """2D CCF plotting helpers (reference surface: victor/plottools.py:11,63).
 
-Host-side matplotlib; re-implemented against the modern matplotlib API (the
-reference's `plt.register_cmap` was removed upstream).
+Host-side matplotlib, written against the modern API. Unlike the reference
+(which draws each quadrant with its own pcolormesh/contour call), the full
+plane is assembled ONCE from the symmetry of the correlation function and
+drawn with a single mesh + a single contour set — no seams at the axes, and
+`clabel` labels every quadrant.
 """
 
 from __future__ import annotations
@@ -16,25 +19,26 @@ ryg_colors = np.array(['#007D34', '#93AA00', '#F4C800', '#FFB300', '#FF8E00',
 
 def shifted_color_map(cmap, start=0.0, midpoint=0.5, stop=1.0,
                       name='shiftedcmap'):
-    """Colormap with its centre moved to `midpoint` — for data with asymmetric
-    negative/positive range where zero should sit at the colour midpoint
-    (victor/plottools.py:11-61). Typically midpoint = 1 - vmax/(vmax+|vmin|).
+    """Colormap with its centre moved to `midpoint` — for data with an
+    asymmetric negative/positive range where zero should sit at the colour
+    midpoint (reference surface: victor/plottools.py:11-61). Typically
+    midpoint = 1 - vmax/(vmax + |vmin|).
+
+    Implementation: resample the source map through a piecewise-linear warp
+    that sends output position `midpoint` to the source centre 0.5.
     """
     import matplotlib as mpl
 
-    reg_index = np.linspace(start, stop, 257)
-    shift_index = np.hstack([
-        np.linspace(0.0, midpoint, 128, endpoint=False),
-        np.linspace(midpoint, 1.0, 129, endpoint=True),
-    ])
-    cdict = {'red': [], 'green': [], 'blue': [], 'alpha': []}
-    for ri, si in zip(reg_index, shift_index):
-        r, g, b, a = cmap(ri)
-        cdict['red'].append((si, r, r))
-        cdict['green'].append((si, g, g))
-        cdict['blue'].append((si, b, b))
-        cdict['alpha'].append((si, a, a))
-    new_cmap = mpl.colors.LinearSegmentedColormap(name, cdict)
+    s = np.linspace(0.0, 1.0, 257)
+    lower = s < midpoint
+    warped = np.where(
+        lower,
+        start + np.divide(s, midpoint, out=np.zeros_like(s),
+                          where=midpoint > 0) * (0.5 - start),
+        0.5 + np.divide(s - midpoint, 1.0 - midpoint,
+                        out=np.ones_like(s), where=midpoint < 1) * (stop - 0.5))
+    new_cmap = mpl.colors.LinearSegmentedColormap.from_list(
+        name, list(zip(s, cmap(warped))))
     try:
         mpl.colormaps.register(new_cmap, name=name, force=True)
     except Exception:
@@ -42,57 +46,62 @@ def shifted_color_map(cmap, start=0.0, midpoint=0.5, stop=1.0,
     return new_cmap
 
 
+def _mirror_plane(grid, rs, rp, even):
+    """Full-plane (x, y, G) from the one-quadrant grid via the CCF symmetries:
+    always even in r_perp; even in r_par too unless `even=False`."""
+    x = np.concatenate([-rs[::-1], rs])
+    G = np.concatenate([grid[:, ::-1], grid], axis=1)
+    if even:
+        y = np.concatenate([-rp[::-1], rp])
+        G = np.concatenate([G[::-1], G], axis=0)
+    else:
+        y = rp
+    return x, y, G
+
+
 def plot_2D_ccf(xi_sp, rs, rp=None, even=True, cmap=None, vmin=-1, vmax=0.2,
                 contours=None, contour_colors='white', clabel=False,
                 linewidths=1.2, shift=True, colorbar=True, axis_label='r',
-                xlabel=None, ylabel=None, cbar_label=None):
-    """Four-quadrant pcolormesh of a 2D ccf callable xi_sp(r_perp, r_par)
-    (victor/plottools.py:63-109). `even=True` mirrors into the lower
-    half-plane (valid for even-in-mu correlation functions)."""
+                xlabel=None, ylabel=None, cbar_label=None, ax=None):
+    """Filled 2D map of a ccf callable `xi_sp(r_perp, r_par)` over the full
+    plane (reference surface: victor/plottools.py:63-109).
+
+    `even=True` mirrors into the lower half-plane (valid for correlation
+    functions even in mu). Returns the matplotlib Axes.
+    """
     import matplotlib as mpl
     import matplotlib.pyplot as plt
 
     if cmap is None:
         cmap = mpl.cm.RdYlBu_r
     if shift:
-        mid = 1 - vmax / (vmax + abs(vmin))
-        cmap = shifted_color_map(cmap, midpoint=mid)
-    plt.figure(figsize=(7.5, 6) if colorbar else (6.2, 6))
+        cmap = shifted_color_map(cmap, midpoint=1 - vmax / (vmax + abs(vmin)))
     if rp is None:
-        rp = rs
-        even = True
-    grid = xi_sp(rs, rp)
-    im = plt.pcolormesh(rs, rp, grid, vmin=vmin, vmax=vmax, cmap=cmap,
-                        shading='gouraud')
-    plt.pcolormesh(-rs, rp, grid, vmin=vmin, vmax=vmax, cmap=cmap,
-                   shading='gouraud')
-    if even:
-        plt.pcolormesh(rs, -rp, grid, vmin=vmin, vmax=vmax, cmap=cmap,
+        rp, even = rs, True
+    rs, rp = np.asarray(rs), np.asarray(rp)
+    x, y, G = _mirror_plane(np.asarray(xi_sp(rs, rp)), rs, rp, even)
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7.5, 6) if colorbar else (6.2, 6))
+    im = ax.pcolormesh(x, y, G, vmin=vmin, vmax=vmax, cmap=cmap,
                        shading='gouraud')
-        plt.pcolormesh(-rs, -rp, grid, vmin=vmin, vmax=vmax, cmap=cmap,
-                       shading='gouraud')
-    plt.tick_params(labelsize=16)
     if colorbar:
-        cb = plt.colorbar(im)
+        cb = ax.figure.colorbar(im, ax=ax)
         if cbar_label:
             cb.set_label(cbar_label, fontsize=18)
     if contours:
-        cs = plt.contour(rs, rp, grid, contours, colors=contour_colors,
-                         linestyles='solid', linewidths=linewidths)
-        plt.contour(-rs, rp, grid, contours, colors=contour_colors,
-                    linestyles='solid', linewidths=linewidths)
-        if even:
-            plt.contour(rs, -rp, grid, contours, colors=contour_colors,
-                        linestyles='solid', linewidths=linewidths)
-            plt.contour(-rs, -rp, grid, contours, colors=contour_colors,
+        cs = ax.contour(x, y, G, contours, colors=contour_colors,
                         linestyles='solid', linewidths=linewidths)
         if clabel:
-            plt.clabel(cs, inline=True, fontsize=10, fmt='%1.2f')
+            ax.clabel(cs, inline=True, fontsize=10, fmt='%1.2f')
+
     if axis_label is not None:
         xlabel = r'$%s_\perp\;[h^{-1}\mathrm{Mpc}]$' % axis_label
         ylabel = r'$%s_{||}\;[h^{-1}\mathrm{Mpc}]$' % axis_label
-    plt.xlabel(xlabel, fontsize=18)
-    plt.ylabel(ylabel, fontsize=18)
-    plt.yticks(ticks=plt.xticks()[0])
-    plt.xlim(-np.max(rs), np.max(rs))
-    plt.ylim(-np.max(rp), np.max(rp))
+    ax.set_xlabel(xlabel, fontsize=18)
+    ax.set_ylabel(ylabel, fontsize=18)
+    ax.tick_params(labelsize=16)
+    ax.set_xlim(x[0], x[-1])
+    ax.set_ylim(-y[-1] if not even else y[0], y[-1])
+    ax.set_yticks(ax.get_xticks()[np.abs(ax.get_xticks()) <= y[-1]])
+    return ax

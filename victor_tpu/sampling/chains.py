@@ -63,39 +63,64 @@ def load_checkpoint(path: str):
 def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
                    log_prob: np.ndarray, aux: Optional[np.ndarray] = None,
                    aux_names: Optional[List[str]] = None,
-                   burn_in: int = 0, chain_index: int = 1) -> str:
+                   burn_in: int = 0, chain_index: int = 1,
+                   n_chain_files: Optional[int] = None) -> str:
     """Write GetDist-compatible text chains.
 
     chain: (n_steps, n_walkers, ndim); log_prob: (n_steps, n_walkers);
     aux: optional (n_steps, n_walkers, n_aux) derived columns (e.g. chi2).
+
+    `n_chain_files`: split the walker axis into that many contiguous groups
+    and write one `<root>.<i>.txt` per group — cobaya/MPI's file layout
+    (`chains/test.<N>.txt` per chain, reference config/boss_cobaya_config.
+    yaml:1), so GetDist's loadMCSamples sees N chains and can compute
+    cross-chain R-hat, and existing victor post-processing works unchanged.
+    Default (None): one combined file numbered `chain_index`.
     """
     chain = np.asarray(chain)[burn_in:]
     log_prob = np.asarray(log_prob)[burn_in:]
     n_steps, n_walkers, ndim = chain.shape
-    flat = chain.reshape(-1, ndim)
-    lnp = log_prob.reshape(-1)
 
-    # derived columns: cobaya-style value-lambdas first, then aux outputs
-    derived_cols, derived_names, derived_latex = [], [], []
-    for d in space.derived:
-        params = space.full_params(flat)
-        derived_cols.append(np.asarray(params[d.name]))
-        derived_names.append(d.name)
-        derived_latex.append(d.latex or d.name)
-    if aux is not None:
-        aux = np.asarray(aux)[burn_in:].reshape(flat.shape[0], -1)
-        for j, name in enumerate(aux_names or
-                                 [f'aux_{j}' for j in range(aux.shape[1])]):
-            derived_cols.append(aux[:, j])
-            derived_names.append(name)
-            derived_latex.append(name.replace('_', r'\_'))
+    def _columns(flat, lnp, aux_flat):
+        # derived columns: cobaya-style value-lambdas first, then aux outputs
+        derived_cols, derived_names, derived_latex = [], [], []
+        for d in space.derived:
+            params = space.full_params(flat)
+            derived_cols.append(np.asarray(params[d.name]))
+            derived_names.append(d.name)
+            derived_latex.append(d.latex or d.name)
+        if aux_flat is not None:
+            for j, name in enumerate(aux_names or
+                                     [f'aux_{j}' for j in range(aux_flat.shape[1])]):
+                derived_cols.append(aux_flat[:, j])
+                derived_names.append(name)
+                derived_latex.append(name.replace('_', r'\_'))
+        cols = [np.ones_like(lnp), -lnp] + \
+            [flat[:, i] for i in range(ndim)] + derived_cols
+        return np.column_stack(cols), derived_names, derived_latex
 
-    cols = [np.ones_like(lnp), -lnp] + [flat[:, i] for i in range(ndim)] + derived_cols
-    table = np.column_stack(cols)
-
+    aux3 = None if aux is None else \
+        np.asarray(aux)[burn_in:].reshape(n_steps, n_walkers, -1)
     os.makedirs(os.path.dirname(os.path.abspath(root)), exist_ok=True)
-    chain_file = f'{root}.{chain_index}.txt'
-    np.savetxt(chain_file, table, fmt='%.8e')
+
+    if n_chain_files and n_chain_files > 1:
+        k = min(n_chain_files, n_walkers)
+        groups = np.array_split(np.arange(n_walkers), k)
+        chain_file = f'{root}.1.txt'
+        for gi, idx in enumerate(groups, start=1):
+            flat = chain[:, idx].reshape(-1, ndim)
+            lnp = log_prob[:, idx].reshape(-1)
+            aux_flat = None if aux3 is None else \
+                aux3[:, idx].reshape(flat.shape[0], -1)
+            table, derived_names, derived_latex = _columns(flat, lnp, aux_flat)
+            np.savetxt(f'{root}.{gi}.txt', table, fmt='%.8e')
+    else:
+        flat = chain.reshape(-1, ndim)
+        lnp = log_prob.reshape(-1)
+        aux_flat = None if aux3 is None else aux3.reshape(flat.shape[0], -1)
+        table, derived_names, derived_latex = _columns(flat, lnp, aux_flat)
+        chain_file = f'{root}.{chain_index}.txt'
+        np.savetxt(chain_file, table, fmt='%.8e')
 
     with open(f'{root}.paramnames', 'w') as f:
         for p in space.sampled:

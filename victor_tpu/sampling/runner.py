@@ -264,8 +264,10 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
         n_steps=len(chain), elapsed_s=time.time() - t0)
     if output:
         burn = int(len(chain) * burn_in_fraction)
+        # one GetDist file per chain (cobaya/MPI's chains/test.<N>.txt layout)
         chain_io.export_getdist(output, space, chain, lnp, aux,
-                                aux_names=['chi2_ccf_correct'], burn_in=burn)
+                                aux_names=['chi2_ccf_correct'], burn_in=burn,
+                                n_chain_files=n_chains)
         log.info('chains written to %s.*', output)
     return result
 
@@ -279,7 +281,7 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
              opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
              output: Optional[str] = None,
              checkpoint: Optional[str] = None,
-             resume: bool = False) -> MCMCResult:
+             resume: bool = False, n_chain_files: int = 4) -> MCMCResult:
     """Sample the posterior; returns chains + diagnostics.
 
     `mesh`: optional device mesh; walker state is sharded along `mesh_axis`
@@ -367,7 +369,10 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
 
     if output:
         burn = int(len(chain) * burn_in_fraction)
+        # walker groups -> GetDist chain files (cobaya/MPI layout); GetDist
+        # computes cross-chain R-hat from >= 2 files
         chain_io.export_getdist(output, space, chain, lnp, aux,
-                                aux_names=['chi2_ccf_correct'], burn_in=burn)
+                                aux_names=['chi2_ccf_correct'], burn_in=burn,
+                                n_chain_files=n_chain_files)
         log.info('chains written to %s.*', output)
     return result
