@@ -134,3 +134,20 @@ class TestJointSampling:
                        rhat_stop=0.0, seed=3)
         assert res.chain.shape == (4, 8, 2)
         assert np.all(np.isfinite(res.log_prob))
+
+    def test_run_hmc_on_joint_bundle(self, joint_cfg):
+        """Gradient-based HMC routes JointBundle through the joint
+        likelihood (the whole stacked-quantile pipeline is differentiable)."""
+        from victor_tpu.sampling import run_hmc_mcmc
+        jb = build_joint_tables(joint_cfg)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_hmc_mcmc(jb, block, n_chains=2, n_warmup=4, n_samples=4,
+                           n_leapfrog=2, seed=0)
+        assert res.chain.shape == (4, 2, 1)
+        assert np.all(np.isfinite(res.log_prob))
+        lo, hi = res.space.bounds()
+        assert np.all(res.chain >= lo) and np.all(res.chain <= hi)

@@ -324,6 +324,33 @@ class TestHMC:
         # the adapted metric should absorb the correlation: high ESS
         assert np.all(effective_sample_size(chain) > 1000)
 
+    def test_hmc_samples_loguniform_halfnorm_priors(self):
+        """HMC in the unbounded reparameterisation recovers the prior itself
+        when the likelihood is flat — exercising the loguniform/halfnorm
+        logit/log transforms and their Jacobians end-to-end."""
+        from victor_tpu.sampling import hmc
+        sp = ParamSpace({
+            's': {'prior': {'dist': 'loguniform', 'min': 0.01, 'max': 10.0}},
+            't': {'prior': {'dist': 'halfnorm', 'loc': 1.0, 'scale': 2.0}},
+        })
+
+        def logpost_y(y):
+            theta = sp.to_bounded(y)
+            return sp.log_prior(theta) + sp.log_jacobian(y), jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(7)
+        y0 = sp.to_unbounded(sp.sample_ref(key, 8))
+        _, (ys, _, _) = jax.jit(lambda y, k: hmc.run_hmc(
+            logpost_y, y, k, n_warmup=200, n_samples=600, n_leapfrog=8))(y0, key)
+        draws = np.asarray(sp.to_bounded(ys)).reshape(-1, 2)
+        assert draws[:, 0].min() >= 0.01 and draws[:, 0].max() <= 10.0
+        assert draws[:, 1].min() >= 1.0
+        # loguniform: E[log s] = log-midpoint; halfnorm: E[t] = loc+scale*sqrt(2/pi)
+        np.testing.assert_allclose(np.log(draws[:, 0]).mean(),
+                                   0.5 * (np.log(0.01) + np.log(10.0)), atol=0.25)
+        np.testing.assert_allclose(draws[:, 1].mean(),
+                                   1.0 + 2.0 * np.sqrt(2 / np.pi), atol=0.15)
+
     def test_hmc_segments_bitexact_vs_monolithic(self):
         """Segmented dispatch (runner-style) must reproduce one monolithic
         warmup+sample scan bit-for-bit: stage transitions key on the global

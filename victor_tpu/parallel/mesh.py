@@ -48,23 +48,17 @@ def make_mesh(axis_names: Sequence[str] = ('chains', 'walkers'),
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if shape is None:
-        if len(axis_names) == 1:
-            shape = (n,)
-        else:
-            # factor n into len(axis_names) axes, largest factor last so the
-            # biggest batch axis (walkers) gets the most devices
-            rest = int(2 ** math.floor(math.log2(max(n, 1))))
-            lead = max(n // rest, 1)
-            if len(axis_names) == 2:
-                # e.g. 8 -> (2, 4)
-                a = 1
-                for cand in range(int(math.isqrt(n)), 0, -1):
-                    if n % cand == 0:
-                        a = cand
-                        break
-                shape = (a, n // a)
-            else:
-                shape = (lead,) + (1,) * (len(axis_names) - 2) + (rest,)
+        # put the largest factor on the LAST axis so the biggest batch axis
+        # (walkers) gets the most devices; middle axes stay singleton.
+        # e.g. 8 devices, 2 axes -> (2, 4); 3 axes -> (2, 1, 4)
+        a = 1
+        if len(axis_names) > 1:
+            for cand in range(int(math.isqrt(n)), 0, -1):
+                if n % cand == 0:
+                    a = cand
+                    break
+        shape = (a,) + (1,) * (len(axis_names) - 2) + (n // a,) \
+            if len(axis_names) > 1 else (n,)
     if int(np.prod(shape)) != n:
         raise ValueError(f'mesh shape {shape} does not cover {n} devices')
     dev_array = np.asarray(devices).reshape(shape)

@@ -30,7 +30,9 @@ class EnsembleState(NamedTuple):
 def init_state(logpost_fn: Callable, coords: jnp.ndarray,
                key: jax.Array) -> EnsembleState:
     lnp, aux = logpost_fn(coords)
-    return EnsembleState(coords=coords, log_prob=lnp, aux=jnp.atleast_2d(aux.T).T,
+    if aux.ndim == 1:            # (W,) -> (W, 1); multi-aux (W, K) unchanged
+        aux = aux[:, None]
+    return EnsembleState(coords=coords, log_prob=lnp, aux=aux,
                          key=key,
                          n_accepted=jnp.zeros(coords.shape[0]),
                          n_steps=jnp.zeros(()))
