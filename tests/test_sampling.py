@@ -251,6 +251,100 @@ class TestEndToEndMCMC:
         assert os.path.exists(tmp_path / 'ckpt.npz')
 
 
+class TestNUTS:
+    def test_checkpoint_scheme_covers_recursive_uturn_pairs(self):
+        """The iterative U-turn bookkeeping must reproduce exactly the
+        (leftmost, rightmost) leaf pairs of every internal node of the
+        recursive tree: store even leaf m at slot popcount(m); at odd leaf n
+        with t trailing one-bits, check slots popcount(n >> t) .. popcount(n)-1."""
+        def recursive_pairs(lo, size):
+            if size == 1:
+                return set()
+            half = size // 2
+            return ({(lo, lo + size - 1)}
+                    | recursive_pairs(lo, half)
+                    | recursive_pairs(lo + half, half))
+
+        for depth in range(1, 8):
+            slots = {}
+            checked = set()
+            for n in range(2 ** depth):
+                if n % 2 == 0:
+                    slots[bin(n).count('1')] = n
+                else:
+                    t = len(bin(n)) - len(bin(n).rstrip('1'))
+                    idx_min = bin(n >> t).count('1')
+                    idx_max = bin(n).count('1') - 1
+                    for j in range(idx_min, idx_max + 1):
+                        checked.add((slots[j], n))
+            assert checked == recursive_pairs(0, 2 ** depth), f'depth {depth}'
+
+    def test_nuts_recovers_correlated_gaussian(self):
+        from victor_tpu.sampling import nuts
+        cov = np.array([[1.0, 0.95 * 3.0], [0.95 * 3.0, 9.0]])
+        ci = jnp.asarray(np.linalg.inv(cov))
+
+        def logpost(y):
+            return -0.5 * y @ ci @ y, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(4)
+        y0 = jax.random.normal(key, (8, 2)) * jnp.asarray([1.0, 3.0])
+        states, (ys, lnps, _) = jax.jit(lambda y, k: nuts.run_nuts(
+            logpost, y, k, n_warmup=300, n_samples=500, max_depth=8))(y0, key)
+        chain = np.asarray(ys).transpose(1, 0, 2)
+        assert np.all(np.isfinite(np.asarray(lnps)))
+        assert np.all(split_rhat(chain) < 1.02)
+        flat = chain.reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.15)
+        np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.2, atol=0.2)
+        assert np.all(effective_sample_size(chain) > 800)
+
+    def test_nuts_segments_bitexact_vs_monolithic(self):
+        from victor_tpu.sampling import nuts
+        mean = jnp.asarray([1.0, -2.0])
+        ci = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.6], [0.6, 2.0]])))
+
+        def logpost(y):
+            d = y - mean
+            return -0.5 * d @ ci @ d, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(5)
+        y0 = mean + jax.random.normal(key, (4, 2))
+        keys = jax.random.split(key, 4)
+        n_warmup, n_samples = 12, 9
+        _, (ys_mono, _, _) = jax.jit(lambda y, ks: nuts.run_nuts(
+            logpost, y, keys=ks, n_warmup=n_warmup, n_samples=n_samples,
+            max_depth=6))(y0, keys)
+
+        from victor_tpu.sampling import hmc
+        states = hmc.init_chains(logpost, y0, keys)
+        recs, i0 = [], 0
+        seg = jax.jit(lambda st, i: nuts.run_segment(
+            logpost, st, i, 7, n_warmup=n_warmup, max_depth=6))
+        while i0 < n_warmup + n_samples:
+            states, (qs, _, _) = seg(states, jnp.asarray(i0, jnp.int32))
+            recs.append(np.asarray(qs))
+            i0 += 7
+        ys_seg = np.concatenate(recs, axis=1)[:, n_warmup:n_warmup + n_samples]
+        np.testing.assert_array_equal(ys_seg, np.asarray(ys_mono))
+
+    def test_nuts_on_boss(self, boss_config):
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=6, n_samples=6,
+                           seed=0, algorithm='nuts', max_depth=4)
+        assert res.chain.shape == (6, 2, 1)
+        assert np.all(np.isfinite(res.log_prob))
+        lo, hi = res.space.bounds()
+        assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
+
+
 class TestHMC:
     def test_transforms_roundtrip(self):
         sp = ParamSpace(COBAYA_BLOCK)

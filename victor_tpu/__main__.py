@@ -68,7 +68,7 @@ def cmd_run(args):
         sampler.setdefault('max_steps', mc.get('max_samples', 2000))
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
     kind = args.sampler or sampler.get('kind', 'ensemble')
-    if kind == 'hmc':
+    if kind in ('hmc', 'nuts'):
         result = run_hmc_mcmc(
             bundle, params_block,
             n_chains=int(sampler.get('n_chains', args.chains)),
@@ -76,10 +76,12 @@ def cmd_run(args):
             n_samples=int(sampler.get('n_samples', args.samples)),
             n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
             seed=int(sampler.get('seed', args.seed)),
+            algorithm=kind,
+            max_depth=int(sampler.get('max_depth', args.max_depth)),
             output=sampler.get('output', cfg.get('output', args.output)),
             checkpoint=sampler.get('checkpoint', args.checkpoint),
             resume=args.resume)
-        print(json.dumps({'sampler': 'hmc', 'n_samples': result.n_steps,
+        print(json.dumps({'sampler': kind, 'n_samples': result.n_steps,
                           'acceptance': round(result.acceptance, 3),
                           'elapsed_s': round(result.elapsed_s, 2),
                           'summary': result.summary(burn_in=0)}, indent=2))
@@ -203,7 +205,10 @@ def main(argv=None):
     pr.add_argument('config')
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
-    pr.add_argument('--sampler', choices=['ensemble', 'hmc'], default=None)
+    pr.add_argument('--sampler', choices=['ensemble', 'hmc', 'nuts'],
+                    default=None)
+    pr.add_argument('--max-depth', type=int, default=8,
+                    help='NUTS maximum tree depth (sampler=nuts)')
     pr.add_argument('--chains', type=int, default=8,
                     help='HMC chain count (sampler=hmc)')
     pr.add_argument('--warmup', type=int, default=300)

@@ -2,6 +2,7 @@ from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
 from . import hmc
+from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
                      save_hmc_checkpoint, load_hmc_checkpoint)
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
@@ -10,7 +11,7 @@ from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
 __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
-    'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc',
+    'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',

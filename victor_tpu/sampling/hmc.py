@@ -100,13 +100,24 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
     grad = jnp.where(accept, grad1, state.grad)
     aux = jnp.where(accept, aux1, state.aux)
 
-    # dual averaging of log eps toward the target acceptance (Hoffman &
-    # Gelman 2014 §3.2), frozen outside warmup
+    return _adapt_and_pack(state, q, lnp, grad, aux, key, accept_prob,
+                           accept, adapt, target_accept, t0, gamma, kappa,
+                           mu_offset)
+
+
+def _adapt_and_pack(state: HMCState, q, lnp, grad, aux, key, accept_stat,
+                    accept, adapt, target_accept: float,
+                    t0: float = 10.0, gamma: float = 0.05,
+                    kappa: float = 0.75, mu_offset: float = 1.5) -> HMCState:
+    """Shared post-transition adaptation (used by both HMC and NUTS steps):
+    dual averaging of log eps toward the target acceptance statistic (Hoffman
+    & Gelman 2014 §3.2) + Welford accumulation of the full posterior
+    covariance (dense mass), both frozen outside warmup."""
     n = state.welford_n + 1.0
     h_bar = jnp.where(
         adapt,
         (1.0 - 1.0 / (n + t0)) * state.h_bar
-        + (target_accept - accept_prob) / (n + t0),
+        + (target_accept - accept_stat) / (n + t0),
         state.h_bar)
     # mu_offset anchors the shrinkage point at log(10 * eps0)
     log_eps = jnp.where(adapt, mu_offset - jnp.sqrt(n) / gamma * h_bar,
@@ -115,7 +126,6 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
     log_eps_avg = jnp.where(adapt, w * log_eps + (1.0 - w) * state.log_eps_avg,
                             state.log_eps_avg)
 
-    # Welford accumulation of the full posterior covariance (dense mass)
     delta = q - state.welford_mean
     welford_mean = jnp.where(adapt, state.welford_mean + delta / n,
                              state.welford_mean)
@@ -128,7 +138,7 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
                     log_eps=log_eps, log_eps_avg=log_eps_avg, h_bar=h_bar,
                     welford_mean=welford_mean, welford_m2=welford_m2,
                     welford_n=jnp.where(adapt, n, state.welford_n),
-                    chol_cov=L,
+                    chol_cov=state.chol_cov,
                     n_accepted=state.n_accepted + accept)
 
 

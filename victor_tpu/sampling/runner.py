@@ -113,7 +113,8 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  checkpoint: Optional[str] = None, resume: bool = False,
                  burn_in_fraction: float = 0.0,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 mesh_axis=None, segment_steps: int = 100) -> MCMCResult:
+                 mesh_axis=None, segment_steps: int = 100,
+                 algorithm: str = 'hmc', max_depth: int = 8) -> MCMCResult:
     """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
 
     ~10x lower autocorrelation per draw than the stretch move; warmup +
@@ -133,8 +134,14 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     the full warmup+sampling scan can run for minutes at high chain counts,
     long enough to trip remote-TPU watchdogs, and offers no mid-run
     checkpoints. Each segment boundary writes the checkpoint (exact resume).
+
+    `algorithm`: 'hmc' (fixed jittered trajectories, sampling/hmc.py) or
+    'nuts' (dynamic trajectory length up to 2^max_depth leapfrogs,
+    sampling/nuts.py); both share state/warmup, so checkpoints, segmenting
+    and mesh sharding behave identically. n_leapfrog is ignored for NUTS.
     """
     from . import hmc as _hmc
+    from . import nuts as _nuts
     from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
 
     space = ParamSpace(params_block)
@@ -198,6 +205,7 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     # per call would defeat jax's jit cache and recompile the big HMC graph)
     cache_key = (_freeze(params_block), cache_id, _freeze(opts_kw),
                  _freeze(fit_kw), n_warmup, n_leapfrog, n_chains,
+                 algorithm, max_depth,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _HMC_RUNNERS.setdefault(cache_key, {})
     if 'init' not in fns:
@@ -206,10 +214,16 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
 
     def _segment_fn(length):
         if ('seg', length) not in fns:
-            fns[('seg', length)] = jax.jit(
-                lambda tbl, st, i: _hmc.run_segment(
-                    lambda yy: logpost_y(tbl, yy), st, i, length,
-                    n_warmup=n_warmup, n_leapfrog=n_leapfrog))
+            if algorithm == 'nuts':
+                fns[('seg', length)] = jax.jit(
+                    lambda tbl, st, i: _nuts.run_segment(
+                        lambda yy: logpost_y(tbl, yy), st, i, length,
+                        n_warmup=n_warmup, max_depth=max_depth))
+            else:
+                fns[('seg', length)] = jax.jit(
+                    lambda tbl, st, i: _hmc.run_segment(
+                        lambda yy: logpost_y(tbl, yy), st, i, length,
+                        n_warmup=n_warmup, n_leapfrog=n_leapfrog))
         return fns[('seg', length)]
 
     n_total = n_warmup + n_samples
