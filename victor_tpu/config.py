@@ -92,6 +92,8 @@ def theory_options_from_config(model: dict) -> TheoryOptions:
         pdf_form=velocity.get('form', 'gaussian'),
         velocity_independent_of_AP=velocity.get(
             'rescale_templates_independent_of_AP', True),
+        niter=model.get('niter', 5),
+        dispersion_interior=model.get('dispersion_interior', 'chebyshev'),
     )
 
 
