@@ -328,6 +328,32 @@ class TestNUTS:
         ys_seg = np.concatenate(recs, axis=1)[:, n_warmup:n_warmup + n_samples]
         np.testing.assert_array_equal(ys_seg, np.asarray(ys_mono))
 
+    def test_nuts_sharded_on_mesh(self):
+        """NUTS chains sharded over the 8-device mesh: the batched
+        while_loops (tree doubling + subtree build) must partition cleanly
+        and reproduce the unsharded run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from victor_tpu.parallel import make_mesh
+        from victor_tpu.sampling import nuts
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]])
+        ci = jnp.asarray(np.linalg.inv(cov))
+
+        def logpost(y):
+            return -0.5 * y @ ci @ y, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(6)
+        y0 = jax.random.normal(key, (8, 2))
+        keys = jax.random.split(key, 8)
+        run = jax.jit(lambda y, ks: nuts.run_nuts(
+            logpost, y, keys=ks, n_warmup=20, n_samples=20, max_depth=6))
+        _, (ys_ref, _, _) = run(y0, keys)
+        mesh = make_mesh(('chains',))
+        shard = NamedSharding(mesh, P('chains'))
+        _, (ys_sh, _, _) = run(jax.device_put(y0, shard),
+                               jax.device_put(keys, shard))
+        np.testing.assert_allclose(np.asarray(ys_sh), np.asarray(ys_ref),
+                                   rtol=2e-5, atol=1e-6)
+
     def test_nuts_on_boss(self, boss_config):
         from victor_tpu.io import build_tables
         from victor_tpu.sampling import run_hmc_mcmc
