@@ -131,11 +131,13 @@ def cmd_eval(args):
             sys.exit(f"bad --param '{kv}': value must be numeric")
     t0 = time.time()
     if cfg.get('data'):
-        # jit is essential off-CPU: eager dispatch would round-trip per op
-        fn = jax.jit(lambda p: log_likelihood(bundle.tables, bundle.spec,
-                                              bundle.theory_opts,
-                                              bundle.fit_opts, p))
-        lnl, chisq = fn(params)
+        # jit is essential off-CPU (eager dispatch would round-trip per op);
+        # tables ride as a jit ARGUMENT — closure constants force a
+        # device->host readback of every array at lowering (CLAUDE.md rule 3)
+        fn = jax.jit(lambda tbl, p: log_likelihood(tbl, bundle.spec,
+                                                   bundle.theory_opts,
+                                                   bundle.fit_opts, p))
+        lnl, chisq = fn(bundle.tables, params)
         print(json.dumps({'log_likelihood': float(lnl), 'chi2': float(chisq),
                           'wall_s': round(time.time() - t0, 3),
                           'params': {k: float(v) for k, v in params.items()}}))
@@ -149,9 +151,9 @@ def cmd_eval(args):
     params.setdefault('sigma_v', jnp.asarray(380.0))
     params.setdefault('epsilon', jnp.asarray(1.0))
     s = bundle.tables.r_v
-    fn = jax.jit(lambda p: theory_multipoles_grid(
-        bundle.tables, bundle.spec, bundle.theory_opts, p, s=s))
-    mult = fn(params)
+    fn = jax.jit(lambda tbl, p: theory_multipoles_grid(
+        tbl, bundle.spec, bundle.theory_opts, p, s=tbl.r_v))
+    mult = fn(bundle.tables, params)
     print(json.dumps({
         'theory_multipoles': {str(ell): np.asarray(mult[i]).round(6).tolist()
                               for i, ell in enumerate(bundle.spec.poles_s)},

@@ -190,6 +190,11 @@ def joint_log_likelihood(jb: JointBundle, params: Dict,
     forms and guards as the single-dataset path (victor/ccf_fit.py:356-483
     semantics over the stacked vector)."""
     fit = jb.fit_opts.replace(**(fit_kw or {}))
+    if fit.beta_interpolation == 'likelihood':
+        # also guarded at build time (build_joint_tables); re-check here so a
+        # runtime fit_kw override cannot silently fall back to datavector
+        raise InputError("beta_interpolation: 'likelihood' is not supported "
+                         "for joint multi-quantile fits; use 'datavector'")
     chisq, cov = joint_chi_squared(jb, params, opts_kw)
     if not jb.fixed_covmat:
         lf, ok = _like_factor(cov)

@@ -233,13 +233,16 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
             # Fixed-point solve for the mean real-space coordinate
             # (victor/ccf_model.py:658-664). The Picard iteration contracts at
             # ~0.08/step on BOSS-like profiles, so the INTERIOR iterations only
-            # need the velocity spline to ~1e-4: they use a degree-32 Chebyshev
-            # compression (~5x fewer VPU ops than the 30-interval masksum, the
-            # measured per-iteration cost), while the FINAL iteration and all
-            # downstream quantities evaluate the exact spline. Measured effect:
-            # |r_par - exact-loop r_par| <= 1.7e-6 relative — below both f32
-            # noise and the reference's own 5-iteration convergence error
-            # (~1e-5 from the true fixed point).
+            # need the velocity spline to ~1e-3: they use a degree-24 Chebyshev
+            # compression (fit error 7e-4 relative on the BOSS velocity
+            # profile; ~3x fewer VPU ops than the 30-interval masksum), while
+            # the FINAL iteration and all downstream quantities evaluate the
+            # exact spline. The contraction bounds the end effect below both
+            # f32 noise and the reference's own 5-iteration convergence error
+            # (~1e-5 from the true fixed point): measured 1.7e-6 relative on
+            # r_par at degree 32, ~2.4e-6 at the shipped degree 24; the
+            # test_golden.py bound test asserts |xi| deviation < 2e-5 and
+            # |chi2| < 1e-3 against the exact path at the shipped degree.
             A = s_par - v_par * iaH_true
             if opts.niter == 0 or opts.dispersion_interior == 'exact':
                 r_par = A / (1.0 + iaH_true * vr_at(s_true) / s_true)

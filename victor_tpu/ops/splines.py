@@ -439,9 +439,10 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _cheb_probe_inverse(degree: int) -> np.ndarray:
-    """Static inverse of the Chebyshev collocation matrix at the degree+1
-    Chebyshev points: coef = INV @ f(nodes). Also returns the node cosines."""
+def _cheb_probe_inverse(degree: int) -> tuple:
+    """(INV, nodes): static inverse of the Chebyshev collocation matrix at
+    the degree+1 Chebyshev points (coef = INV @ f(nodes)) and the node
+    cosines."""
     k = np.arange(degree + 1)
     nodes = np.cos((2 * k + 1) * np.pi / (2 * (degree + 1)))
     T = np.cos(np.outer(np.arccos(nodes), np.arange(degree + 1)))

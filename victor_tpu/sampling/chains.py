@@ -41,7 +41,10 @@ def save_checkpoint(path: str, state: EnsembleState,
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     tmp = path + '.tmp.npz'
-    np.savez_compressed(tmp, **payload)
+    # uncompressed: checkpoints rewrite the full history every segment, so
+    # the per-save cost must stay at memcpy speed (compression would make
+    # long runs quadratic in *compressor* time for a few MB saved)
+    np.savez(tmp, **payload)
     os.replace(tmp, path)
 
 
@@ -153,7 +156,7 @@ def save_hmc_checkpoint(path: str, states, chain=None, log_prob=None,
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     tmp = path + '.tmp.npz'
-    np.savez_compressed(tmp, **payload)
+    np.savez(tmp, **payload)   # uncompressed — see save_checkpoint
     os.replace(tmp, path)
 
 

@@ -23,11 +23,17 @@ random-walk Metropolis, victor/README.md:30).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# full-precision matvecs: TPU's default bf16 matmul would perturb leapfrog
+# trajectories and kinetic energies at ~1e-3, skewing the acceptance
+# statistic that drives dual averaging (CLAUDE.md matmul-precision rule)
+_mv = functools.partial(jnp.matmul, precision='highest')
 
 
 class HMCState(NamedTuple):
@@ -60,7 +66,7 @@ def _leapfrog(value_grad: Callable, q, p, grad, lnp, aux, eps, chol_cov,
     def body(_, carry):
         q, p, grad, lnp, aux = carry
         p = p + 0.5 * eps * grad
-        q = q + eps * (chol_cov @ (chol_cov.T @ p))
+        q = q + eps * _mv(chol_cov, _mv(chol_cov.T, p))
         (lnp, aux), grad = value_grad(q)
         p = p + 0.5 * eps * grad
         return (q, p, grad, lnp, aux)
@@ -85,11 +91,11 @@ def _hmc_step(value_grad: Callable, state: HMCState, n_leapfrog: int,
     # momenta ~ N(0, M) with M = (L L^T)^{-1}: p = L^{-T} xi
     xi = jax.random.normal(k_mom, state.q.shape)
     p0 = jsl.solve_triangular(L.T, xi, lower=False)
-    ke0 = 0.5 * jnp.sum((L.T @ p0) ** 2)
+    ke0 = 0.5 * jnp.sum(_mv(L.T, p0) ** 2)
 
     q1, p1, grad1, lnp1, aux1 = _leapfrog(value_grad, state.q, p0, state.grad,
                                           state.lnp, state.aux, eps, L, n_steps)
-    ke1 = 0.5 * jnp.sum((L.T @ p1) ** 2)
+    ke1 = 0.5 * jnp.sum(_mv(L.T, p1) ** 2)
     log_accept = (lnp1 - ke1) - (state.lnp - ke0)
     log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
     accept_prob = jnp.minimum(1.0, jnp.exp(log_accept))

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hmc import (HMCState, _adapt_and_pack, _diag_reset, _dense_reset,
-                  _freeze, init_state)
+                  _freeze, _mv, init_state)
 
 _DIVERGENCE = 1000.0     # Stan's Delta_max energy-error cutoff
 
@@ -83,18 +83,19 @@ def _trailing_ones(n):
 def _is_turning(q_minus, v_minus, q_plus, v_plus):
     """Generalised U-turn criterion with velocities v = M^-1 p."""
     dq = q_plus - q_minus
-    return (jnp.dot(dq, v_minus) < 0.0) | (jnp.dot(dq, v_plus) < 0.0)
+    return (jnp.dot(dq, v_minus, precision='highest') < 0.0) | \
+        (jnp.dot(dq, v_plus, precision='highest') < 0.0)
 
 
 def _leapfrog(value_grad: Callable, q, p, grad, eps, L):
     """One leapfrog step with dense inverse mass LL^T; returns the new
     point and its velocity/energy pieces."""
     p = p + 0.5 * eps * grad
-    q = q + eps * (L @ (L.T @ p))
+    q = q + eps * _mv(L, _mv(L.T, p))
     (lnp, aux), grad = value_grad(q)
     p = p + 0.5 * eps * grad
-    v = L @ (L.T @ p)
-    ke = 0.5 * jnp.sum((L.T @ p) ** 2)
+    v = _mv(L, _mv(L.T, p))
+    ke = 0.5 * jnp.sum(_mv(L.T, p) ** 2)
     return q, p, grad, lnp, aux, v, ke
 
 
@@ -168,8 +169,8 @@ def _nuts_step(value_grad: Callable, state: HMCState, max_depth: int,
     eps = jnp.exp(state.log_eps)
     xi = jax.random.normal(k_mom, (ndim,))
     p0 = jsl.solve_triangular(L.T, xi, lower=False)
-    v0 = L @ (L.T @ p0)
-    H0 = -state.lnp + 0.5 * jnp.sum((L.T @ p0) ** 2)
+    v0 = _mv(L, _mv(L.T, p0))
+    H0 = -state.lnp + 0.5 * jnp.sum(_mv(L.T, p0) ** 2)
 
     # global tree: endpoints with momenta pointing OUTWARD
     class_carry = dict(
@@ -222,7 +223,7 @@ def _nuts_step(value_grad: Callable, state: HMCState, max_depth: int,
                               c['log_sum_w'])
 
         # update the moved endpoint; outward momentum on the left is -p
-        v_new = L @ (L.T @ ts.p)
+        v_new = _mv(L, _mv(L.T, ts.p))
         q_l = jnp.where(go_right, c['q_l'], ts.q)
         p_l = jnp.where(go_right, c['p_l'], ts.p)
         grad_l = jnp.where(go_right, c['grad_l'], ts.grad)
@@ -261,6 +262,12 @@ def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
     same staged warmup (eps -> diag metric -> dense metric -> freeze) and
     segmentation semantics as hmc.chain_segment."""
     import math
+    if not 1 <= max_depth <= 16:
+        # _popcount/_trailing_ones index 16 bits; beyond that the U-turn
+        # bookkeeping would silently corrupt (and 2^16 leapfrogs per step is
+        # already far past any sane trajectory)
+        from ..errors import InputError
+        raise InputError(f'NUTS max_depth must be in [1, 16], got {max_depth}')
     mu_offset = math.log(10.0 * eps0)
     w1 = n_warmup // 3
     w2 = n_warmup // 3

@@ -112,8 +112,10 @@ class ParamSpace:
                 hi = float(prior.get('scale', 1.0))
             else:
                 raise InputError(f"Unsupported prior dist '{dist}' for '{name}'")
-            ref = spec.get('ref') or {}
-            if isinstance(ref, (int, float)):
+            ref = spec.get('ref')
+            if ref is None:
+                ref = {}
+            if isinstance(ref, (int, float)):   # scalar ref, incl. `ref: 0`
                 ref = {'dist': 'norm', 'loc': float(ref), 'scale': 0.0}
             ref_scale = float(ref.get('scale', 1.0))
             if ref.get('dist') == 'norm' and ref_scale == 0.0:
