@@ -45,7 +45,10 @@ def main():
 
     bundle = build_tables(cfg['model'], cfg['data'])
     names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
-    chunk = int(os.environ.get('VICTOR_BENCH_CHUNK', 128))
+    # chunk/batch from the measured throughput-vs-size curve (BASELINE.md):
+    # saturation needs >=16k points; chunk 48-64 peaks (VMEM-resident
+    # intermediates without map-iteration overhead dominating)
+    chunk = int(os.environ.get('VICTOR_BENCH_CHUNK', 64))
     batched = make_batched_loglike(bundle, names, chunk=chunk)
 
     # correctness spot-check at the notebook cell-22 golden point
@@ -60,7 +63,7 @@ def main():
 
     # batch of realistic parameter draws around the posterior
     rng = np.random.default_rng(0)
-    n = int(os.environ.get('VICTOR_BENCH_BATCH', 8192))
+    n = int(os.environ.get('VICTOR_BENCH_BATCH', 16384))
     theta = np.column_stack([
         rng.uniform(0.3, 0.6, n),      # fsigma8
         rng.uniform(0.25, 0.55, n),    # beta
