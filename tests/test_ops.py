@@ -39,6 +39,23 @@ class TestSpline1D:
         want = InterpolatedUnivariateSpline(self.x, Y[1], k=3, ext=3)(self.q)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
+    @pytest.mark.parametrize('strategy', ['gather', 'masksum'])
+    def test_multichannel_eval_bit_identical(self, strategy):
+        """K channels sharing a knot vector evaluate in one fused pass with
+        per-channel floats bit-identical to separate single-channel calls
+        (the hot path fuses the (v_r, dv_r) pair and the multipole stack)."""
+        Y = RNG.normal(size=(3, 31))
+        spl = ops.Spline1D.build(self.x, clamp=True)
+        coeffs = spl.coeffs(jnp.asarray(Y))
+        q2 = jnp.asarray(self.q.reshape(50, 100))   # multi-dim queries too
+        fused = np.asarray(ops.ppoly_eval(spl.x, coeffs, q2, clamp=True,
+                                          strategy=strategy))
+        assert fused.shape == (3, 50, 100)
+        for k in range(3):
+            single = np.asarray(ops.ppoly_eval(spl.x, coeffs[k], q2,
+                                               clamp=True, strategy=strategy))
+            np.testing.assert_array_equal(fused[k], single)
+
 
 class TestEvalMatrices:
     def test_spline_eval_matrix(self):

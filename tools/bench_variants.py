@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Per-RSD-model throughput probe (transfer-forced, like bench.py).
+
+Measures batched likelihood evals/s for each rsd_model variant of the BOSS
+CMASS config on the default backend. Prints one JSON line per variant.
+
+Usage:
+    python tools/bench_variants.py [streaming dispersion kaiser euclid_special]
+
+Environment: VICTOR_BENCH_BATCH (default 16384), VICTOR_BENCH_CHUNK (64),
+VICTOR_BENCH_REPS (5). Measurement honesty: every timed repetition forces a
+device->host transfer (through the axon remote-device tunnel,
+block_until_ready alone can resolve before execution finishes — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REFERENCE_EVALS_PER_SEC = 11.8   # BASELINE.md, measured on this machine
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform == 'cpu':
+        jax.config.update('jax_enable_x64', True)
+
+    import yaml
+    from victor_tpu.io import build_tables
+    from victor_tpu.likelihood.batched import make_batched_loglike
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
+
+    variants = sys.argv[1:] or ['streaming', 'dispersion', 'kaiser',
+                                'euclid_special']
+    n = int(os.environ.get('VICTOR_BENCH_BATCH', 16384))
+    chunk = int(os.environ.get('VICTOR_BENCH_CHUNK', 64))
+    reps = int(os.environ.get('VICTOR_BENCH_REPS', 5))
+
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(np.column_stack([
+        rng.uniform(0.3, 0.6, n),      # fsigma8
+        rng.uniform(0.25, 0.55, n),    # beta
+        rng.uniform(250.0, 450.0, n),  # sigma_v
+        rng.uniform(0.9, 1.1, n),      # epsilon
+    ]))
+    names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
+
+    for variant in variants:
+        vcfg = {'model': dict(cfg['model']), 'data': cfg['data']}
+        vcfg['model']['rsd_model'] = variant
+        # optional dispersion-path knobs for profiling (see BASELINE.md
+        # "Dispersion anatomy")
+        if os.environ.get('VICTOR_BENCH_NITER'):
+            vcfg['model']['niter'] = int(os.environ['VICTOR_BENCH_NITER'])
+        if os.environ.get('VICTOR_BENCH_INTERIOR'):
+            vcfg['model']['dispersion_interior'] = \
+                os.environ['VICTOR_BENCH_INTERIOR']
+        bundle = build_tables(vcfg['model'], vcfg['data'])
+        batched = make_batched_loglike(bundle, names, chunk=chunk)
+
+        np.asarray(batched(theta)[0])          # warm-up / compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(batched(theta)[0])      # forced per-rep transfer
+        dt = time.perf_counter() - t0
+
+        evals_per_sec = reps * n / dt
+        print(json.dumps({
+            'metric': f'likelihood_evals_per_sec[{variant}]',
+            'value': round(evals_per_sec, 1),
+            'unit': 'evals/s',
+            'vs_baseline': round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
+        }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

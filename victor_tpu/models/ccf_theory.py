@@ -185,6 +185,15 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
     def dvr_at(q):
         return tables.spline_vel.eval(c_dvr, q / resc_vel) / resc_vel
 
+    def vr_dvr_at(q):
+        """(v_r, dv_r/dr) at the same points. NOTE: a fused two-channel
+        masksum (stacked coefficients, shared interval masks) was measured
+        SLOWER here — the extra channel axis broke XLA's broadcast+reduce
+        fusion and the (n-1, 2, n_v, q) intermediate spilled to HBM
+        (dispersion 10.1k -> 7.2k evals/s) — so the two splines evaluate
+        separately and XLA fuses each pass independently."""
+        return vr_at(q), dvr_at(q)
+
     # --- AP-corrected coordinates (ccf_model.py:641-644) ---
     # TPU layout: the (mu, s) points form one flat trailing axis q (so the
     # minor dimension is large and tile padding is negligible); the
@@ -204,9 +213,11 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
             r_eval = q_r / resc    # splines on rescaled r == eval base at q/resc
         if opts.assume_isotropic:
             return tables.spline_mult.eval(c_mult[0], r_eval)
+        # one fused multi-channel masksum over the shared multipole knots
+        vals = tables.spline_mult.eval(c_mult, r_eval)     # (n_ell, ...)
         out = jnp.zeros_like(q_r)
         for i, ell in enumerate(spec.poles_r):
-            out = out + tables.spline_mult.eval(c_mult[i], r_eval) * legendre_p(ell, q_mu)
+            out = out + vals[i] * legendre_p(ell, q_mu)
         return out
 
     def data_coords(r_par, s_perp):
@@ -268,8 +279,10 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
             mu_r = r_par / rr
             sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
             vel_pdf = jnp.exp(-0.5 * (v_par / sv) ** 2) / (SQRT2PI * sv)
-            jacobian = 1.0 / (1.0 + vr_at(rr) * iaH_true / rr
-                              + iaH_true * mu_r ** 2 * (dvr_at(rr) - vr_at(rr) / rr))
+            vr_rr = vr_at(rr)
+            dvr_rr = dvr_at(rr)
+            jacobian = 1.0 / (1.0 + vr_rr * iaH_true / rr
+                              + iaH_true * mu_r ** 2 * (dvr_rr - vr_rr / rr))
 
         if opts.realspace_ccf_from_data:
             rr_eval, mu_eval = data_coords(r_par, s_perp)
@@ -300,11 +313,13 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
     mu_r = r_par / rr
 
     if opts.rsd_model == 'kaiser':
-        J = M * vr_at(rr) * iaH_true / rr + \
-            M * Q * mu_r ** 2 * iaH_true * (dvr_at(rr) - vr_at(rr) / rr)
+        vr_rr, dvr_rr = vr_dvr_at(rr)
+        J = M * vr_rr * iaH_true / rr + \
+            M * Q * mu_r ** 2 * iaH_true * (dvr_rr - vr_rr / rr)
     elif opts.rsd_model == 'euclid_special':
-        J = 3.0 * M * vr_at(rr) * iaH_true / rr + \
-            2.0 * M * Q * mu_r ** 2 * iaH_true * (dvr_at(rr) - vr_at(rr) / rr)
+        vr_rr, dvr_rr = vr_dvr_at(rr)
+        J = 3.0 * M * vr_rr * iaH_true / rr + \
+            2.0 * M * Q * mu_r ** 2 * iaH_true * (dvr_rr - vr_rr / rr)
     else:
         raise InputError(f'theory_xi: Unrecognised choice of model {opts.rsd_model}')
 

@@ -229,36 +229,31 @@ def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
     # static unroll bit-for-bit, but the traced graph is ~n-1 times smaller
     # (an unrolled version cost seconds of tracing and 10x the compile time;
     # lax.fori_loop additionally bounced the accumulator through HBM).
-    if coeffs.ndim == 2:
-        expand = (slice(None),) + (None,) * qq.ndim
-        t = qq[None] - x[:-1][expand]
-        c0 = coeffs[:, 0][expand]
-        c1 = coeffs[:, 1][expand]
-        c2 = coeffs[:, 2][expand]
-        c3 = coeffs[:, 3][expand]
-        p = ((c3 * t + c2) * t + c1) * t + c0
-        neg_inf = jnp.asarray([-jnp.inf], dtype=x.dtype)
-        pos_inf = jnp.asarray([jnp.inf], dtype=x.dtype)
-        lo = jnp.concatenate([neg_inf, x[1:-1]])
-        hi = jnp.concatenate([x[1:-1], pos_inf])
-        m = (qq[None] >= lo[expand]) & (qq[None] < hi[expand])
-        return jnp.sum(jnp.where(m, p, 0.0), axis=0)
-
-    # general leading-batch-dim case: static unroll (rare path)
-    acc = None
-    for i in range(n - 1):
-        t = qq - x[i]
-        c = coeffs[..., i, :]
-        p = ((c[..., 3] * t + c[..., 2]) * t + c[..., 1]) * t + c[..., 0]
-        if i == 0:
-            m = qq < x[1] if n > 2 else None
-        elif i == n - 2:
-            m = qq >= x[i]
-        else:
-            m = (qq >= x[i]) & (qq < x[i + 1])
-        term = p if m is None else jnp.where(m, p, 0.0)
-        acc = term if acc is None else acc + term
-    return acc
+    #
+    # Leading coefficient axes (K channels sharing the knot vector, e.g. the
+    # (v_r, dv_r) pair or the real-space multipole stack) evaluate in ONE
+    # pass: the query offsets `t` and the interval masks are computed once
+    # and broadcast over the channel axes, so K fused channels cost roughly
+    # (4 + 5K)/(9K) of K separate passes on the VPU. Per channel the op
+    # sequence (and therefore the float result) is identical to a
+    # single-channel call.
+    lead = coeffs.ndim - 2            # number of leading channel axes
+    qx = (None,) * (1 + lead)         # broadcast q under (interval, *lead)
+    xe = (slice(None),) + (None,) * (lead + qq.ndim)
+    ce = (Ellipsis,) + (None,) * qq.ndim
+    cm = jnp.moveaxis(coeffs, -2, 0)  # (n-1, *lead, 4)
+    t = qq[qx] - x[:-1][xe]
+    c0 = cm[..., 0][ce]
+    c1 = cm[..., 1][ce]
+    c2 = cm[..., 2][ce]
+    c3 = cm[..., 3][ce]
+    p = ((c3 * t + c2) * t + c1) * t + c0
+    neg_inf = jnp.asarray([-jnp.inf], dtype=x.dtype)
+    pos_inf = jnp.asarray([jnp.inf], dtype=x.dtype)
+    lo = jnp.concatenate([neg_inf, x[1:-1]])
+    hi = jnp.concatenate([x[1:-1], pos_inf])
+    m = (qq[qx] >= lo[xe]) & (qq[qx] < hi[xe])
+    return jnp.sum(jnp.where(m, p, 0.0), axis=0)
 
 
 @jax.tree_util.register_dataclass
