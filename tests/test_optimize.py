@@ -1,0 +1,93 @@
+"""MAP/Laplace fitter (sampling/optimize.py) on the BOSS likelihood.
+
+Ground truth for the posterior moments comes from the sampler-free grid
+quadrature (tools/validate_posterior.py, BASELINE.md): fsigma8 = 0.573 +/-
+0.054, beta = 0.3667 +/- 0.011, sigma_v = 418 +/- 44, epsilon = 1.0089 +/-
+0.011 on this exact config.
+"""
+
+import numpy as np
+import pytest
+
+
+BLOCK_4P = {
+    'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.05}},
+    'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+             'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.03}},
+    'sigma_v': {'prior': {'dist': 'uniform', 'min': 150.0, 'max': 700.0},
+                'ref': {'dist': 'norm', 'loc': 380.0, 'scale': 30.0}},
+    'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8, 'max': 1.2},
+                'ref': {'dist': 'norm', 'loc': 1.0, 'scale': 0.02}},
+}
+
+# quadrature ground truth (tools/validate_posterior.py)
+QUAD_MEAN = {'fsigma8': 0.573, 'beta': 0.3667, 'sigma_v': 418.0,
+             'epsilon': 1.0089}
+QUAD_STD = {'fsigma8': 0.054, 'beta': 0.011, 'sigma_v': 44.0,
+            'epsilon': 0.011}
+
+
+@pytest.fixture(scope='module')
+def map_result(boss_config):
+    from victor_tpu.io import build_tables
+    from victor_tpu.sampling.optimize import find_map
+    bundle = build_tables(boss_config['model'], boss_config['data'])
+    return find_map(bundle, BLOCK_4P, n_starts=8, adam_steps=150,
+                    newton_steps=8, seed=3)
+
+
+class TestFindMAP:
+    def test_beats_golden_point_and_is_stationary(self, map_result):
+        # the golden point {0.47, 0.37, 380, 1.0} has chi2 = 65.01; the MAP
+        # must fit better, and the gradient must vanish at the optimum
+        assert map_result.chi2 < 65.01
+        assert map_result.grad_norm < 5e-2
+        assert map_result.n_converged == map_result.n_starts
+
+    def test_map_within_posterior_bulk(self, map_result):
+        # MAP vs quadrature mean: within 1 sigma per parameter (the posterior
+        # is mildly skewed, so mode != mean, but far less than one sigma)
+        for name, mean in QUAD_MEAN.items():
+            err = abs(map_result.params[name] - mean) / QUAD_STD[name]
+            assert err < 1.0, f'{name}: MAP {map_result.params[name]} vs ' \
+                              f'quadrature mean {mean} ({err:.2f} sigma)'
+
+    def test_laplace_errors_match_quadrature(self, map_result):
+        # Laplace sigma vs the quadrature sigma: same scale (the posterior is
+        # near-Gaussian; allow 40% for the skewness)
+        for name, sd in QUAD_STD.items():
+            ratio = map_result.std[name] / sd
+            assert 0.6 < ratio < 1.4, f'{name}: Laplace {map_result.std[name]}' \
+                                      f' vs quadrature {sd}'
+
+    def test_correlation_structure(self, map_result):
+        # fsigma8 and sigma_v are the known degenerate pair on this config
+        # (BASELINE.md dense-mass discussion): strong positive correlation
+        corr = map_result.correlation
+        names = [p.name for p in map_result.space.sampled]
+        i, j = names.index('fsigma8'), names.index('sigma_v')
+        assert corr[i, j] > 0.5
+        # valid correlation matrix
+        assert np.all(np.abs(corr) <= 1.0 + 1e-9)
+        np.testing.assert_allclose(np.diag(corr), 1.0, atol=1e-9)
+
+    def test_summary_shape(self, map_result):
+        s = map_result.summary()
+        assert set(s) == {'fsigma8', 'beta', 'sigma_v', 'epsilon'}
+        assert all({'value', 'std'} <= set(v) for v in s.values())
+
+
+class TestFitCLI:
+    def test_cli_fit_runs(self, capsys, tmp_path, boss_config):
+        import json
+        import yaml
+        from victor_tpu.__main__ import main
+        p = tmp_path / 'fit.yaml'
+        cfg = dict(boss_config)
+        cfg['params'] = BLOCK_4P
+        p.write_text(yaml.safe_dump(cfg))
+        main(['fit', str(p), '--starts', '4', '--adam-steps', '60'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['chi2'] < 66.0
+        assert set(out['best_fit']) == {'fsigma8', 'beta', 'sigma_v', 'epsilon'}
