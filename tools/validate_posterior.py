@@ -79,6 +79,28 @@ def main():
         flag = '' if edge < 0.05 else '  [posterior touches grid/prior edge]'
         print(f'{name:8s} = {mean[k]:.4f} +/- {std[k]:.4f}{flag}')
 
+    # log evidence under the config's (uniform) sampling priors: trapezoid
+    # quadrature of exp(lnL) over the grid / prior volume — the ground truth
+    # for sampling/smc.py's SMC estimate
+    from scipy.special import logsumexp
+    from victor_tpu.sampling.priors import ParamSpace
+    space = ParamSpace(cfg.get('params') or {})
+    if space.ndim == len(axes) and \
+            all(p.dist == 'uniform' for p in space.sampled):
+        logw = np.zeros((n,) * 4)
+        for k, ax in enumerate(axes):
+            wk = np.gradient(ax)            # trapezoid weights, uniform grid
+            wk[0] *= 0.5
+            wk[-1] *= 0.5
+            shape = [1] * 4
+            shape[k] = n
+            logw = logw + np.log(wk).reshape(shape)
+        log_prior_vol = float(np.sum([np.log(p.hi - p.lo)
+                                      for p in space.sampled]))
+        logz = float(logsumexp(lnl + logw.reshape(-1)) - log_prior_vol)
+        print(f'log-evidence (grid quadrature, uniform priors): '
+              f'logZ = {logz:.3f}')
+
 
 if __name__ == '__main__':
     main()

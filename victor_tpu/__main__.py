@@ -68,6 +68,22 @@ def cmd_run(args):
         sampler.setdefault('max_steps', mc.get('max_samples', 2000))
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
     kind = args.sampler or sampler.get('kind', 'ensemble')
+    if kind == 'smc':
+        from .sampling import run_smc
+        result = run_smc(
+            bundle, params_block,
+            n_particles=int(sampler.get('n_particles', args.particles)),
+            n_moves=int(sampler.get('n_moves', args.moves)),
+            ess_target=float(sampler.get('ess_target', 0.5)),
+            seed=int(sampler.get('seed', args.seed)),
+            output=sampler.get('output', cfg.get('output', args.output)))
+        print(json.dumps({'sampler': 'smc', 'n_particles': len(result.particles),
+                          'n_stages': len(result.betas) - 1,
+                          'log_evidence': round(result.logz, 3),
+                          'log_evidence_se': round(result.logz_se, 3),
+                          'elapsed_s': round(result.elapsed_s, 2),
+                          'summary': result.summary()}, indent=2))
+        return
     if kind in ('hmc', 'nuts'):
         result = run_hmc_mcmc(
             bundle, params_block,
@@ -162,6 +178,31 @@ def cmd_eval(args):
         'params': {k: float(v) for k, v in params.items()}}))
 
 
+def cmd_fit(args):
+    from .io import build_tables
+    from .sampling.optimize import find_map
+
+    cfg = _load(args.config)
+    if 'data' not in cfg:
+        sys.exit('fit requires a data: block (data vector + covariance)')
+    bundle = build_tables(cfg['model'], cfg['data'])
+    params_block = cfg.get('params')
+    if not params_block:
+        sys.exit('config must contain a params: block to fit')
+    t0 = time.time()
+    result = find_map(bundle, params_block, n_starts=args.starts,
+                      adam_steps=args.adam_steps, seed=args.seed)
+    print(json.dumps({
+        'chi2': round(result.chi2, 4),
+        'log_likelihood': round(result.lnlike, 4),
+        'log_posterior': round(result.lnpost, 4),
+        'grad_norm': result.grad_norm,
+        'best_fit': {k: round(v, 6) for k, v in result.params.items()},
+        'std_laplace': {k: round(v, 6) for k, v in result.std.items()},
+        'n_converged': result.n_converged,
+        'elapsed_s': round(time.time() - t0, 2)}, indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -207,8 +248,12 @@ def main(argv=None):
     pr.add_argument('config')
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
-    pr.add_argument('--sampler', choices=['ensemble', 'hmc', 'nuts'],
+    pr.add_argument('--sampler', choices=['ensemble', 'hmc', 'nuts', 'smc'],
                     default=None)
+    pr.add_argument('--particles', type=int, default=2048,
+                    help='SMC particle count (sampler=smc)')
+    pr.add_argument('--moves', type=int, default=5,
+                    help='SMC mutation steps per stage (sampler=smc)')
     pr.add_argument('--max-depth', type=int, default=8,
                     help='NUTS maximum tree depth (sampler=nuts)')
     pr.add_argument('--chains', type=int, default=8,
@@ -227,6 +272,14 @@ def main(argv=None):
     pe.add_argument('--param', action='append',
                     help='override, e.g. --param fsigma8=0.47')
     pe.set_defaults(fn=cmd_eval)
+
+    pf = sub.add_parser('fit', help='best fit (MAP) + Laplace errors')
+    pf.add_argument('config')
+    pf.add_argument('--starts', type=int, default=32,
+                    help='multi-start count (one vmapped Adam dispatch)')
+    pf.add_argument('--adam-steps', type=int, default=250)
+    pf.add_argument('--seed', type=int, default=0)
+    pf.set_defaults(fn=cmd_fit)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')

@@ -1,6 +1,8 @@
 from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
+from .optimize import find_map, MAPResult
+from .smc import run_smc, SMCResult
 from . import hmc
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
@@ -12,6 +14,7 @@ __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
+    'find_map', 'MAPResult', 'run_smc', 'SMCResult',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',

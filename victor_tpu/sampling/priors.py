@@ -176,6 +176,27 @@ class ParamSpace:
                      - math.log(p.hi) - 0.5 * math.log(2 * math.pi)
         return lp
 
+    def sample_prior(self, key: jax.Array, n: int) -> jnp.ndarray:
+        """Draw n points from the prior itself (NOT the ref distribution).
+
+        SMC's evidence estimate requires the initial particle cloud to be
+        exact prior draws; `sample_ref` (narrow start scatter) would bias
+        log Z."""
+        keys = jax.random.split(key, self.ndim)
+        cols = []
+        for i, p in enumerate(self.sampled):
+            if p.dist == 'uniform':
+                col = jax.random.uniform(keys[i], (n,), minval=p.lo, maxval=p.hi)
+            elif p.dist == 'loguniform':
+                col = jnp.exp(jax.random.uniform(
+                    keys[i], (n,), minval=math.log(p.lo), maxval=math.log(p.hi)))
+            elif p.dist == 'halfnorm':
+                col = p.lo + p.hi * jnp.abs(jax.random.normal(keys[i], (n,)))
+            else:  # norm
+                col = p.lo + p.hi * jax.random.normal(keys[i], (n,))
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)
+
     def sample_ref(self, key: jax.Array, n: int) -> jnp.ndarray:
         """Draw n starting points from the ref distributions (prior fallback),
         clipped into the prior support."""

@@ -1,0 +1,273 @@
+"""Tempered sequential Monte Carlo with Bayesian-evidence estimation.
+
+Neither the reference nor cobaya's default Metropolis provides the evidence
+Z = integral of L(theta) pi(theta) d theta (cobaya users reach for external
+nested samplers). On TPU an SMC sampler is the natural fit: the whole
+particle population evaluates in one vmapped dispatch per stage, the
+temperature ladder adapts itself, and log Z falls out of the incremental
+importance weights for free.
+
+Algorithm (adaptive-beta SMC, systematic resampling, random-walk Metropolis
+mutations):
+
+  1. N particles drawn from the PRIOR (ParamSpace.sample_prior — exact prior
+     draws are what make the evidence estimate unbiased).
+  2. At inverse temperature beta, choose the next step d-beta by bisection so
+     the effective sample size of w_i = exp(d-beta * lnL_i) stays at
+     `ess_target * N` (Beskos et al. 2016 adaptive tempering).
+  3. log Z accumulates log mean_i exp(d-beta * lnL_i) per stage.
+  4. Systematic resample by w, then `n_moves` random-walk Metropolis steps
+     targeting pi(theta) L(theta)^beta in the unbounded reparameterisation,
+     with proposal covariance 2.38^2/d times the weighted particle covariance
+     (adapts to the tempered posterior's shape each stage).
+
+Each stage is ONE jitted device program (resample + all moves under
+lax.scan); only the (N,) log-likelihood vector returns to the host for the
+d-beta bisection, so an entire run is O(10-30) small dispatches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logging import get_logger
+from .priors import ParamSpace
+
+log = get_logger('smc')
+
+_SMC_CACHE: dict = {}
+
+
+@dataclasses.dataclass
+class SMCResult:
+    space: ParamSpace
+    particles: np.ndarray       # (N, ndim) physical-space posterior draws
+    log_prob: np.ndarray        # (N,) lnL + ln prior at the particles
+    aux: np.ndarray             # (N, n_aux) auxiliary outputs (chi2)
+    logz: float                 # log evidence estimate
+    logz_se: float              # rough CLT standard error of logz
+    betas: np.ndarray           # temperature ladder actually used (incl. 0, 1)
+    ess: np.ndarray             # pre-resampling ESS per stage
+    acceptance: np.ndarray      # mutation acceptance per stage
+    elapsed_s: float
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {p.name: {'mean': float(self.particles[:, i].mean()),
+                         'std': float(self.particles[:, i].std())}
+                for i, p in enumerate(self.space.sampled)}
+
+
+def _systematic_resample(key, w, n):
+    """Systematic resampling: indices i with multiplicity ~ n * w_i."""
+    u = (jax.random.uniform(key, ()) + jnp.arange(n)) / n
+    cdf = jnp.cumsum(w)
+    return jnp.clip(jnp.searchsorted(cdf, u, side='left',
+                                     method='compare_all'), 0, n - 1)
+
+
+def _ess_fraction(lnw):
+    """ESS of normalised exp(lnw) as a fraction of the particle count."""
+    lnw = lnw - lnw.max()
+    w = np.exp(lnw)
+    w /= w.sum()
+    return 1.0 / (len(w) * float((w ** 2).sum()))
+
+
+def _choose_dbeta(lnl, beta, ess_target):
+    """Largest d-beta <= 1-beta with ESS(exp(d-beta*lnl)) >= ess_target*N."""
+    hi = 1.0 - beta
+    if _ess_fraction(hi * lnl) >= ess_target:
+        return hi
+    lo = 0.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if _ess_fraction(mid * lnl) >= ess_target:
+            lo = mid
+        else:
+            hi = mid
+    return max(lo, 1e-8)
+
+
+def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
+            ess_target: float = 0.5, n_moves: int = 5, seed: int = 0,
+            opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
+            chunk: Optional[int] = 64,
+            mesh: Optional[jax.sharding.Mesh] = None,
+            mesh_axis=None, max_stages: int = 200,
+            output: Optional[str] = None) -> SMCResult:
+    """Sample the posterior AND estimate the evidence by tempered SMC.
+
+    `bundle` is a CCFModelBundle, a multi-quantile JointBundle, or (for
+    testing / custom targets) a callable params-dict -> (lnlike, aux_scalar).
+    `chunk` bounds per-dispatch memory exactly like likelihood/batched.py.
+    With `mesh`, the particle axis is sharded (tables replicated); the
+    resampling gather turns into XLA collectives automatically.
+    """
+    from ..likelihood.core import log_likelihood
+    from ..likelihood.batched import chunked_vmap
+    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
+
+    space = ParamSpace(params_block)
+
+    if callable(bundle) and not hasattr(bundle, 'tables') \
+            and not isinstance(bundle, JointBundle):
+        tables_arg = jnp.zeros(())
+        user_fn = bundle
+
+        def loglike(tbl, params):
+            return user_fn(params)
+        cache_id = ('callable', id(bundle))
+    elif isinstance(bundle, JointBundle):
+        tables_arg = bundle
+
+        def loglike(tbl, params):
+            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
+        cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
+                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
+    else:
+        opts = bundle.theory_opts.replace(**(opts_kw or {}))
+        fit = bundle.fit_opts.replace(**(fit_kw or {}))
+        spec = bundle.spec
+        tables_arg = bundle.tables
+
+        def loglike(tbl, params):
+            return log_likelihood(tbl, spec, opts, fit, params)
+        cache_id = (spec, opts, fit)
+
+    def lnlike_scalar(tbl, y):
+        theta = space.to_bounded(y)
+        lnl, aux = loglike(tbl, space.full_params(theta))
+        return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf), jnp.stack([aux])
+
+    def lnprior_scalar(y):
+        theta = space.to_bounded(y)
+        return space.log_prior(theta) + space.log_jacobian(y)
+
+    def batched_lnlike(tbl, ys):
+        fn = lambda y: lnlike_scalar(tbl, y)    # noqa: E731
+        if chunk and n_particles > chunk:
+            return chunked_vmap(fn, chunk)(ys)
+        return jax.vmap(fn)(ys)
+
+    cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
+                                        for p in space.sampled)),
+                 tuple(sorted(space.fixed.items())),
+                 n_particles, n_moves, chunk,
+                 None if mesh is None else (mesh.shape_tuple, mesh_axis))
+    fns = _SMC_CACHE.setdefault(cache_key, {})
+
+    if 'init' not in fns:
+        fns['init'] = jax.jit(batched_lnlike)
+
+        def stage(tbl, y, lnl, lnpri, aux, key, w, beta_new):
+            n, d = y.shape
+            # proposal scale from the PRE-resampling weighted covariance
+            mu = jnp.einsum('i,ij->j', w, y, precision='highest')
+            yc = y - mu
+            C = jnp.einsum('i,ij,ik->jk', w, yc, yc, precision='highest')
+            C = C + 1e-10 * jnp.eye(d)
+            chol = jnp.linalg.cholesky(C) * (2.38 / jnp.sqrt(d))
+
+            key, k_res = jax.random.split(key)
+            idx = _systematic_resample(k_res, w, n)
+            y, lnl, lnpri, aux = y[idx], lnl[idx], lnpri[idx], aux[idx]
+
+            def move(carry, k):
+                y, lnl, lnpri, aux, n_acc = carry
+                k1, k2 = jax.random.split(k)
+                eps = jax.random.normal(k1, y.shape)
+                y_p = y + eps @ chol.T
+                lnl_p, aux_p = batched_lnlike(tbl, y_p)
+                lnpri_p = jax.vmap(lnprior_scalar)(y_p)
+                ln_acc = (beta_new * lnl_p + lnpri_p) - \
+                         (beta_new * lnl + lnpri)
+                accept = jnp.log(jax.random.uniform(k2, (n,))) < ln_acc
+                y = jnp.where(accept[:, None], y_p, y)
+                lnl = jnp.where(accept, lnl_p, lnl)
+                lnpri = jnp.where(accept, lnpri_p, lnpri)
+                aux = jnp.where(accept[:, None], aux_p, aux)
+                return (y, lnl, lnpri, aux, n_acc + accept.mean()), None
+
+            keys = jax.random.split(key, n_moves + 1)
+            (y, lnl, lnpri, aux, n_acc), _ = jax.lax.scan(
+                move, (y, lnl, lnpri, aux, jnp.zeros(())), keys[1:])
+            return y, lnl, lnpri, aux, keys[0], n_acc / n_moves
+
+        fns['stage'] = jax.jit(stage)
+        fns['lnprior'] = jax.jit(jax.vmap(lnprior_scalar))
+
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    theta0 = space.sample_prior(k0, n_particles)
+    y = space.to_unbounded(theta0)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if mesh_axis is None:
+            mesh_axis = tuple(mesh.axis_names)
+        shard = NamedSharding(mesh, P(mesh_axis))
+        rep = NamedSharding(mesh, P())
+        y = jax.device_put(y, shard)
+        tables_arg = jax.device_put(tables_arg, rep)
+
+    t0 = time.time()
+    lnl, aux = fns['init'](tables_arg, y)
+    lnpri = fns['lnprior'](y)
+    beta = 0.0
+    logz = 0.0
+    var_sum = 0.0
+    betas, ess_hist, acc_hist = [0.0], [], []
+    for _ in range(max_stages):
+        lnl_h = np.asarray(lnl, dtype=np.float64)
+        finite = np.isfinite(lnl_h)
+        lnl_h = np.where(finite, lnl_h, -1e30)   # prior draws with L=0
+        dbeta = _choose_dbeta(lnl_h, beta, ess_target)
+        beta_new = min(beta + dbeta, 1.0)
+
+        lnw = dbeta * lnl_h
+        m = lnw.max()
+        w = np.exp(lnw - m)
+        logz += m + np.log(w.mean())
+        w_norm = w / w.sum()
+        ess = 1.0 / (n_particles * float((w_norm ** 2).sum()))
+        var_sum += max(1.0 / ess - 1.0, 0.0) / n_particles
+        ess_hist.append(ess)
+
+        y, lnl, lnpri, aux, key, acc = fns['stage'](
+            tables_arg, y, lnl, lnpri, aux, key,
+            jnp.asarray(w_norm, dtype=y.dtype), jnp.asarray(beta_new, y.dtype))
+        acc_hist.append(float(acc))
+        betas.append(beta_new)
+        beta = beta_new
+        log.info('SMC stage %d: beta=%.4f ESS=%.2f acc=%.2f logZ=%.3f',
+                 len(betas) - 1, beta, ess, float(acc), logz)
+        if beta >= 1.0:
+            break
+    else:
+        raise RuntimeError(f'SMC did not reach beta=1 in {max_stages} stages')
+
+    theta = np.asarray(space.to_bounded(y), dtype=np.float64)
+    lnl_h = np.asarray(lnl, dtype=np.float64)
+    lnp = lnl_h + np.asarray(space.log_prior(jnp.asarray(theta)))
+    result = SMCResult(
+        space=space, particles=theta, log_prob=lnp,
+        aux=np.asarray(aux, dtype=np.float64),
+        logz=float(logz), logz_se=float(np.sqrt(var_sum)),
+        betas=np.asarray(betas), ess=np.asarray(ess_hist),
+        acceptance=np.asarray(acc_hist), elapsed_s=time.time() - t0)
+    log.info('SMC done: %d stages, logZ = %.3f +/- %.3f (%.1f s)',
+             len(betas) - 1, result.logz, result.logz_se, result.elapsed_s)
+    if output:
+        from . import chains as chain_io
+        chain_io.export_getdist(output, space, theta[:, None, :],
+                                lnp[:, None], result.aux[:, None, :],
+                                aux_names=['chi2_ccf_correct'], burn_in=0,
+                                n_chain_files=1)
+        log.info('posterior particles written to %s.*', output)
+    return result
