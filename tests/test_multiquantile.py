@@ -151,3 +151,43 @@ class TestJointSampling:
         assert np.all(np.isfinite(res.log_prob))
         lo, hi = res.space.bounds()
         assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
+
+    def test_find_map_on_joint_bundle(self, joint_cfg, single_bundle):
+        """MAP on the duplicated-dataset joint bundle: same optimum as the
+        single dataset (block-diagonal duplicate doubles chi2 but moves
+        nothing), so fsigma8* stays in the single-fit posterior bulk."""
+        from victor_tpu.sampling.optimize import find_map
+        jb = build_joint_tables(joint_cfg)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.05}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = find_map(jb, block, n_starts=4, adam_steps=80, newton_steps=6,
+                       seed=1)
+        assert res.grad_norm < 1e-4
+        assert 0.4 < res.params['fsigma8'] < 0.75
+        # duplicated data halves the conditional variance: sigma scales
+        # ~1/sqrt(2). (Not exact: the single path lerps precision matrices
+        # separately — the reference quirk — while the joint covariance here
+        # is the lerped C at beta=0.37, so the optima differ at the few-1e-3
+        # level; compare at physics precision.)
+        single = find_map(single_bundle, block, n_starts=4, adam_steps=80,
+                          newton_steps=6, seed=1)
+        np.testing.assert_allclose(res.params['fsigma8'],
+                                   single.params['fsigma8'], atol=0.01)
+        np.testing.assert_allclose(res.std['fsigma8'],
+                                   single.std['fsigma8'] / np.sqrt(2),
+                                   rtol=0.1)
+
+    def test_run_smc_on_joint_bundle(self, joint_cfg):
+        from victor_tpu.sampling import run_smc
+        jb = build_joint_tables(joint_cfg)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_smc(jb, block, n_particles=32, n_moves=2, seed=5, chunk=16)
+        assert res.betas[-1] == 1.0
+        assert np.isfinite(res.logz)
+        assert 0.3 < res.particles[:, 0].mean() < 0.85
