@@ -78,6 +78,48 @@ class TestFindMAP:
         assert all({'value', 'std'} <= set(v) for v in s.values())
 
 
+class TestProfileScan:
+    def test_profile_fsigma8(self, boss_config, map_result):
+        """1D profile over fsigma8: the minimum sits at the MAP, the
+        delta-chi2 = 1 interval half-width matches the Laplace sigma (the
+        posterior is near-Gaussian), and nuisance optima track the ridge."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import profile_scan
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        # newton_steps=0 keeps the CPU test fast (the vmapped hessian trace
+        # dominates compile); warm-started Adam converges to ~1e-2 on chi2,
+        # which is enough for the structural assertions below. The CLI/TPU
+        # path runs with the Newton polish (default newton_steps=6).
+        res = profile_scan(bundle, BLOCK_4P, 'fsigma8', n_grid=9,
+                           n_sigma=2.5, adam_steps=80, newton_steps=0,
+                           map_result=map_result)
+        assert res.grid.shape == (9, 1)
+        d = res.delta_chi2()
+        # the profile minimum agrees with the global MAP chi2
+        assert abs(res.chi2.min() - map_result.chi2) < 0.05
+        # interior minimum, rising toward both edges
+        i0 = int(np.argmin(d))
+        assert 0 < i0 < 8
+        assert d[0] > 1.0 and d[-1] > 1.0
+        lo, hi = res.interval(1.0)
+        half = 0.5 * (hi - lo)
+        assert abs(half - map_result.std['fsigma8']) < \
+            0.25 * map_result.std['fsigma8']
+        # the fsigma8--sigma_v degeneracy: the profiled sigma_v optimum
+        # increases along the scan
+        j = res.free_names.index('sigma_v')
+        sv = res.free_optima[:, j]
+        assert sv[-1] > sv[0]
+
+    def test_scan_validates_names(self, boss_config, map_result):
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import profile_scan
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        with pytest.raises(ValueError):
+            profile_scan(bundle, BLOCK_4P, 'not_a_param',
+                         map_result=map_result)
+
+
 class TestFitCLI:
     def test_cli_fit_runs(self, capsys, tmp_path, boss_config):
         import json

@@ -203,6 +203,40 @@ def cmd_fit(args):
         'elapsed_s': round(time.time() - t0, 2)}, indent=2))
 
 
+def cmd_scan(args):
+    import numpy as np
+
+    from .io import build_tables
+    from .sampling.optimize import profile_scan
+
+    cfg = _load(args.config)
+    if 'data' not in cfg:
+        sys.exit('scan requires a data: block (data vector + covariance)')
+    if not args.param:
+        sys.exit('scan needs at least one --param to profile over')
+    bundle = build_tables(cfg['model'], cfg['data'])
+    params_block = cfg.get('params')
+    if not params_block:
+        sys.exit('config must contain a params: block')
+    t0 = time.time()
+    res = profile_scan(bundle, params_block, args.param, n_grid=args.ngrid,
+                       n_sigma=args.nsigma, seed=args.seed)
+    out = {
+        'scan': list(res.scan_names),
+        'grid': np.round(res.grid, 6).tolist(),
+        'chi2_profile': np.round(res.chi2, 4).tolist(),
+        'delta_chi2': np.round(res.delta_chi2(), 4).tolist(),
+        'best_fit': {k: round(v, 6) for k, v in res.map_result.params.items()},
+        'elapsed_s': round(time.time() - t0, 2),
+    }
+    if len(res.scan_names) == 1:
+        lo, hi = res.interval(1.0)
+        out['interval_68'] = [round(lo, 6), round(hi, 6)]
+        lo2, hi2 = res.interval(4.0)
+        out['interval_95'] = [round(lo2, 6), round(hi2, 6)]
+    print(json.dumps(out, indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -280,6 +314,16 @@ def main(argv=None):
     pf.add_argument('--adam-steps', type=int, default=250)
     pf.add_argument('--seed', type=int, default=0)
     pf.set_defaults(fn=cmd_fit)
+
+    ps = sub.add_parser('scan', help='profile-likelihood scan (1D or 2D)')
+    ps.add_argument('config')
+    ps.add_argument('--param', action='append',
+                    help='parameter to scan (repeat for a 2D scan)')
+    ps.add_argument('--ngrid', type=int, default=21)
+    ps.add_argument('--nsigma', type=float, default=4.0,
+                    help='grid half-width in Laplace sigmas around the MAP')
+    ps.add_argument('--seed', type=int, default=0)
+    ps.set_defaults(fn=cmd_scan)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')

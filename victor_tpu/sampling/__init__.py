@@ -1,7 +1,7 @@
 from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
-from .optimize import find_map, MAPResult
+from .optimize import find_map, MAPResult, profile_scan, ProfileResult
 from .smc import run_smc, SMCResult
 from . import hmc
 from . import nuts
@@ -14,7 +14,8 @@ __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
-    'find_map', 'MAPResult', 'run_smc', 'SMCResult',
+    'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
+    'run_smc', 'SMCResult',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',

@@ -169,6 +169,8 @@ def find_map(bundle, params_block: Dict,
         fns['laplace'] = jax.jit(lambda tbl, th: (
             jax.hessian(lambda t: -lnpost_theta(tbl, t))(th),
             jax.grad(lambda t: lnpost_theta(tbl, t))(th)))
+        fns['grad_theta'] = jax.jit(
+            lambda tbl, th: jax.grad(lambda t: lnpost_theta(tbl, t))(th))
         fns['stats'] = jax.jit(like_stats)
 
     key = jax.random.PRNGKey(seed)
@@ -189,8 +191,41 @@ def find_map(bundle, params_block: Dict,
     theta = space.to_bounded(y)
     H, g = fns['laplace'](tables_arg, theta)
     H = np.asarray(H, dtype=np.float64)
+    if not np.all(np.isfinite(H)):
+        # Second-order AD can produce NaN through heavily-masked pipelines
+        # (the ESM shell-crossing repair) even where first-order gradients
+        # are exact (HMC relies on them). Fall back to central finite
+        # differences of the exact gradient: 2*ndim extra gradient evals.
+        log.info('exact Hessian non-finite; using finite differences of the '
+                 'AD gradient for the Laplace covariance')
+        th0 = np.asarray(theta, dtype=np.float64)
+        widths = np.array([(p.hi - p.lo) if p.dist in ('uniform', 'loguniform')
+                           else p.hi for p in space.sampled])
+        hs = 1e-3 * widths
+        H = np.zeros((space.ndim, space.ndim))
+        for i in range(space.ndim):
+            tp, tm = th0.copy(), th0.copy()
+            tp[i] += hs[i]
+            tm[i] -= hs[i]
+            gp = np.asarray(fns['grad_theta'](tables_arg, jnp.asarray(
+                tp, dtype=theta.dtype)), dtype=np.float64)
+            gm = np.asarray(fns['grad_theta'](tables_arg, jnp.asarray(
+                tm, dtype=theta.dtype)), dtype=np.float64)
+            H[:, i] = -(gp - gm) / (2.0 * hs[i])   # H = -d2 lnpost
+        H = 0.5 * (H + H.T)
+    # eigenvalue-clipped inversion: with near-degenerate directions (or an
+    # f32 finite-difference Hessian) H can be indefinite at the noise level;
+    # clipping to a tiny positive floor yields large-but-finite sigmas for
+    # the unconstrained directions instead of zeros/NaNs
     try:
-        cov = np.linalg.inv(H)
+        w, V = np.linalg.eigh(0.5 * (H + H.T))
+        if w.min() <= 0:
+            log.info('Laplace Hessian not positive definite (min eig '
+                     '%.2e); using |eigenvalue| regularisation — sigmas '
+                     'along the indefinite directions are indicative only '
+                     '(use HMC for publication errors)', w.min())
+        floor = max(np.abs(w).max(), 1e-300) * 1e-12
+        cov = (V / np.maximum(np.abs(w), floor)) @ V.T
     except np.linalg.LinAlgError:
         cov = np.full_like(H, np.nan)
     lnl, chi2 = fns['stats'](tables_arg, theta)
@@ -204,4 +239,172 @@ def find_map(bundle, params_block: Dict,
     log.info('MAP: chi2=%.4f lnpost=%.4f |grad|=%.2e (%d/%d starts finite)',
              result.chi2, result.lnpost, result.grad_norm,
              result.n_converged, n_starts)
+    return result
+
+
+@dataclasses.dataclass
+class ProfileResult:
+    scan_names: tuple
+    grid: np.ndarray            # (G, n_scan) scanned parameter values
+    chi2: np.ndarray            # (G,) profile chi2 (minimised over the rest)
+    lnlike: np.ndarray          # (G,)
+    free_optima: np.ndarray     # (G, n_free) nuisance optima per grid point
+    free_names: tuple
+    map_result: MAPResult       # the global MAP used for anchoring/warm starts
+
+    def delta_chi2(self) -> np.ndarray:
+        return self.chi2 - self.chi2.min()
+
+    def interval(self, level: float = 1.0):
+        """(lo, hi) crossing points of delta-chi2 == level (1D scans only);
+        level 1.0 = 68.3%, 4.0 = 95.4% for one parameter."""
+        if self.grid.shape[1] != 1:
+            raise ValueError('interval() needs a 1D scan')
+        x = self.grid[:, 0]
+        d = self.delta_chi2()
+        i0 = int(np.argmin(d))
+
+        def cross(dd, xx):
+            for j in range(len(dd) - 1):
+                if (dd[j] - level) * (dd[j + 1] - level) <= 0 and dd[j] != dd[j + 1]:
+                    f = (level - dd[j]) / (dd[j + 1] - dd[j])
+                    return float(xx[j] + f * (xx[j + 1] - xx[j]))
+            return float('nan')
+        lo = cross(d[:i0 + 1][::-1], x[:i0 + 1][::-1])
+        hi = cross(d[i0:], x[i0:])
+        return lo, hi
+
+
+def profile_scan(bundle, params_block: Dict, scan_names,
+                 grid: Optional[np.ndarray] = None, n_grid: int = 21,
+                 n_sigma: float = 4.0, adam_steps: int = 150,
+                 newton_steps: int = 6, learning_rate: float = 0.05,
+                 seed: int = 0, opts_kw: Optional[Dict] = None,
+                 fit_kw: Optional[Dict] = None,
+                 map_result: Optional[MAPResult] = None) -> ProfileResult:
+    """Profile likelihood: minimise chi2 over the nuisance parameters at
+    every point of a grid in `scan_names` — the frequentist companion to the
+    marginal posteriors (delta-chi2 = 1 gives the 68.3% interval for one
+    parameter).
+
+    All grid points optimise SIMULTANEOUSLY: one vmapped Adam descent over
+    (G, n_free) warm-started at the global MAP's nuisance values, then a
+    vmapped damped-Newton polish — the whole scan costs a handful of device
+    dispatches regardless of G. Default grid: MAP +/- n_sigma Laplace sigmas,
+    clipped into the prior support.
+    """
+    scan_names = tuple(scan_names) if not isinstance(scan_names, str) \
+        else (scan_names,)
+    space = ParamSpace(params_block)
+    names = space.names
+    for s in scan_names:
+        if s not in names:
+            raise ValueError(f'scan parameter {s!r} is not sampled in the '
+                             f'params block (sampled: {names})')
+    free_names = tuple(n for n in names if n not in scan_names)
+    if not free_names:
+        raise ValueError('profile_scan needs at least one free parameter; '
+                         'use a plain grid evaluation otherwise')
+
+    # sub-space over the free (nuisance) parameters for the reparameterisation
+    fspace = ParamSpace({k: params_block[k] for k in free_names})
+
+    if map_result is None:
+        map_result = find_map(bundle, params_block, seed=seed,
+                              adam_steps=adam_steps, opts_kw=opts_kw,
+                              fit_kw=fit_kw)
+
+    if grid is None:
+        lo_b, hi_b = space.bounds()
+        axes = []
+        for s in scan_names:
+            i = names.index(s)
+            sd = max(np.sqrt(max(map_result.cov[i, i], 0.0)), 1e-12)
+            a = max(map_result.theta[i] - n_sigma * sd, lo_b[i])
+            b = min(map_result.theta[i] + n_sigma * sd, hi_b[i])
+            axes.append(np.linspace(a, b, n_grid))
+        grid = np.stack(np.meshgrid(*axes, indexing='ij'),
+                        axis=-1).reshape(-1, len(scan_names))
+    grid = np.atleast_2d(np.asarray(grid, dtype=np.float64))
+
+    from ..likelihood.core import log_likelihood
+    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
+
+    if isinstance(bundle, JointBundle):
+        tables_arg = bundle
+
+        def loglike(tbl, params):
+            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
+    else:
+        opts = bundle.theory_opts.replace(**(opts_kw or {}))
+        fit = bundle.fit_opts.replace(**(fit_kw or {}))
+        spec = bundle.spec
+        tables_arg = bundle.tables
+
+        def loglike(tbl, params):
+            return log_likelihood(tbl, spec, opts, fit, params)
+
+    def params_at(theta_free, scan_vals):
+        params = {k: jnp.asarray(v) for k, v in space.fixed.items()}
+        for i, n in enumerate(free_names):
+            params[n] = theta_free[..., i]
+        for i, n in enumerate(scan_names):
+            params[n] = scan_vals[..., i]
+        for d in space.derived:
+            params[d.name] = d.fn(*[params[a] for a in d.argnames])
+        return params
+
+    def neg_y(tbl, y_free, g):
+        theta_free = fspace.to_bounded(y_free)
+        lnl, _ = loglike(tbl, params_at(theta_free, g))
+        total = lnl + fspace.log_prior(theta_free)
+        return -jnp.where(jnp.isfinite(total), total, -jnp.inf)
+
+    import optax
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def scan_all(tbl, y0, gs):
+        def per_point(y_init, g):
+            def step(carry, _):
+                y, st = carry
+                val, gr = jax.value_and_grad(
+                    lambda yy: neg_y(tbl, yy, g))(y)
+                gr = jnp.where(jnp.isfinite(gr), gr, 0.0)
+                upd, st = opt.update(gr, st, y)
+                return (optax.apply_updates(y, upd), st), None
+            (y, _), _ = jax.lax.scan(step, (y_init, opt.init(y_init)),
+                                     None, length=adam_steps)
+
+            if newton_steps:      # hessian trace is the compile hog: skip at 0
+                def newton(y, _):
+                    gr = jax.grad(lambda yy: neg_y(tbl, yy, g))(y)
+                    H = jax.hessian(lambda yy: neg_y(tbl, yy, g))(y)
+                    lam = 1e-6 * jnp.maximum(jnp.trace(H) / y.shape[0], 1.0)
+                    dy = jnp.linalg.solve(H + lam * jnp.eye(y.shape[0]), gr)
+                    y_new = y - dy
+                    ok = jnp.isfinite(y_new).all() & \
+                        (neg_y(tbl, y_new, g) < neg_y(tbl, y, g))
+                    return jnp.where(ok, y_new, y), None
+                y, _ = jax.lax.scan(newton, y, None, length=newton_steps)
+
+            theta_free = fspace.to_bounded(y)
+            lnl, aux = loglike(tbl, params_at(theta_free, g))
+            return theta_free, lnl, aux
+        return jax.vmap(per_point)(y0, gs)
+
+    theta_map_free = np.array([map_result.params[n] for n in free_names])
+    y0 = jnp.broadcast_to(
+        fspace.to_unbounded(jnp.asarray(theta_map_free)),
+        (len(grid), len(free_names)))
+    theta_free, lnl, chi2 = scan_all(tables_arg, y0, jnp.asarray(grid))
+
+    result = ProfileResult(
+        scan_names=scan_names, grid=grid,
+        chi2=np.asarray(chi2, dtype=np.float64),
+        lnlike=np.asarray(lnl, dtype=np.float64),
+        free_optima=np.asarray(theta_free, dtype=np.float64),
+        free_names=free_names, map_result=map_result)
+    log.info('profile scan over %s: %d points, min chi2 %.4f',
+             scan_names, len(grid), float(result.chi2.min()))
     return result
