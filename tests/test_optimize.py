@@ -111,6 +111,37 @@ class TestProfileScan:
         sv = res.free_optima[:, j]
         assert sv[-1] > sv[0]
 
+    def test_gaussian_profile_analytic_with_chunked_grid(self):
+        """Callable target + grid chunking/padding: profiling one coordinate
+        of a correlated bivariate Gaussian gives delta-chi2(x) =
+        (x - mu_x)^2 / Sigma_xx exactly (the MARGINAL variance — profiling
+        re-minimises the other coordinate at each x)."""
+        import jax.numpy as jnp
+        from victor_tpu.sampling.optimize import profile_scan
+        MU = np.array([0.5, -0.3])
+        COV = np.array([[1.0, 0.6], [0.6, 0.8]])
+        ICOV = np.linalg.inv(COV)
+
+        def loglike(params):
+            d = jnp.stack([params['x'] - MU[0], params['y'] - MU[1]])
+            chi2 = d @ jnp.asarray(ICOV) @ d
+            return -0.5 * chi2, chi2
+
+        block = {'x': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}},
+                 'y': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}}}
+        grid = np.linspace(-0.8, 1.8, 11)[:, None]
+        res = profile_scan(loglike, block, 'x', grid=grid, adam_steps=200,
+                           newton_steps=4, grid_chunk=4)   # 3 chunks, 1 pad
+        want = (grid[:, 0] - MU[0]) ** 2 / COV[0, 0]
+        np.testing.assert_allclose(res.delta_chi2(), want - want.min(),
+                                   atol=2e-3)
+        # the profiled y optimum tracks the regression line
+        # y*(x) = mu_y + (Sigma_xy / Sigma_xx)(x - mu_x)
+        slope = COV[0, 1] / COV[0, 0]
+        np.testing.assert_allclose(
+            res.free_optima[:, 0],
+            MU[1] + slope * (grid[:, 0] - MU[0]), atol=5e-3)
+
     def test_scan_validates_names(self, boss_config, map_result):
         from victor_tpu.io import build_tables
         from victor_tpu.sampling.optimize import profile_scan

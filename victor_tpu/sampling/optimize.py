@@ -66,12 +66,22 @@ class MAPResult:
 
 
 def _make_objectives(bundle, space: ParamSpace, opts_kw, fit_kw):
-    """(neg-lnpost over unbounded y, (lnlike, chi2) over physical theta)."""
+    """(neg-lnpost over unbounded y, (lnlike, chi2) over physical theta).
+
+    `bundle` may also be a callable params-dict -> (lnlike, aux), like
+    run_smc accepts (testing / custom targets)."""
     from ..io.tables import CCFModelBundle  # noqa: F401  (typing only)
     from ..likelihood.core import log_likelihood
     from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
 
-    if isinstance(bundle, JointBundle):
+    if callable(bundle) and not hasattr(bundle, 'tables') \
+            and not isinstance(bundle, JointBundle):
+        tables_arg = jnp.zeros(())
+        user_fn = bundle
+
+        def loglike(tbl, params):
+            return user_fn(params)
+    elif isinstance(bundle, JointBundle):
         tables_arg = bundle
 
         def loglike(tbl, params):
@@ -123,7 +133,10 @@ def find_map(bundle, params_block: Dict,
         bundle, space, opts_kw, fit_kw)
 
     from ..likelihood.multiquantile import JointBundle
-    if isinstance(bundle, JointBundle):
+    if callable(bundle) and not hasattr(bundle, 'tables') \
+            and not isinstance(bundle, JointBundle):
+        cache_id = ('callable', id(bundle))
+    elif isinstance(bundle, JointBundle):
         cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
                     bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
     else:
@@ -280,7 +293,7 @@ def profile_scan(bundle, params_block: Dict, scan_names,
                  n_sigma: float = 4.0, adam_steps: int = 150,
                  newton_steps: int = 6, learning_rate: float = 0.05,
                  seed: int = 0, opts_kw: Optional[Dict] = None,
-                 fit_kw: Optional[Dict] = None,
+                 fit_kw: Optional[Dict] = None, grid_chunk: int = 32,
                  map_result: Optional[MAPResult] = None) -> ProfileResult:
     """Profile likelihood: minimise chi2 over the nuisance parameters at
     every point of a grid in `scan_names` — the frequentist companion to the
@@ -330,7 +343,14 @@ def profile_scan(bundle, params_block: Dict, scan_names,
     from ..likelihood.core import log_likelihood
     from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
 
-    if isinstance(bundle, JointBundle):
+    if callable(bundle) and not hasattr(bundle, 'tables') \
+            and not isinstance(bundle, JointBundle):
+        tables_arg = jnp.zeros(())
+        user_fn = bundle
+
+        def loglike(tbl, params):
+            return user_fn(params)
+    elif isinstance(bundle, JointBundle):
         tables_arg = bundle
 
         def loglike(tbl, params):
@@ -394,10 +414,23 @@ def profile_scan(bundle, params_block: Dict, scan_names,
         return jax.vmap(per_point)(y0, gs)
 
     theta_map_free = np.array([map_result.params[n] for n in free_names])
-    y0 = jnp.broadcast_to(
-        fspace.to_unbounded(jnp.asarray(theta_map_free)),
-        (len(grid), len(free_names)))
-    theta_free, lnl, chi2 = scan_all(tables_arg, y0, jnp.asarray(grid))
+    y_map = fspace.to_unbounded(jnp.asarray(theta_map_free))
+
+    # chunk the grid axis: the vmapped hessian/jvp intermediates are
+    # (chunk, n_free, n_v, q)-sized, so a large 2D grid in one dispatch
+    # exhausts HBM (observed at 225 points on a v5e); fixed chunk shape
+    # keeps it one compile + a handful of dispatches
+    G = len(grid)
+    chunk = min(grid_chunk, G)
+    n_chunks = -(-G // chunk)
+    pad = n_chunks * chunk - G
+    grid_p = np.concatenate([grid, np.repeat(grid[:1], pad, axis=0)]) \
+        if pad else grid
+    y0 = jnp.broadcast_to(y_map, (chunk, len(free_names)))
+    outs = [scan_all(tables_arg, y0, jnp.asarray(grid_p[i * chunk:(i + 1) * chunk]))
+            for i in range(n_chunks)]
+    theta_free, lnl, chi2 = (jnp.concatenate([o[k] for o in outs])[:G]
+                             for k in range(3))
 
     result = ProfileResult(
         scan_names=scan_names, grid=grid,
