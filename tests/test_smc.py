@@ -57,6 +57,37 @@ class TestGaussianEvidence:
         assert np.all(result.acceptance > 0.05)  # mutations actually move
 
 
+class TestCheckpointResume:
+    def test_interrupted_run_resumes_bit_identically(self, tmp_path):
+        """Kill the run after 2 stages (max_stages), resume from the
+        checkpoint: the final particles, evidence, and ladder must be
+        bit-identical to an uninterrupted run (the d-beta bisection is
+        deterministic in the restored log-likelihoods and the PRNG key is
+        part of the state)."""
+        from victor_tpu.sampling import run_smc
+        g = TestGaussianEvidence()
+        ckpt = str(tmp_path / 'smc_ckpt.npz')
+
+        full = run_smc(g._loglike, g.BLOCK, n_particles=128, n_moves=3,
+                       seed=7, chunk=None)
+
+        with pytest.raises(RuntimeError):
+            run_smc(g._loglike, g.BLOCK, n_particles=128, n_moves=3,
+                    seed=7, chunk=None, max_stages=2, checkpoint=ckpt)
+        resumed = run_smc(g._loglike, g.BLOCK, n_particles=128, n_moves=3,
+                          seed=7, chunk=None, checkpoint=ckpt, resume=True)
+
+        np.testing.assert_array_equal(resumed.particles, full.particles)
+        assert resumed.logz == full.logz
+        np.testing.assert_array_equal(resumed.betas, full.betas)
+
+        # resuming a FINISHED run returns the stored state without sampling
+        again = run_smc(g._loglike, g.BLOCK, n_particles=128, n_moves=3,
+                        seed=7, chunk=None, checkpoint=ckpt, resume=True)
+        np.testing.assert_array_equal(again.particles, full.particles)
+        assert again.logz == full.logz
+
+
 class TestShardedSMC:
     def test_mesh_sharded_matches_gaussian(self):
         """SMC with the particle axis sharded over the 8-device CPU mesh:

@@ -76,6 +76,8 @@ def cmd_run(args):
             n_moves=int(sampler.get('n_moves', args.moves)),
             ess_target=float(sampler.get('ess_target', 0.5)),
             seed=int(sampler.get('seed', args.seed)),
+            checkpoint=sampler.get('checkpoint', args.checkpoint),
+            resume=args.resume,
             output=sampler.get('output', cfg.get('output', args.output)))
         print(json.dumps({'sampler': 'smc', 'n_particles': len(result.particles),
                           'n_stages': len(result.betas) - 1,

@@ -29,6 +29,7 @@ d-beta bisection, so an entire run is O(10-30) small dispatches.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, Optional
 
@@ -100,6 +101,7 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
             chunk: Optional[int] = 64,
             mesh: Optional[jax.sharding.Mesh] = None,
             mesh_axis=None, max_stages: int = 200,
+            checkpoint: Optional[str] = None, resume: bool = False,
             output: Optional[str] = None) -> SMCResult:
     """Sample the posterior AND estimate the evidence by tempered SMC.
 
@@ -108,6 +110,12 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     `chunk` bounds per-dispatch memory exactly like likelihood/batched.py.
     With `mesh`, the particle axis is sharded (tables replicated); the
     resampling gather turns into XLA collectives automatically.
+
+    `checkpoint`: write the full sampler state (particles, temperatures,
+    running log Z) at every stage boundary; `resume=True` continues an
+    interrupted run exactly — the d-beta bisection is deterministic in the
+    restored log-likelihoods and the PRNG key is part of the state, so a
+    resumed run is bit-identical to an uninterrupted one.
     """
     from ..likelihood.core import log_likelihood
     from ..likelihood.batched import chunked_vmap
@@ -202,10 +210,15 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
         fns['stage'] = jax.jit(stage)
         fns['lnprior'] = jax.jit(jax.vmap(lnprior_scalar))
 
+    state = None
+    if resume and checkpoint and os.path.isfile(checkpoint):
+        z = np.load(checkpoint, allow_pickle=False)
+        state = {k: z[k] for k in z.files}
+        log.info('resumed SMC from %s at beta=%.4f (stage %d)',
+                 checkpoint, float(state['beta']), len(state['betas']) - 1)
+
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
-    theta0 = space.sample_prior(k0, n_particles)
-    y = space.to_unbounded(theta0)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -213,16 +226,49 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
             mesh_axis = tuple(mesh.axis_names)
         shard = NamedSharding(mesh, P(mesh_axis))
         rep = NamedSharding(mesh, P())
-        y = jax.device_put(y, shard)
         tables_arg = jax.device_put(tables_arg, rep)
 
     t0 = time.time()
-    lnl, aux = fns['init'](tables_arg, y)
-    lnpri = fns['lnprior'](y)
-    beta = 0.0
-    logz = 0.0
-    var_sum = 0.0
-    betas, ess_hist, acc_hist = [0.0], [], []
+    if state is None:
+        theta0 = space.sample_prior(k0, n_particles)
+        y = space.to_unbounded(theta0)
+        if mesh is not None:
+            y = jax.device_put(y, shard)
+        lnl, aux = fns['init'](tables_arg, y)
+        lnpri = fns['lnprior'](y)
+        beta = 0.0
+        logz = 0.0
+        var_sum = 0.0
+        betas, ess_hist, acc_hist = [0.0], [], []
+    else:
+        y = jnp.asarray(state['y'])
+        lnl = jnp.asarray(state['lnl'])
+        lnpri = jnp.asarray(state['lnpri'])
+        aux = jnp.asarray(state['aux'])
+        key = jnp.asarray(state['key'])
+        if mesh is not None:
+            y, lnl, lnpri, aux = (jax.device_put(a, shard)
+                                  for a in (y, lnl, lnpri, aux))
+        beta = float(state['beta'])
+        logz = float(state['logz'])
+        var_sum = float(state['var_sum'])
+        betas = list(np.asarray(state['betas']))
+        ess_hist = list(np.asarray(state['ess']))
+        acc_hist = list(np.asarray(state['acc']))
+
+    def _save_checkpoint():
+        if not checkpoint:
+            return
+        d = os.path.dirname(os.path.abspath(checkpoint))
+        os.makedirs(d, exist_ok=True)
+        np.savez(checkpoint, y=np.asarray(y), lnl=np.asarray(lnl),
+                 lnpri=np.asarray(lnpri), aux=np.asarray(aux),
+                 key=np.asarray(key), beta=beta, logz=logz,
+                 var_sum=var_sum, betas=np.asarray(betas),
+                 ess=np.asarray(ess_hist), acc=np.asarray(acc_hist))
+
+    if beta >= 1.0 and state is not None:
+        max_stages = 0       # resumed a finished run: fall through to result
     for _ in range(max_stages):
         lnl_h = np.asarray(lnl, dtype=np.float64)
         finite = np.isfinite(lnl_h)
@@ -245,12 +291,15 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
         acc_hist.append(float(acc))
         betas.append(beta_new)
         beta = beta_new
+        _save_checkpoint()
         log.info('SMC stage %d: beta=%.4f ESS=%.2f acc=%.2f logZ=%.3f',
                  len(betas) - 1, beta, ess, float(acc), logz)
         if beta >= 1.0:
             break
-    else:
-        raise RuntimeError(f'SMC did not reach beta=1 in {max_stages} stages')
+    if beta < 1.0:
+        raise RuntimeError(f'SMC did not reach beta=1 in {max_stages} stages '
+                           '(state saved to the checkpoint if one was given; '
+                           'resume=True continues exactly)')
 
     theta = np.asarray(space.to_bounded(y), dtype=np.float64)
     lnl_h = np.asarray(lnl, dtype=np.float64)
