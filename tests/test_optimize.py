@@ -151,6 +151,28 @@ class TestProfileScan:
                          map_result=map_result)
 
 
+class TestFisherForecast:
+    def test_fisher_matches_laplace_scale(self, boss_config, map_result):
+        """Fisher forecast at the MAP point: for this near-Gaussian
+        likelihood with weakly beta-dependent covariance the forecast
+        sigmas should track the Laplace sigmas."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import fisher_forecast
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        names = ('fsigma8', 'beta', 'sigma_v', 'epsilon')
+        res = fisher_forecast(bundle, map_result.params, names)
+        assert np.all(np.isfinite(res.fisher))
+        lap = map_result.std
+        for n in names:
+            ratio = res.std[n] / lap[n]
+            assert 0.5 < ratio < 2.0, \
+                f'{n}: Fisher {res.std[n]:.4g} vs Laplace {lap[n]:.4g}'
+        # same degeneracy structure
+        corr_f = res.correlation
+        i, j = names.index('fsigma8'), names.index('sigma_v')
+        assert corr_f[i, j] > 0.4
+
+
 class TestFitCLI:
     def test_cli_fit_runs(self, capsys, tmp_path, boss_config):
         import json

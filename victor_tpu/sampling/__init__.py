@@ -1,7 +1,8 @@
 from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
-from .optimize import find_map, MAPResult, profile_scan, ProfileResult
+from .optimize import (find_map, MAPResult, profile_scan, ProfileResult,
+                       fisher_forecast, FisherResult)
 from .smc import run_smc, SMCResult
 from . import hmc
 from . import nuts
@@ -15,7 +16,7 @@ __all__ = [
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
     'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
-    'run_smc', 'SMCResult',
+    'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',

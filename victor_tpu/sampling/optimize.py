@@ -256,6 +256,85 @@ def find_map(bundle, params_block: Dict,
 
 
 @dataclasses.dataclass
+class FisherResult:
+    names: tuple
+    fiducial: np.ndarray        # (ndim,)
+    fisher: np.ndarray          # (ndim, ndim) F_ij = d_i t . C^-1 . d_j t
+    cov: np.ndarray             # inv(F): forecast parameter covariance
+
+    @property
+    def std(self) -> Dict[str, float]:
+        sd = np.sqrt(np.clip(np.diag(self.cov), 0.0, np.inf))
+        return {n: float(sd[i]) for i, n in enumerate(self.names)}
+
+    @property
+    def correlation(self) -> np.ndarray:
+        sd = np.sqrt(np.clip(np.diag(self.cov), 1e-300, np.inf))
+        return self.cov / np.outer(sd, sd)
+
+
+def fisher_forecast(bundle, fiducial: Dict, names,
+                    opts_kw: Optional[Dict] = None,
+                    fit_kw: Optional[Dict] = None) -> FisherResult:
+    """Gaussian Fisher-matrix forecast at a fiducial parameter point.
+
+    F_ij = (d r / d theta_i)^T C^-1 (d r / d theta_j), with r = t - d the
+    residual of the theory multipole vector against the (beta-interpolated)
+    data vector, and C the covariance at the fiducial beta — the expected
+    parameter covariance from the local response of the fit (no external
+    numerical-derivative machinery: the residual is differentiated exactly
+    with jax.jacfwd). Differentiating the RESIDUAL rather than the theory
+    alone matters for reconstruction analyses: beta moves the data vector
+    through the beta grid as well as the theory (victor/ccf_fit.py:306-323),
+    and that data response carries most of the beta information.
+
+    Unlike the Laplace covariance from `find_map` (curvature of the actual
+    posterior at the MAP), the Fisher forecast uses only the model, the
+    data-template response, and the covariance; for a Gaussian likelihood
+    with parameter-independent C the two agree in expectation.
+    """
+    from ..likelihood.core import interpolated_precision, multipole_datavector
+    from ..models.ccf_theory import theory_vector
+
+    names = tuple(names)
+    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    fit = bundle.fit_opts.replace(**(fit_kw or {}))
+    spec = bundle.spec
+
+    fixed = {k: jnp.asarray(v) for k, v in fiducial.items() if k not in names}
+    th0 = jnp.asarray([float(fiducial[n]) for n in names])
+
+    def residual(tbl, th):
+        params = dict(fixed)
+        for i, n in enumerate(names):
+            params[n] = th[i]
+        beta = params.get('beta', jnp.asarray(0.0))
+        return theory_vector(tbl, spec, opts, params) - \
+            multipole_datavector(tbl, spec, beta)
+
+    jac_fn = jax.jit(lambda tbl, th: (
+        jax.jacfwd(lambda t: residual(tbl, t))(th),
+        interpolated_precision(tbl, spec,
+                               jnp.asarray(float(fiducial.get('beta', 0.4))))))
+    J, icov = jac_fn(bundle.tables, th0)
+    J = np.asarray(J, dtype=np.float64)            # (ndata, ndim)
+    icov = np.asarray(icov, dtype=np.float64)
+    F = J.T @ icov @ J
+    F = 0.5 * (F + F.T)
+    try:
+        cov = np.linalg.inv(F)
+    except np.linalg.LinAlgError:
+        cov = np.full_like(F, np.nan)
+    res = FisherResult(names=names,
+                       fiducial=np.asarray(th0, dtype=np.float64),
+                       fisher=F, cov=cov)
+    log.info('Fisher forecast at %s: sigma = %s',
+             {n: float(fiducial[n]) for n in names},
+             {k: round(v, 5) for k, v in res.std.items()})
+    return res
+
+
+@dataclasses.dataclass
 class ProfileResult:
     scan_names: tuple
     grid: np.ndarray            # (G, n_scan) scanned parameter values
