@@ -1,0 +1,67 @@
+"""End-to-end statistical calibration: parameter recovery on synthetic data.
+
+tools/coverage_test.py draws mock data vectors from the covariance at a
+fiducial point and refits them; with the gaussian likelihood form the pulls
+(theta_hat - theta_fid)/sigma_Laplace must be standard normal. A small mock
+count keeps the test fast — the assertions are sized to its binomial/CLT
+noise; the tool's default (100 mocks) tightens them on real hardware.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+
+class TestCoverage:
+    @pytest.fixture(scope='class')
+    def pulls(self, boss_config):
+        from coverage_test import run_coverage
+        from victor_tpu.io import build_tables
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        pulls, hit68, names = run_coverage(
+            bundle, n_mocks=8, seed=11, form='gaussian',
+            n_starts=4, adam_steps=100, newton_steps=6)
+        return pulls, hit68, names
+
+    def test_pulls_are_standard_normal(self, pulls):
+        """beta is excluded from the tight calibration bands: its per-mock
+        likelihood has beta-grid-scale structure (template spacing ~0.01 vs
+        sigma(beta) ~0.007) so its pulls are heavy-tailed by construction —
+        see tools/coverage_test.py module docstring (60-mock TPU run:
+        fsigma8/sigma_v/epsilon pull std 1.03/1.04/0.94; beta 2.4)."""
+        p, hit68, names = pulls
+        assert np.all(np.isfinite(p))
+        ib = names.index('beta')
+        smooth = np.delete(p, ib, axis=1).reshape(-1)   # 8 mocks x 3 params
+        # mean: sigma_mean = 1/sqrt(24) = 0.20 -> generous band
+        assert abs(smooth.mean()) < 0.8, f'biased pulls: {smooth.mean():.3f}'
+        # scatter: std(std) ~ 1/sqrt(2*24) = 0.14
+        assert 0.55 < smooth.std() < 1.6, \
+            f'miscalibrated sigmas: {smooth.std():.3f}'
+        # beta: heavy-tailed but must stay bounded and centred-ish
+        assert np.abs(p[:, ib]).max() < 15.0
+        assert 0.35 < hit68 < 0.95, f'68%-coverage: {hit68:.2f}'
+
+    def test_mock_shift_is_exact_at_fiducial_beta(self, boss_config):
+        """shift_datavector moves the beta-interpolated data vector by
+        exactly delta at every beta (constant shift commutes with PCHIP)."""
+        import jax.numpy as jnp
+        from coverage_test import shift_datavector
+        from victor_tpu.io import build_tables
+        from victor_tpu.likelihood.core import multipole_datavector
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        rng = np.random.default_rng(3)
+        d0 = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
+                                             jnp.asarray(0.4123)))
+        delta = rng.normal(size=d0.shape)
+        mb = shift_datavector(bundle, delta)
+        for beta in [0.37, 0.4123, 0.55]:
+            a = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
+                                                jnp.asarray(beta)))
+            b = np.asarray(multipole_datavector(mb.tables, mb.spec,
+                                                jnp.asarray(beta)))
+            np.testing.assert_allclose(b - a, delta, atol=1e-12)

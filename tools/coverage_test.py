@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Parameter-recovery (coverage) validation with synthetic data.
+
+Draws N mock data vectors d_k = t(theta_fid) + L xi_k (L = Cholesky factor
+of the covariance at the fiducial beta), refits every mock with the MAP +
+Laplace machinery, and checks that the pulls (theta_hat - theta_fid)/sigma
+are standard normal and that the nominal 68% intervals cover at the nominal
+rate — an end-to-end statistical calibration test of the likelihood,
+optimizer, and error bars together (the reference has no analogue; mock
+validation there is manual).
+
+All mocks share one compiled fit: the mock enters through the data-vector
+tables, which ride as jit arguments, so fit k >= 2 costs no compile.
+
+Measured on the BOSS config (60 mocks, gaussian form, one v5e chip,
+2026-08-17): fsigma8 / sigma_v / epsilon pulls are standard normal (std
+1.03 / 1.04 / 0.94, coverage 73/67/72%), overall 68.3%-interval coverage
+66.7 +/- 3.0%. The reconstruction parameter beta is the exception BY
+CONSTRUCTION: its information comes from the data template's finite beta
+grid, whose spacing (~0.01) is comparable to sigma(beta) (~0.007), so the
+per-mock beta likelihood has grid-scale structure, the minimum hops
+between wiggles under noise, and the quadratic Laplace sigma understates
+the mock-to-mock scatter (pull std ~2.4, heavy-tailed). The reference's
+beta inference has the identical property; use the samplers/profile scan
+for beta intervals rather than the Laplace sigma.
+
+Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIDUCIAL = {'fsigma8': 0.47, 'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0}
+
+PARAMS_BLOCK = {
+    'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.05}},
+    'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+             'ref': {'dist': 'norm', 'loc': 0.37, 'scale': 0.03}},
+    'sigma_v': {'prior': {'dist': 'uniform', 'min': 100.0, 'max': 500.0},
+                'ref': {'dist': 'norm', 'loc': 380.0, 'scale': 30.0}},
+    'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8, 'max': 1.2},
+                'ref': {'dist': 'norm', 'loc': 1.0, 'scale': 0.02}},
+}
+
+
+def shift_datavector(bundle, delta):
+    """Bundle with the data vector shifted by `delta` (n_ell_s * n_s,) at
+    EVERY beta grid point: a constant shift moves only the constant PCHIP
+    coefficient (interpolation is linear in the table values)."""
+    import jax.numpy as jnp
+    t = bundle.tables
+    if bundle.spec.fixed_data:
+        d2 = t.data_mult_fixed + delta.reshape(t.data_mult_fixed.shape)
+        t2 = dataclasses.replace(t, data_mult_fixed=jnp.asarray(d2))
+    else:
+        c = t.data_mult_pchip_c
+        d2 = c.at[:, 0].add(jnp.asarray(
+            delta.reshape(c.shape[2:])[None]))
+        t2 = dataclasses.replace(t, data_mult_pchip_c=d2)
+    return dataclasses.replace(bundle, tables=t2)
+
+
+def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
+                 fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
+                 n_starts=4, adam_steps=120, newton_steps=6):
+    """Returns (pulls (n_mocks, ndim), hit68 fraction, names)."""
+    import jax.numpy as jnp
+    from victor_tpu.likelihood.core import (interpolated_covariance,
+                                            multipole_datavector)
+    from victor_tpu.models.ccf_theory import theory_vector
+    from victor_tpu.sampling.optimize import find_map
+
+    fit_kw = {'form': form}
+    names = [n for n in params_block]
+    fid = np.array([fiducial[n] for n in names])
+
+    params = {k: jnp.asarray(v) for k, v in fiducial.items()}
+    tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
+                                    bundle.theory_opts, params),
+                      dtype=np.float64)
+    dvec = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
+                                           jnp.asarray(fiducial['beta'])),
+                      dtype=np.float64)
+    cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
+                                             jnp.asarray(fiducial['beta'])),
+                     dtype=np.float64)
+    L = np.linalg.cholesky(cov)
+
+    rng = np.random.default_rng(seed)
+    pulls = np.empty((n_mocks, len(names)))
+    hits = 0
+    for k in range(n_mocks):
+        mock = tvec + L @ rng.standard_normal(len(tvec))
+        # shift the stored data vector so that AT the fiducial beta it
+        # equals the mock (the beta-dependence of the template is kept)
+        mb = shift_datavector(bundle, mock - dvec)
+        res = find_map(mb, params_block, n_starts=n_starts,
+                       adam_steps=adam_steps, newton_steps=newton_steps,
+                       seed=seed + k, fit_kw=fit_kw)
+        sd = res.std
+        pulls[k] = [(res.params[n] - fiducial[n]) / max(sd[n], 1e-300)
+                    for n in names]
+    hit68 = float(np.mean(np.abs(pulls) < 1.0))
+    return pulls, hit68, names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mocks', type=int, default=100)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--form', default='gaussian',
+                    help='likelihood form for generation+fit (gaussian = '
+                         'exactly calibrated; sellentin adds the t-tail)')
+    args = ap.parse_args()
+
+    import yaml
+
+    from victor_tpu.io import build_tables
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
+
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+    bundle = build_tables(cfg['model'], cfg['data'])
+
+    pulls, hit68, names = run_coverage(bundle, n_mocks=args.mocks,
+                                       seed=args.seed, form=args.form)
+    print(f'{args.mocks} mocks, likelihood form = {args.form}')
+    for i, n in enumerate(names):
+        p = pulls[:, i]
+        print(f'  {n:8s} pull mean {p.mean():+6.3f} +/- '
+              f'{p.std() / np.sqrt(len(p)):.3f}   std {p.std():.3f}   '
+              f'|pull|<1: {np.mean(np.abs(p) < 1) * 100:.0f}%')
+    print(f'overall 68.3%-interval coverage: {hit68 * 100:.1f}% '
+          f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / pulls.size):.1f}%)')
+
+
+if __name__ == '__main__':
+    main()
