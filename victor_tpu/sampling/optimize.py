@@ -205,10 +205,13 @@ def find_map(bundle, params_block: Dict,
     H, g = fns['laplace'](tables_arg, theta)
     H = np.asarray(H, dtype=np.float64)
     if not np.all(np.isfinite(H)):
-        # Second-order AD can produce NaN through heavily-masked pipelines
-        # (the ESM shell-crossing repair) even where first-order gradients
-        # are exact (HMC relies on them). Fall back to central finite
-        # differences of the exact gradient: 2*ndim extra gradient evals.
+        # f32-only failure: on CPU f64 every ESM Hessian column is finite
+        # (verified by per-direction jvp-of-grad probes, ~1.5 s each), while
+        # TPU f32 HVPs NaN exactly in the ESM shape-parameter components —
+        # an underflow/overflow in the second-order tangents of the masked
+        # ESM pipeline, not an AD-structure problem. First-order gradients
+        # are exact in both precisions (HMC relies on them), so fall back to
+        # central finite differences of the AD gradient: 2*ndim extra evals.
         log.info('exact Hessian non-finite; using finite differences of the '
                  'AD gradient for the Laplace covariance')
         th0 = np.asarray(theta, dtype=np.float64)
