@@ -233,3 +233,35 @@ class TestESMGradients:
             fd = (nll(theta.at[i].add(eps)) - nll(theta.at[i].add(-eps))) / (2 * eps)
             np.testing.assert_allclose(float(g[i]), float(fd), rtol=2e-4,
                                        err_msg=f'param {i}')
+
+
+class TestTophatWindowADStability:
+    def test_second_order_f32_finite_and_accurate(self):
+        """The spherical top-hat window must survive second-order AD in f32
+        at the extreme x of the variance integrals (x ~ 1e-5 in sigma80,
+        ~2e-3 in the ESM s_j integrals): plain AD of the formula stacks
+        quotient rules to x^-9..x^-15 intermediates that overflow f32 and
+        NaN Hessians (the custom_jvp in eisenstein_hu.tophat_window
+        re-expresses W' via W and sin/x^2 so every order stays at x^-2)."""
+        from victor_tpu.models.eisenstein_hu import tophat_window
+        x64 = jnp.asarray([1e-5, 2e-3, 0.1, 5.0, 240.0])
+
+        def f(scale, xs):
+            return jnp.sum(tophat_window(scale * xs))
+
+        # primal parity with the raw formula
+        raw = 3.0 * (jnp.sin(x64) - x64 * jnp.cos(x64)) / x64 ** 3
+        np.testing.assert_allclose(np.asarray(tophat_window(x64)),
+                                   np.asarray(raw), rtol=1e-12)
+        # first/second derivatives: f64 reference values
+        one64 = jnp.asarray(1.0)
+        g64 = jax.grad(f)(one64, x64)
+        h64 = jax.jvp(lambda s: jax.grad(f)(s, x64), (one64,), (one64,))[1]
+        # f32: finite and matching
+        x32 = x64.astype(jnp.float32)
+        one32 = jnp.asarray(1.0, jnp.float32)
+        g32 = jax.grad(f)(one32, x32)
+        h32 = jax.jvp(lambda s: jax.grad(f)(s, x32), (one32,), (one32,))[1]
+        assert np.isfinite(float(g32)) and np.isfinite(float(h32))
+        np.testing.assert_allclose(float(g32), float(g64), rtol=2e-4)
+        np.testing.assert_allclose(float(h32), float(h64), rtol=2e-3)

@@ -111,11 +111,47 @@ _S8_X = 0.5 * (20.0 - 1e-5) * (_S8_NODES + 1.0) + 1e-5
 _S8_W = 0.5 * (20.0 - 1e-5) * _S8_WEIGHTS
 
 
+@jax.custom_jvp
+def tophat_window(x):
+    """Spherical top-hat window W(x) = 3 (sin x - x cos x) / x^3.
+
+    Carries a custom derivative rule because plain AD is an f32 trap at
+    higher order: nested quotient rules on the x^3 denominator stack up to
+    x^-9..x^-15 intermediates, which overflow to inf at the small-x end of
+    the variance integrals (x ~ 1e-5 in sigma80, ~2e-3 in the ESM s_j
+    integrals) and poison Hessians with inf*0 = NaN even where the primal
+    and first derivative are perfectly finite. The rule below re-expresses
+    W'(x) = 3 sin(x)/x^2 - 3 W(x)/x, so EVERY differentiation order only
+    ever introduces x^-1..x^-2 factors (the recursion closes over W and
+    sin/x^2) — finite in f32 for all x the pipeline produces. Primal values
+    are unchanged; first derivatives agree with AD-of-formula to rounding.
+    """
+    return 3.0 * (jnp.sin(x) - x * jnp.cos(x)) / x ** 3
+
+
+@tophat_window.defjvp
+def _tophat_window_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    w = tophat_window(x)
+    # W'(x) = -3 j2(x)/x: the closed form 3(sin x/x^2 - W/x) cancels
+    # catastrophically below x ~ 0.1 (two ~1/x terms differencing to ~x/5),
+    # so small x uses the series -x/5 + x^3/70 - x^5/2520 (next term
+    # x^7/166320: rel err < 4e-9 at the 0.35 crossover, where the closed
+    # form's f32 cancellation error is ~1e-5 rel and falling as x grows).
+    # Both branches are finite everywhere, so the select is AD-safe at
+    # every order.
+    x2 = x * x
+    dw_series = x * (-1.0 / 5.0 + x2 * (1.0 / 70.0 - x2 / 2520.0))
+    dw_closed = 3.0 * (jnp.sin(x) / x ** 2 - w / x)
+    dw = jnp.where(x < 0.35, dw_series, dw_closed)
+    return w, dw * dx
+
+
 def sigma80(p: EisensteinHuParams):
     """sigma_8(z=0) for this (un-normalised) EH power spectrum."""
     x = jnp.asarray(_S8_X)
     w = jnp.asarray(_S8_W)
-    window = 3.0 / x ** 3 * (jnp.sin(x) - x * jnp.cos(x))
+    window = tophat_window(x)
     integrand = (power_eh(p, x / 8.0) * (x / 8.0) ** 3 * window ** 2 / x
                  / (2.0 * jnp.pi ** 2))
     return jnp.sqrt(jnp.sum(w * integrand))

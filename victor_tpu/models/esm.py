@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..ops.special import hyp2f1_growth
 from ..ops.splines import (cubic_coeffs_dynamic, gradient_nonuniform,
                            ppoly_eval_dynamic)
-from .eisenstein_hu import eisenstein_hu_params, power_eh, sigma80
+from .eisenstein_hu import (eisenstein_hu_params, power_eh, sigma80,
+                            tophat_window)
 
 TWO_PI2 = 2.0 * jnp.pi ** 2
 
@@ -93,7 +94,10 @@ def esm_state(tables, spec, params):
 # ---------------------------------------------------------------------------
 
 def _w_tophat(kr):
-    return 3.0 * (jnp.sin(kr) - kr * jnp.cos(kr)) / kr ** 3
+    """Spherical top-hat window; shares the AD-stable implementation with
+    sigma80 (see eisenstein_hu.tophat_window for why plain AD of the
+    formula NaNs f32 Hessians)."""
+    return tophat_window(kr)
 
 
 def _w_cut(k, R, Rx):

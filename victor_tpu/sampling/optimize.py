@@ -205,13 +205,13 @@ def find_map(bundle, params_block: Dict,
     H, g = fns['laplace'](tables_arg, theta)
     H = np.asarray(H, dtype=np.float64)
     if not np.all(np.isfinite(H)):
-        # f32-only failure: on CPU f64 every ESM Hessian column is finite
-        # (verified by per-direction jvp-of-grad probes, ~1.5 s each), while
-        # TPU f32 HVPs NaN exactly in the ESM shape-parameter components —
-        # an underflow/overflow in the second-order tangents of the masked
-        # ESM pipeline, not an AD-structure problem. First-order gradients
-        # are exact in both precisions (HMC relies on them), so fall back to
-        # central finite differences of the AD gradient: 2*ndim extra evals.
+        # Defensive fallback: should no longer trigger for the shipped
+        # models — the one known f32 second-order failure (quotient-rule
+        # overflow in the spherical top-hat window's nested AD) is fixed at
+        # the source with a custom derivative rule
+        # (eisenstein_hu.tophat_window). If some future model path NaNs its
+        # exact Hessian, central finite differences of the AD gradient give
+        # a usable covariance at 2*ndim extra gradient evals.
         log.info('exact Hessian non-finite; using finite differences of the '
                  'AD gradient for the Laplace covariance')
         th0 = np.asarray(theta, dtype=np.float64)
