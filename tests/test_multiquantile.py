@@ -191,3 +191,45 @@ class TestJointSampling:
         assert res.betas[-1] == 1.0
         assert np.isfinite(res.logz)
         assert 0.3 < res.particles[:, 0].mean() < 0.85
+
+
+class TestJointCLI:
+    """Top-level `quantiles:` configs are first-class in the CLI."""
+
+    @pytest.fixture()
+    def joint_yaml(self, joint_cfg, tmp_path):
+        import yaml
+        cfg = dict(joint_cfg)
+        cfg['params'] = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.03}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+                     'ref': {'dist': 'norm', 'loc': 0.37, 'scale': 0.02}},
+            'sigma_v': 380.0,
+            'epsilon': 1.0,
+        }
+        cfg['sampler'] = {'n_walkers': 8, 'max_steps': 4, 'check_every': 2,
+                          'rhat_stop': 0.0}
+        p = tmp_path / 'joint.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        return str(p)
+
+    def test_eval(self, joint_yaml, capsys):
+        import json
+        from victor_tpu.__main__ import main
+        main(['eval', joint_yaml, '--param', 'fsigma8=0.47',
+              '--param', 'beta=0.37'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['n_quantiles'] == 2
+        # block-diagonal duplicate: ~2x the single-dataset chi2 of 65.01
+        # (not exact: the joint covariance here is the lerped C while the
+        # single path lerps precision matrices — the reference quirk)
+        assert 110.0 < out['chi2'] < 130.0
+
+    def test_run_ensemble(self, joint_yaml, capsys):
+        import json
+        from victor_tpu.__main__ import main
+        main(['run', joint_yaml])
+        out = json.loads(capsys.readouterr().out)
+        assert out['n_steps'] >= 4
+        assert set(out['summary']) == {'fsigma8', 'beta'}

@@ -43,20 +43,35 @@ def _load(config_path):
             if like_cfg.get('model') and like_cfg.get('data'):
                 cfg.setdefault('model', like_cfg['model'])
                 cfg.setdefault('data', like_cfg['data'])
-    if 'model' not in cfg:
-        sys.exit('config must contain a model: block')
+    if 'model' not in cfg and 'quantiles' not in cfg:
+        sys.exit('config must contain a model: block (or a quantiles: list '
+                 'for a multi-quantile joint fit)')
     return cfg
 
 
-def cmd_run(args):
+def _build_bundle(cfg):
+    """Single-dataset CCFModelBundle, or a JointBundle when the config has a
+    top-level `quantiles:` list (density-split joint fits — the library
+    schema of likelihood/multiquantile.py, now first-class in the CLI)."""
+    if 'quantiles' in cfg:
+        from .likelihood.multiquantile import build_joint_tables
+        return build_joint_tables(cfg)
     from .io import build_tables
+    return build_tables(cfg['model'], cfg.get('data'))
+
+
+def _has_data(cfg):
+    return 'data' in cfg or 'quantiles' in cfg
+
+
+def cmd_run(args):
     from .parallel import make_mesh
     from .sampling import run_hmc_mcmc, run_mcmc
 
     cfg = _load(args.config)
-    if 'data' not in cfg:
+    if not _has_data(cfg):
         sys.exit('run requires a data: block (data vector + covariance)')
-    bundle = build_tables(cfg['model'], cfg['data'])
+    bundle = _build_bundle(cfg)
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block to sample')
@@ -127,11 +142,10 @@ def cmd_eval(args):
     import jax
     import jax.numpy as jnp
 
-    from .io import build_tables
     from .likelihood.core import log_likelihood
 
     cfg = _load(args.config)
-    bundle = build_tables(cfg['model'], cfg.get('data'))
+    bundle = _build_bundle(cfg)
     params = {}
     for spec_ in (cfg.get('params') or {}).items():
         name, spec = spec_
@@ -148,6 +162,15 @@ def cmd_eval(args):
         except ValueError:
             sys.exit(f"bad --param '{kv}': value must be numeric")
     t0 = time.time()
+    if 'quantiles' in cfg:
+        from .likelihood.multiquantile import joint_log_likelihood
+        fn = jax.jit(lambda jb, p: joint_log_likelihood(jb, p))
+        lnl, chisq = fn(bundle, params)
+        print(json.dumps({'log_likelihood': float(lnl), 'chi2': float(chisq),
+                          'n_quantiles': len(bundle.bundles),
+                          'wall_s': round(time.time() - t0, 3),
+                          'params': {k: float(v) for k, v in params.items()}}))
+        return
     if cfg.get('data'):
         # jit is essential off-CPU (eager dispatch would round-trip per op);
         # tables ride as a jit ARGUMENT — closure constants force a
@@ -181,13 +204,12 @@ def cmd_eval(args):
 
 
 def cmd_fit(args):
-    from .io import build_tables
     from .sampling.optimize import find_map
 
     cfg = _load(args.config)
-    if 'data' not in cfg:
+    if not _has_data(cfg):
         sys.exit('fit requires a data: block (data vector + covariance)')
-    bundle = build_tables(cfg['model'], cfg['data'])
+    bundle = _build_bundle(cfg)
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block to fit')
@@ -208,15 +230,14 @@ def cmd_fit(args):
 def cmd_scan(args):
     import numpy as np
 
-    from .io import build_tables
     from .sampling.optimize import profile_scan
 
     cfg = _load(args.config)
-    if 'data' not in cfg:
+    if not _has_data(cfg):
         sys.exit('scan requires a data: block (data vector + covariance)')
     if not args.param:
         sys.exit('scan needs at least one --param to profile over')
-    bundle = build_tables(cfg['model'], cfg['data'])
+    bundle = _build_bundle(cfg)
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block')
@@ -244,19 +265,24 @@ def cmd_bench(args):
     import jax
     import jax.numpy as jnp
 
-    from .io import build_tables
     from .likelihood.batched import make_batched_loglike
     from .sampling.priors import ParamSpace
 
     cfg = _load(args.config)
-    if 'data' not in cfg:
+    if not _has_data(cfg):
         sys.exit('bench requires a data: block (data vector + covariance)')
-    bundle = build_tables(cfg['model'], cfg['data'])
+    bundle = _build_bundle(cfg)
     space = ParamSpace(cfg.get('params') or {})
     if not space.ndim:
         sys.exit('bench needs sampled parameters in the params: block')
-    batched = make_batched_loglike(bundle, space.names,
-                                   base_params=space.fixed, chunk=args.chunk)
+    if 'quantiles' in cfg:
+        from .likelihood.multiquantile import make_batched_joint_loglike
+        batched = make_batched_joint_loglike(bundle, space.names,
+                                             base_params=space.fixed)
+    else:
+        batched = make_batched_loglike(bundle, space.names,
+                                       base_params=space.fixed,
+                                       chunk=args.chunk)
     theta = space.sample_ref(jax.random.PRNGKey(0), args.batch)
     # warm-up/compile; np.asarray (not block_until_ready, which can resolve
     # early through a remote-device tunnel) so no execution tail leaks into
