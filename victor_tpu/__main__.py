@@ -216,15 +216,32 @@ def cmd_fit(args):
     t0 = time.time()
     result = find_map(bundle, params_block, n_starts=args.starts,
                       adam_steps=args.adam_steps, seed=args.seed)
-    print(json.dumps({
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy import stats
+    ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
+        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
+        int(np.asarray(bundle.tables.cov).shape[-1])
+    ndof = ndata - result.space.ndim
+    derived = {d.name: round(float(np.asarray(v)), 6) for d, v in zip(
+        result.space.derived,
+        result.space.derived_values(jnp.asarray(result.theta)).values())}
+    out = {
         'chi2': round(result.chi2, 4),
+        # Gaussian chi^2 tail probability at the best fit (indicative for
+        # the sellentin/percival forms, whose statistic is t-like)
+        'ndof': ndof,
+        'p_value': round(float(stats.chi2.sf(result.chi2, ndof)), 4),
         'log_likelihood': round(result.lnlike, 4),
         'log_posterior': round(result.lnpost, 4),
         'grad_norm': result.grad_norm,
         'best_fit': {k: round(v, 6) for k, v in result.params.items()},
         'std_laplace': {k: round(v, 6) for k, v in result.std.items()},
         'n_converged': result.n_converged,
-        'elapsed_s': round(time.time() - t0, 2)}, indent=2))
+        'elapsed_s': round(time.time() - t0, 2)}
+    if derived:
+        out['derived'] = derived
+    print(json.dumps(out, indent=2))
 
 
 def cmd_scan(args):
@@ -303,7 +320,10 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from ._version import __version__
     p = argparse.ArgumentParser(prog='victor_tpu')
+    p.add_argument('--version', action='version',
+                   version=f'victor_tpu {__version__}')
     sub = p.add_subparsers(dest='cmd', required=True)
 
     pr = sub.add_parser('run', help='sample the posterior (cobaya-run equivalent)')
