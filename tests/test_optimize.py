@@ -129,9 +129,11 @@ class TestProfileScan:
 
         block = {'x': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}},
                  'y': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}}}
-        grid = np.linspace(-0.8, 1.8, 11)[:, None]
+        grid = np.linspace(-0.8, 1.8, 11)          # 1-D form: must be
         res = profile_scan(loglike, block, 'x', grid=grid, adam_steps=200,
                            newton_steps=4, grid_chunk=4)   # 3 chunks, 1 pad
+        assert res.grid.shape == (11, 1)           # ...treated as 11 points
+        grid = grid[:, None]
         want = (grid[:, 0] - MU[0]) ** 2 / COV[0, 0]
         np.testing.assert_allclose(res.delta_chi2(), want - want.min(),
                                    atol=2e-3)

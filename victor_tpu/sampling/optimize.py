@@ -66,34 +66,12 @@ class MAPResult:
 
 
 def _make_objectives(bundle, space: ParamSpace, opts_kw, fit_kw):
-    """(neg-lnpost over unbounded y, (lnlike, chi2) over physical theta).
+    """(tables_arg, lnpost(theta), neg-lnpost(y), (lnlike, chi2)(theta),
+    cache_id) for a target `bundle` — CCFModelBundle, JointBundle, or a
+    callable params-dict -> (lnlike, aux) like run_smc accepts."""
+    from .targets import resolve_target
 
-    `bundle` may also be a callable params-dict -> (lnlike, aux), like
-    run_smc accepts (testing / custom targets)."""
-    from ..io.tables import CCFModelBundle  # noqa: F401  (typing only)
-    from ..likelihood.core import log_likelihood
-    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
-
-    if callable(bundle) and not hasattr(bundle, 'tables') \
-            and not isinstance(bundle, JointBundle):
-        tables_arg = jnp.zeros(())
-        user_fn = bundle
-
-        def loglike(tbl, params):
-            return user_fn(params)
-    elif isinstance(bundle, JointBundle):
-        tables_arg = bundle
-
-        def loglike(tbl, params):
-            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
-    else:
-        opts = bundle.theory_opts.replace(**(opts_kw or {}))
-        fit = bundle.fit_opts.replace(**(fit_kw or {}))
-        spec = bundle.spec
-        tables_arg = bundle.tables
-
-        def loglike(tbl, params):
-            return log_likelihood(tbl, spec, opts, fit, params)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
 
     def lnpost_theta(tbl, theta):
         params = space.full_params(theta)
@@ -107,7 +85,7 @@ def _make_objectives(bundle, space: ParamSpace, opts_kw, fit_kw):
     def like_stats(tbl, theta):
         return loglike(tbl, space.full_params(theta))
 
-    return tables_arg, lnpost_theta, neg_lnpost_y, like_stats
+    return tables_arg, lnpost_theta, neg_lnpost_y, like_stats, cache_id
 
 
 def find_map(bundle, params_block: Dict,
@@ -129,23 +107,13 @@ def find_map(bundle, params_block: Dict,
     import optax
 
     space = ParamSpace(params_block)
-    tables_arg, lnpost_theta, neg_y, like_stats = _make_objectives(
+    tables_arg, lnpost_theta, neg_y, like_stats, cache_id = _make_objectives(
         bundle, space, opts_kw, fit_kw)
 
-    from ..likelihood.multiquantile import JointBundle
-    if callable(bundle) and not hasattr(bundle, 'tables') \
-            and not isinstance(bundle, JointBundle):
-        cache_id = ('callable', id(bundle))
-    elif isinstance(bundle, JointBundle):
-        cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
-                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
-    else:
-        cache_id = (bundle.spec, bundle.theory_opts, bundle.fit_opts)
     cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
                                         for p in space.sampled)),
                  tuple(sorted(space.fixed.items())),
-                 repr(sorted((opts_kw or {}).items())),
-                 repr(sorted((fit_kw or {}).items())),
+                 tuple((d.name, d.argnames) for d in space.derived),
                  n_starts, adam_steps, learning_rate)
     fns = _FIT_CACHE.setdefault(cache_key, {})
 
@@ -306,20 +274,29 @@ def fisher_forecast(bundle, fiducial: Dict, names,
 
     fixed = {k: jnp.asarray(v) for k, v in fiducial.items() if k not in names}
     th0 = jnp.asarray([float(fiducial[n]) for n in names])
+    # ONE fiducial beta for both the data-vector default and the covariance
+    # (they previously used different fallbacks, mixing interpolation points)
+    beta_fid = float(fiducial.get('beta', 0.4))
 
-    def residual(tbl, th):
-        params = dict(fixed)
-        for i, n in enumerate(names):
-            params[n] = th[i]
-        beta = params.get('beta', jnp.asarray(0.0))
-        return theory_vector(tbl, spec, opts, params) - \
-            multipole_datavector(tbl, spec, beta)
+    # the fixed fiducial values are closure constants of the jitted residual,
+    # so they must be part of the cache key
+    cache_key = ('fisher', spec, opts, fit, names, beta_fid,
+                 tuple(sorted((k, float(v)) for k, v in fiducial.items()
+                              if k not in names)))
+    fns = _FIT_CACHE.setdefault(cache_key, {})
+    if 'jac' not in fns:
+        def residual(tbl, th):
+            params = dict(fixed)
+            for i, n in enumerate(names):
+                params[n] = th[i]
+            beta = params.get('beta', jnp.asarray(beta_fid))
+            return theory_vector(tbl, spec, opts, params) - \
+                multipole_datavector(tbl, spec, beta)
 
-    jac_fn = jax.jit(lambda tbl, th: (
-        jax.jacfwd(lambda t: residual(tbl, t))(th),
-        interpolated_precision(tbl, spec,
-                               jnp.asarray(float(fiducial.get('beta', 0.4))))))
-    J, icov = jac_fn(bundle.tables, th0)
+        fns['jac'] = jax.jit(lambda tbl, th: (
+            jax.jacfwd(lambda t: residual(tbl, t))(th),
+            interpolated_precision(tbl, spec, jnp.asarray(beta_fid))))
+    J, icov = fns['jac'](bundle.tables, th0)
     J = np.asarray(J, dtype=np.float64)            # (ndata, ndim)
     icov = np.asarray(icov, dtype=np.float64)
     F = J.T @ icov @ J
@@ -420,31 +397,17 @@ def profile_scan(bundle, params_block: Dict, scan_names,
             axes.append(np.linspace(a, b, n_grid))
         grid = np.stack(np.meshgrid(*axes, indexing='ij'),
                         axis=-1).reshape(-1, len(scan_names))
-    grid = np.atleast_2d(np.asarray(grid, dtype=np.float64))
+    # a user-supplied 1-D array is a 1-D scan's grid, NOT one G-dim point
+    # (np.atleast_2d would turn shape (G,) into (1, G))
+    grid = np.asarray(grid, dtype=np.float64)
+    if grid.ndim == 1:
+        grid = grid[:, None]
+    if grid.ndim != 2 or grid.shape[1] != len(scan_names):
+        raise ValueError(f'grid must have shape (G, {len(scan_names)}); '
+                         f'got {grid.shape}')
 
-    from ..likelihood.core import log_likelihood
-    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
-
-    if callable(bundle) and not hasattr(bundle, 'tables') \
-            and not isinstance(bundle, JointBundle):
-        tables_arg = jnp.zeros(())
-        user_fn = bundle
-
-        def loglike(tbl, params):
-            return user_fn(params)
-    elif isinstance(bundle, JointBundle):
-        tables_arg = bundle
-
-        def loglike(tbl, params):
-            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
-    else:
-        opts = bundle.theory_opts.replace(**(opts_kw or {}))
-        fit = bundle.fit_opts.replace(**(fit_kw or {}))
-        spec = bundle.spec
-        tables_arg = bundle.tables
-
-        def loglike(tbl, params):
-            return log_likelihood(tbl, spec, opts, fit, params)
+    from .targets import resolve_target
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
 
     def params_at(theta_free, scan_vals):
         params = {k: jnp.asarray(v) for k, v in space.fixed.items()}
@@ -465,7 +428,19 @@ def profile_scan(bundle, params_block: Dict, scan_names,
     import optax
     opt = optax.adam(learning_rate)
 
-    @jax.jit
+    # cache the jitted scan across calls (CLAUDE.md rule 4: jax's jit cache
+    # keys on the function OBJECT — a fresh closure per call would re-trace
+    # the hessian-laden graph every invocation). The key covers everything
+    # the closure captures: target statics, the parameter-space structure,
+    # the fixed values (closure constants), and the loop lengths.
+    scan_cache_key = ('scan', cache_id, scan_names, free_names,
+                      tuple(sorted((p.name, p.dist, p.lo, p.hi)
+                                   for p in space.sampled)),
+                      tuple(sorted(space.fixed.items())),
+                      tuple((d.name, d.argnames) for d in space.derived),
+                      adam_steps, newton_steps, learning_rate)
+    _cached = _FIT_CACHE.setdefault(scan_cache_key, {})
+
     def scan_all(tbl, y0, gs):
         def per_point(y_init, g):
             def step(carry, _):
@@ -494,6 +469,10 @@ def profile_scan(bundle, params_block: Dict, scan_names,
             lnl, aux = loglike(tbl, params_at(theta_free, g))
             return theta_free, lnl, aux
         return jax.vmap(per_point)(y0, gs)
+
+    if 'scan_all' not in _cached:
+        _cached['scan_all'] = jax.jit(scan_all)
+    scan_all = _cached['scan_all']
 
     theta_map_free = np.array([map_result.params[n] for n in free_names])
     y_map = fspace.to_unbounded(jnp.asarray(theta_map_free))

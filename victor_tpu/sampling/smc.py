@@ -117,36 +117,25 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     restored log-likelihoods and the PRNG key is part of the state, so a
     resumed run is bit-identical to an uninterrupted one.
     """
-    from ..likelihood.core import log_likelihood
     from ..likelihood.batched import chunked_vmap
-    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
+    from .targets import resolve_target
 
     space = ParamSpace(params_block)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
 
-    if callable(bundle) and not hasattr(bundle, 'tables') \
-            and not isinstance(bundle, JointBundle):
-        tables_arg = jnp.zeros(())
-        user_fn = bundle
-
-        def loglike(tbl, params):
-            return user_fn(params)
-        cache_id = ('callable', id(bundle))
-    elif isinstance(bundle, JointBundle):
-        tables_arg = bundle
-
-        def loglike(tbl, params):
-            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
-        cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
-                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
-    else:
-        opts = bundle.theory_opts.replace(**(opts_kw or {}))
-        fit = bundle.fit_opts.replace(**(fit_kw or {}))
-        spec = bundle.spec
-        tables_arg = bundle.tables
-
-        def loglike(tbl, params):
-            return log_likelihood(tbl, spec, opts, fit, params)
-        cache_id = (spec, opts, fit)
+    # load a checkpoint FIRST: its particle count overrides the n_particles
+    # argument (which also feeds the chunk decision and the jit-cache key)
+    state = None
+    if resume and checkpoint and os.path.isfile(checkpoint):
+        z = np.load(checkpoint, allow_pickle=False)
+        state = {k: z[k] for k in z.files}
+        if state['y'].shape[0] != n_particles:
+            log.info('resume: checkpoint has %d particles; overriding the '
+                     'n_particles=%d argument', state['y'].shape[0],
+                     n_particles)
+            n_particles = int(state['y'].shape[0])
+        log.info('resumed SMC from %s at beta=%.4f (stage %d)',
+                 checkpoint, float(state['beta']), len(state['betas']) - 1)
 
     def lnlike_scalar(tbl, y):
         theta = space.to_bounded(y)
@@ -166,6 +155,7 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
                                         for p in space.sampled)),
                  tuple(sorted(space.fixed.items())),
+                 tuple((d.name, d.argnames) for d in space.derived),
                  n_particles, n_moves, chunk,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _SMC_CACHE.setdefault(cache_key, {})
@@ -175,12 +165,20 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
 
         def stage(tbl, y, lnl, lnpri, aux, key, w, beta_new):
             n, d = y.shape
-            # proposal scale from the PRE-resampling weighted covariance
+            # proposal scale from the PRE-resampling weighted covariance;
+            # jitter scales with trace(C)/d (a fixed 1e-10 is below f32
+            # rounding on late-stage near-degenerate clouds, where the
+            # Cholesky can NaN and silently freeze every mutation), and a
+            # diagonal fallback guards the remaining failure modes
             mu = jnp.einsum('i,ij->j', w, y, precision='highest')
             yc = y - mu
             C = jnp.einsum('i,ij,ik->jk', w, yc, yc, precision='highest')
-            C = C + 1e-10 * jnp.eye(d)
-            chol = jnp.linalg.cholesky(C) * (2.38 / jnp.sqrt(d))
+            jitter = jnp.maximum(1e-6 * jnp.trace(C) / d, 1e-30)
+            C = C + jitter * jnp.eye(d)
+            chol = jnp.linalg.cholesky(C)
+            chol = jnp.where(jnp.isfinite(chol).all(), chol,
+                             jnp.diag(jnp.sqrt(jnp.diag(C))))
+            chol = chol * (2.38 / jnp.sqrt(d))
 
             key, k_res = jax.random.split(key)
             idx = _systematic_resample(k_res, w, n)
@@ -190,7 +188,7 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
                 y, lnl, lnpri, aux, n_acc = carry
                 k1, k2 = jax.random.split(k)
                 eps = jax.random.normal(k1, y.shape)
-                y_p = y + eps @ chol.T
+                y_p = y + jnp.matmul(eps, chol.T, precision='highest')
                 lnl_p, aux_p = batched_lnlike(tbl, y_p)
                 lnpri_p = jax.vmap(lnprior_scalar)(y_p)
                 ln_acc = (beta_new * lnl_p + lnpri_p) - \
@@ -209,13 +207,6 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
 
         fns['stage'] = jax.jit(stage)
         fns['lnprior'] = jax.jit(jax.vmap(lnprior_scalar))
-
-    state = None
-    if resume and checkpoint and os.path.isfile(checkpoint):
-        z = np.load(checkpoint, allow_pickle=False)
-        state = {k: z[k] for k in z.files}
-        log.info('resumed SMC from %s at beta=%.4f (stage %d)',
-                 checkpoint, float(state['beta']), len(state['betas']) - 1)
 
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
@@ -261,11 +252,15 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
             return
         d = os.path.dirname(os.path.abspath(checkpoint))
         os.makedirs(d, exist_ok=True)
-        np.savez(checkpoint, y=np.asarray(y), lnl=np.asarray(lnl),
+        # atomic write-then-rename, matching chains.save_checkpoint: a kill
+        # mid-write must not destroy the previous good checkpoint
+        tmp = checkpoint + '.tmp.npz'
+        np.savez(tmp, y=np.asarray(y), lnl=np.asarray(lnl),
                  lnpri=np.asarray(lnpri), aux=np.asarray(aux),
                  key=np.asarray(key), beta=beta, logz=logz,
                  var_sum=var_sum, betas=np.asarray(betas),
                  ess=np.asarray(ess_hist), acc=np.asarray(acc_hist))
+        os.replace(tmp, checkpoint)
 
     if beta >= 1.0 and state is not None:
         max_stages = 0       # resumed a finished run: fall through to result
