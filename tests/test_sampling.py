@@ -546,3 +546,35 @@ class TestHMC:
         # resumed run starts from the checkpointed positions and appends
         assert r2.chain.shape == (8, 2, 1)
         np.testing.assert_array_equal(r2.chain[:4], r1.chain)
+
+
+class TestPlotChainsTool:
+    def test_quicklook_on_exported_chains(self, tmp_path, capsys):
+        """tools/plot_chains.py reads our GetDist exports, computes
+        cross-chain R-hat, and writes a corner png."""
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                         'tools'))
+        import plot_chains
+
+        from victor_tpu.sampling import ParamSpace
+        from victor_tpu.sampling.chains import export_getdist
+        rng = np.random.default_rng(5)
+        block = {
+            'a': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}},
+            'b': {'prior': {'dist': 'uniform', 'min': -5.0, 'max': 5.0}},
+        }
+        space = ParamSpace(block)
+        chain = rng.normal(size=(200, 8, 2)) * [1.0, 2.0] + [0.5, -1.0]
+        lnp = -0.5 * (chain ** 2).sum(-1)
+        root = str(tmp_path / 'chains' / 'toy')
+        export_getdist(root, space, chain, lnp, n_chain_files=4)
+
+        chains, names = plot_chains.load_chains(root)
+        assert len(chains) == 4 and names[:2] == ['a', 'b']
+        rhat = plot_chains.cross_chain_rhat(chains, 0)
+        assert 0.99 < rhat < 1.05           # same distribution in all files
+        data = np.concatenate(chains)[:, 2:]
+        assert abs(data[:, 0].mean() - 0.5) < 0.1
+        out = plot_chains.corner_plot(chains, names, root + '_corner.png')
+        assert os.path.exists(out) and os.path.getsize(out) > 5000

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Quick-look chain analysis without GetDist: corner plot + diagnostics.
+
+Reads GetDist-format chain files written by the samplers
+(`<root>.<i>.txt` rows of [weight, -lnpost, params..., derived...], plus
+`<root>.paramnames`) and produces
+
+  * a corner plot (1D marginals on the diagonal, 2D 68/95% contours below)
+    saved as `<root>_corner.png`,
+  * per-parameter mean/std and cross-chain R-hat printed to stdout.
+
+GetDist itself remains the recommended tool for publication plots (our
+files are exactly its format); this is the zero-dependency quick look.
+
+Usage:  python tools/plot_chains.py chains/boss [--burn 0.3] [--params a b]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_chains(root, burn_fraction=0.0):
+    """Returns (list of (n_i, ncol) arrays, param names incl. derived)."""
+    files = sorted(glob.glob(f'{root}.*.txt'),
+                   key=lambda f: int(f.rsplit('.', 2)[-2]))
+    if not files:
+        raise FileNotFoundError(f'no chain files matching {root}.<i>.txt')
+    with open(f'{root}.paramnames') as f:
+        names = [line.split()[0] for line in f if line.strip()]
+    chains = []
+    for fn in files:
+        arr = np.loadtxt(fn, ndmin=2)
+        chains.append(arr[int(len(arr) * burn_fraction):])
+    return chains, names
+
+
+def cross_chain_rhat(chains, k):
+    """Gelman-Rubin R-hat for column k across chain files (weights equal)."""
+    cols = [c[:, 2 + k] for c in chains]
+    n = min(len(c) for c in cols)
+    if n < 4 or len(cols) < 2:
+        return np.nan
+    cols = np.stack([c[:n] for c in cols])       # (m, n)
+    within = cols.var(axis=1, ddof=1).mean()
+    between = n * cols.mean(axis=1).var(ddof=1)
+    if within == 0:
+        return np.nan
+    return np.sqrt(((n - 1) / n * within + between / n) / within)
+
+
+def corner_plot(chains, names, out_path, params=None, bins=40):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    data = np.concatenate(chains)[:, 2:]
+    if params:
+        idx = [names.index(p) for p in params]
+    else:
+        idx = list(range(min(len(names), 6)))    # cap for readability
+    labels = [names[i] for i in idx]
+    d = len(idx)
+
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
+    axes = np.atleast_2d(axes)
+    for r in range(d):
+        for c in range(d):
+            ax = axes[r, c]
+            if c > r:
+                ax.set_visible(False)
+                continue
+            x = data[:, idx[c]]
+            if r == c:
+                ax.hist(x, bins=bins, histtype='step', density=True)
+                ax.set_yticks([])
+            else:
+                y = data[:, idx[r]]
+                H, xe, ye = np.histogram2d(x, y, bins=bins)
+                Hs = H.T
+                # contour levels enclosing 68/95% of samples
+                flat = np.sort(Hs.ravel())[::-1]
+                cum = np.cumsum(flat) / flat.sum()
+                levels = sorted({flat[np.searchsorted(cum, q)]
+                                 for q in (0.95, 0.68)})
+                xc = 0.5 * (xe[:-1] + xe[1:])
+                yc = 0.5 * (ye[:-1] + ye[1:])
+                ax.contour(xc, yc, Hs, levels=levels)
+            if r == d - 1:
+                ax.set_xlabel(labels[c])
+            else:
+                ax.set_xticklabels([])
+            if c == 0 and r > 0:
+                ax.set_ylabel(labels[r])
+            elif c > 0:
+                ax.set_yticklabels([])
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('root', help='chain root (e.g. chains/boss)')
+    ap.add_argument('--burn', type=float, default=0.0,
+                    help='burn-in fraction per chain file')
+    ap.add_argument('--params', nargs='*', default=None,
+                    help='subset of parameters to plot (default: first 6)')
+    args = ap.parse_args()
+
+    chains, names = load_chains(args.root, args.burn)
+    data = np.concatenate(chains)[:, 2:]
+    print(f'{len(chains)} chain file(s), {len(data)} samples '
+          f'(burn {args.burn:.0%})')
+    for k, name in enumerate(names):
+        rhat = cross_chain_rhat(chains, k)
+        rtxt = f'R-1 = {rhat - 1:.4f}' if np.isfinite(rhat) else ''
+        print(f'  {name:20s} = {data[:, k].mean():12.5g} '
+              f'+/- {data[:, k].std():.5g}   {rtxt}')
+    out = corner_plot(chains, names, f'{args.root}_corner.png', args.params)
+    print(f'corner plot: {out}')
+
+
+if __name__ == '__main__':
+    main()
