@@ -76,6 +76,9 @@ def cmd_run(args):
     if not params_block:
         sys.exit('config must contain a params: block to sample')
     sampler = cfg.get('sampler', {}) or {}
+    # precedence: explicit --seed > config sampler.seed > 0 (an explicit CLI
+    # flag silently losing to the config made seed studies no-ops)
+    seed = args.seed if args.seed is not None else int(sampler.get('seed', 0))
     if isinstance(sampler.get('mcmc'), dict):    # cobaya-style nesting
         # merge the recognised cobaya mcmc keys into the sampler block so any
         # sibling keys (seed/output/checkpoint/kind/...) are preserved
@@ -90,7 +93,7 @@ def cmd_run(args):
             n_particles=int(sampler.get('n_particles', args.particles)),
             n_moves=int(sampler.get('n_moves', args.moves)),
             ess_target=float(sampler.get('ess_target', 0.5)),
-            seed=int(sampler.get('seed', args.seed)),
+            seed=seed,
             checkpoint=sampler.get('checkpoint', args.checkpoint),
             resume=args.resume,
             output=sampler.get('output', cfg.get('output', args.output)))
@@ -108,7 +111,7 @@ def cmd_run(args):
             n_warmup=int(sampler.get('n_warmup', args.warmup)),
             n_samples=int(sampler.get('n_samples', args.samples)),
             n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
-            seed=int(sampler.get('seed', args.seed)),
+            seed=seed,
             algorithm=kind,
             max_depth=int(sampler.get('max_depth', args.max_depth)),
             output=sampler.get('output', cfg.get('output', args.output)),
@@ -126,7 +129,7 @@ def cmd_run(args):
         max_steps=int(sampler.get('max_steps', args.max_steps)),
         rhat_stop=float(sampler.get('rhat_stop', 0.01)),
         check_every=int(sampler.get('check_every', 100)),
-        seed=int(sampler.get('seed', args.seed)),
+        seed=seed,
         mesh=mesh,
         output=sampler.get('output', cfg.get('output', args.output)),
         checkpoint=sampler.get('checkpoint', args.checkpoint),
@@ -343,7 +346,8 @@ def main(argv=None):
     pr.add_argument('--warmup', type=int, default=300)
     pr.add_argument('--samples', type=int, default=700)
     pr.add_argument('--leapfrog', type=int, default=16)
-    pr.add_argument('--seed', type=int, default=0)
+    pr.add_argument('--seed', type=int, default=None,
+                    help='PRNG seed (overrides the config sampler.seed)')
     pr.add_argument('--output', default=None)
     pr.add_argument('--checkpoint', default=None)
     pr.add_argument('--resume', action='store_true')

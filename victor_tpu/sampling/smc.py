@@ -52,7 +52,13 @@ class SMCResult:
     log_prob: np.ndarray        # (N,) lnL + ln prior at the particles
     aux: np.ndarray             # (N, n_aux) auxiliary outputs (chi2)
     logz: float                 # log evidence estimate
-    logz_se: float              # rough CLT standard error of logz
+    logz_se: float              # internal CLT standard error of logz;
+                                # empirically ~3x optimistic on correlated
+                                # targets (BOSS seed study: scatter 0.12 vs
+                                # se 0.038 — resampling/mutation correlations
+                                # that the independent-weights formula
+                                # ignores). Run several seeds for
+                                # publication-grade evidence errors.
     betas: np.ndarray           # temperature ladder actually used (incl. 0, 1)
     ess: np.ndarray             # pre-resampling ESS per stage
     acceptance: np.ndarray      # mutation acceptance per stage
