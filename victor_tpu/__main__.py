@@ -298,7 +298,8 @@ def cmd_bench(args):
     if 'quantiles' in cfg:
         from .likelihood.multiquantile import make_batched_joint_loglike
         batched = make_batched_joint_loglike(bundle, space.names,
-                                             base_params=space.fixed)
+                                             base_params=space.fixed,
+                                             chunk=args.chunk)
     else:
         batched = make_batched_loglike(bundle, space.names,
                                        base_params=space.fixed,

@@ -209,10 +209,16 @@ def joint_log_likelihood(jb: JointBundle, params: Dict,
 def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
                                base_params: Optional[Dict] = None,
                                opts_kw: Optional[Dict] = None,
-                               fit_kw: Optional[Dict] = None):
+                               fit_kw: Optional[Dict] = None,
+                               chunk: Optional[int] = None):
     """Jitted vmapped joint likelihood: theta (N, P) -> ((N,), (N,)).
 
-    Table pytrees are jit arguments (never closure constants)."""
+    Table pytrees are jit arguments (never closure constants). `chunk`
+    bounds peak memory like batched.make_batched_loglike — a joint fit's
+    per-eval working set is n_quantiles times the single-dataset one, so
+    large unchunked batches would exhaust device memory."""
+    from .batched import chunked_vmap
+
     names = tuple(param_names)
     base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
 
@@ -222,6 +228,8 @@ def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
             for i, name in enumerate(names):
                 params[name] = t[..., i]
             return joint_log_likelihood(jb_arg, params, opts_kw, fit_kw)
+        if chunk and theta.shape[0] > chunk:
+            return chunked_vmap(scalar, chunk)(theta)
         return jax.vmap(scalar)(theta)
 
     jfn = jax.jit(fn, static_argnames=())
