@@ -188,3 +188,22 @@ class TestFitCLI:
         out = json.loads(capsys.readouterr().out)
         assert out['chi2'] < 66.0
         assert set(out['best_fit']) == {'fsigma8', 'beta', 'sigma_v', 'epsilon'}
+
+
+class TestPlotScanTool:
+    def test_1d_and_2d_plots(self, tmp_path):
+        import sys as _sys
+        import os as _os
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), '..',
+                                          'tools'))
+        import plot_scan
+        x = np.linspace(-1, 1, 11)
+        res1 = {'scan': ['a'], 'grid': [[v] for v in x],
+                'delta_chi2': (4 * x ** 2).tolist()}
+        out1 = plot_scan.plot_scan(res1, str(tmp_path / 's1.png'))
+        assert _os.path.getsize(out1) > 3000
+        g = np.stack(np.meshgrid(x, x, indexing='ij'), -1).reshape(-1, 2)
+        res2 = {'scan': ['a', 'b'], 'grid': g.tolist(),
+                'delta_chi2': (4 * (g ** 2).sum(1)).tolist()}
+        out2 = plot_scan.plot_scan(res2, str(tmp_path / 's2.png'))
+        assert _os.path.getsize(out2) > 3000
