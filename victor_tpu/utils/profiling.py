@@ -88,14 +88,24 @@ def debug_nans(enable: bool = True) -> None:
 
 
 def enable_persistent_cache(path: str | None = None,
-                            min_compile_secs: float = 1.0) -> None:
-    """Enable JAX's on-disk compilation cache.
+                            min_compile_secs: float = 1.0,
+                            force: bool = False) -> None:
+    """Enable JAX's on-disk compilation cache (accelerator backends only).
 
     Cold compiles of the big theory/HMC graphs take minutes (especially via
     remote-device tunnels); the persistent cache makes them once-per-machine
     instead of once-per-process. Call before the first jit execution.
+
+    On a CPU backend this is a deliberate no-op (unless force=True): CPU
+    compiles are fast, and XLA:CPU caches AOT machine code keyed loosely
+    enough that an entry written on a host with wider vector features loads
+    on a narrower host with a SIGILL warning — observed when a virtual-mesh
+    dry run shared the cache directory with earlier runs.
     """
     import os
+    if not force and jax.default_backend() == 'cpu':
+        log.info('persistent compilation cache skipped (cpu backend)')
+        return
     path = path or os.environ.get(
         'VICTOR_TPU_CACHE', os.path.expanduser('~/.cache/victor_tpu/xla'))
     os.makedirs(path, exist_ok=True)
