@@ -141,8 +141,11 @@ def main():
         print(f'  {n:8s} pull mean {p.mean():+6.3f} +/- '
               f'{p.std() / np.sqrt(len(p)):.3f}   std {p.std():.3f}   '
               f'|pull|<1: {np.mean(np.abs(p) < 1) * 100:.0f}%')
+    # binomial sigma with n_mocks trials: the ndim pulls per mock share one
+    # noise realization, so counting them as independent would understate
+    # the error bar ~2x
     print(f'overall 68.3%-interval coverage: {hit68 * 100:.1f}% '
-          f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / pulls.size):.1f}%)')
+          f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / len(pulls)):.1f}%)')
 
 
 if __name__ == '__main__':

@@ -32,7 +32,9 @@ def load_chains(root, burn_fraction=0.0):
     if not files:
         raise FileNotFoundError(f'no chain files matching {root}.<i>.txt')
     with open(f'{root}.paramnames') as f:
-        names = [line.split()[0] for line in f if line.strip()]
+        # GetDist marks derived params with a trailing '*'; strip it so
+        # --params can address them by their plain name
+        names = [line.split()[0].rstrip('*') for line in f if line.strip()]
     chains = []
     for fn in files:
         arr = np.loadtxt(fn, ndmin=2)
@@ -41,7 +43,11 @@ def load_chains(root, burn_fraction=0.0):
 
 
 def cross_chain_rhat(chains, k):
-    """Gelman-Rubin R-hat for column k across chain files (weights equal)."""
+    """Gelman-Rubin R-hat for column k across chain files.
+
+    Computed unweighted: exact for this project's writers (weight = 1 per
+    row); for externally-produced weighted chains treat it as approximate
+    and use GetDist for the formal statistic."""
     cols = [c[:, 2 + k] for c in chains]
     n = min(len(c) for c in cols)
     if n < 4 or len(cols) < 2:
@@ -59,7 +65,9 @@ def corner_plot(chains, names, out_path, params=None, bins=40):
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
-    data = np.concatenate(chains)[:, 2:]
+    stacked = np.concatenate(chains)
+    w = stacked[:, 0]          # GetDist weight column (our writers emit 1s;
+    data = stacked[:, 2:]      # cobaya MH chains carry accept multiplicities)
     if params:
         idx = [names.index(p) for p in params]
     else:
@@ -77,11 +85,12 @@ def corner_plot(chains, names, out_path, params=None, bins=40):
                 continue
             x = data[:, idx[c]]
             if r == c:
-                ax.hist(x, bins=bins, histtype='step', density=True)
+                ax.hist(x, bins=bins, weights=w, histtype='step',
+                        density=True)
                 ax.set_yticks([])
             else:
                 y = data[:, idx[r]]
-                H, xe, ye = np.histogram2d(x, y, bins=bins)
+                H, xe, ye = np.histogram2d(x, y, bins=bins, weights=w)
                 Hs = H.T
                 # contour levels enclosing 68/95% of samples
                 flat = np.sort(Hs.ravel())[::-1]
@@ -115,14 +124,17 @@ def main():
     args = ap.parse_args()
 
     chains, names = load_chains(args.root, args.burn)
-    data = np.concatenate(chains)[:, 2:]
+    stacked = np.concatenate(chains)
+    w = stacked[:, 0]
+    data = stacked[:, 2:]
     print(f'{len(chains)} chain file(s), {len(data)} samples '
           f'(burn {args.burn:.0%})')
     for k, name in enumerate(names):
         rhat = cross_chain_rhat(chains, k)
         rtxt = f'R-1 = {rhat - 1:.4f}' if np.isfinite(rhat) else ''
-        print(f'  {name:20s} = {data[:, k].mean():12.5g} '
-              f'+/- {data[:, k].std():.5g}   {rtxt}')
+        mean = np.average(data[:, k], weights=w)
+        std = np.sqrt(np.average((data[:, k] - mean) ** 2, weights=w))
+        print(f'  {name:20s} = {mean:12.5g} +/- {std:.5g}   {rtxt}')
     out = corner_plot(chains, names, f'{args.root}_corner.png', args.params)
     print(f'corner plot: {out}')
 

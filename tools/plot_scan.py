@@ -66,9 +66,10 @@ def main():
     ap.add_argument('-o', '--out', default=None,
                     help='output png (default: <scan_json>.png)')
     args = ap.parse_args()
+    import os
     with open(args.scan_json) as f:
         result = json.load(f)
-    out = args.out or args.scan_json.rsplit('.', 1)[0] + '.png'
+    out = args.out or os.path.splitext(args.scan_json)[0] + '.png'
     print(plot_scan(result, out))
 
 

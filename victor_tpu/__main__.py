@@ -38,11 +38,14 @@ def _load(config_path):
             if 'config_file' in like_cfg and like_cfg['config_file']:
                 with open(like_cfg['config_file']) as f:
                     inner = yaml.safe_load(f)
-                cfg.setdefault('model', inner.get('model'))
-                cfg.setdefault('data', inner.get('data'))
-            if like_cfg.get('model') and like_cfg.get('data'):
-                cfg.setdefault('model', like_cfg['model'])
-                cfg.setdefault('data', like_cfg['data'])
+                # only adopt keys that are actually present: setdefault with
+                # None would defeat the 'model'/'data' presence checks below
+                for key in ('model', 'data'):
+                    if inner.get(key) is not None:
+                        cfg.setdefault(key, inner[key])
+            for key in ('model', 'data'):
+                if like_cfg.get(key) is not None:
+                    cfg.setdefault(key, like_cfg[key])
     if 'model' not in cfg and 'quantiles' not in cfg:
         sys.exit('config must contain a model: block (or a quantiles: list '
                  'for a multi-quantile joint fit)')
@@ -86,11 +89,24 @@ def cmd_run(args):
         sampler.setdefault('max_steps', mc.get('max_samples', 2000))
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
     kind = args.sampler or sampler.get('kind', 'ensemble')
+
+    def _divisible_mesh(axis_name, count):
+        """One-axis mesh over all devices when `count` shards evenly; None
+        otherwise (hmc/nuts/smc previously never received a mesh from the
+        CLI, silently running single-device on multi-chip hosts)."""
+        import jax
+        n_dev = len(jax.devices())
+        if n_dev > 1 and count % n_dev == 0:
+            return make_mesh((axis_name,))
+        return None
+
     if kind == 'smc':
         from .sampling import run_smc
+        n_particles = int(sampler.get('n_particles', args.particles))
         result = run_smc(
             bundle, params_block,
-            n_particles=int(sampler.get('n_particles', args.particles)),
+            n_particles=n_particles,
+            mesh=_divisible_mesh('particles', n_particles),
             n_moves=int(sampler.get('n_moves', args.moves)),
             ess_target=float(sampler.get('ess_target', 0.5)),
             seed=seed,
@@ -105,9 +121,11 @@ def cmd_run(args):
                           'summary': result.summary()}, indent=2))
         return
     if kind in ('hmc', 'nuts'):
+        n_chains = int(sampler.get('n_chains', args.chains))
         result = run_hmc_mcmc(
             bundle, params_block,
-            n_chains=int(sampler.get('n_chains', args.chains)),
+            mesh=_divisible_mesh('chains', n_chains),
+            n_chains=n_chains,
             n_warmup=int(sampler.get('n_warmup', args.warmup)),
             n_samples=int(sampler.get('n_samples', args.samples)),
             n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
@@ -149,13 +167,20 @@ def cmd_eval(args):
 
     cfg = _load(args.config)
     bundle = _build_bundle(cfg)
-    params = {}
-    for spec_ in (cfg.get('params') or {}).items():
-        name, spec = spec_
-        if isinstance(spec, (int, float)):
-            params[name] = jnp.asarray(float(spec))
-        elif isinstance(spec, dict) and 'ref' in spec and isinstance(spec['ref'], dict):
-            params[name] = jnp.asarray(float(spec['ref'].get('loc', 0.0)))
+    # default evaluation point from the full ParamSpace vocabulary (fixed
+    # values, {value: x}, scalar refs, prior-only params — the hand-rolled
+    # loop this replaces silently dropped several supported spec forms)
+    from .sampling.priors import ParamSpace
+    space = ParamSpace(cfg.get('params') or {})
+    params = {k: jnp.asarray(v) for k, v in space.fixed.items()}
+    for p in space.sampled:
+        if p.ref_dist == 'norm':
+            loc = p.ref_loc
+        elif p.dist in ('uniform', 'loguniform'):
+            loc = 0.5 * (p.lo + p.hi)
+        else:
+            loc = p.lo
+        params[p.name] = jnp.asarray(float(loc))
     for kv in args.param or []:
         if '=' not in kv:
             sys.exit(f"bad --param '{kv}': expected name=value")
@@ -164,6 +189,10 @@ def cmd_eval(args):
             params[k] = jnp.asarray(float(v))
         except ValueError:
             sys.exit(f"bad --param '{kv}': value must be numeric")
+    # cobaya-style derived lambdas (e.g. aperp/apar from alpha, epsilon)
+    for d in space.derived:
+        if d.name not in params and all(a in params for a in d.argnames):
+            params[d.name] = d.fn(*[params[a] for a in d.argnames])
     t0 = time.time()
     if 'quantiles' in cfg:
         from .likelihood.multiquantile import joint_log_likelihood
@@ -226,9 +255,8 @@ def cmd_fit(args):
         int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
         int(np.asarray(bundle.tables.cov).shape[-1])
     ndof = ndata - result.space.ndim
-    derived = {d.name: round(float(np.asarray(v)), 6) for d, v in zip(
-        result.space.derived,
-        result.space.derived_values(jnp.asarray(result.theta)).values())}
+    derived = {k: round(float(np.asarray(v)), 6) for k, v in
+               result.space.derived_values(jnp.asarray(result.theta)).items()}
     out = {
         'chi2': round(result.chi2, 4),
         # Gaussian chi^2 tail probability at the best fit (indicative for
