@@ -95,6 +95,21 @@ def main():
     }))
 
 
+def _is_transient_backend_error(e: Exception) -> bool:
+    """Only TPU-backend/tunnel failures warrant a fresh-process retry.
+
+    Deterministic failures (parity-gate assertions, import errors, bad
+    configs) must surface immediately — retrying them just doubles
+    time-to-failure for genuine regressions.
+    """
+    if type(e).__name__ in ('XlaRuntimeError', 'JaxRuntimeError'):
+        return True
+    msg = str(e)
+    return any(code in msg for code in
+               ('FAILED_PRECONDITION', 'UNAVAILABLE', 'DEADLINE_EXCEEDED',
+                'ABORTED', 'RESOURCE_EXHAUSTED'))
+
+
 def _main_with_retry():
     """One clean-process retry on transient TPU-backend failures.
 
@@ -106,7 +121,8 @@ def _main_with_retry():
     try:
         main()
     except Exception as e:                      # noqa: BLE001
-        if os.environ.get('VICTOR_BENCH_RETRIED'):
+        if os.environ.get('VICTOR_BENCH_RETRIED') or \
+                not _is_transient_backend_error(e):
             raise
         sys.stderr.write(f'bench.py: first attempt failed ({e!r}); '
                          'retrying in a fresh process\n')

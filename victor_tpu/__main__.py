@@ -101,8 +101,19 @@ def cmd_run(args):
         return None
 
     if kind == 'smc':
+        import os
+
+        import numpy as np
+
         from .sampling import run_smc
         n_particles = int(sampler.get('n_particles', args.particles))
+        ckpt = sampler.get('checkpoint', args.checkpoint)
+        if args.resume and ckpt and os.path.isfile(ckpt):
+            # run_smc overrides n_particles from the checkpoint; the mesh
+            # must be sized for THAT count, or the particle-axis device_put
+            # can fail on a count not divisible by the device count
+            with np.load(ckpt, allow_pickle=False) as z:
+                n_particles = int(z['y'].shape[0])
         result = run_smc(
             bundle, params_block,
             n_particles=n_particles,
@@ -110,13 +121,16 @@ def cmd_run(args):
             n_moves=int(sampler.get('n_moves', args.moves)),
             ess_target=float(sampler.get('ess_target', 0.5)),
             seed=seed,
-            checkpoint=sampler.get('checkpoint', args.checkpoint),
+            checkpoint=ckpt,
             resume=args.resume,
             output=sampler.get('output', cfg.get('output', args.output)))
         print(json.dumps({'sampler': 'smc', 'n_particles': len(result.particles),
                           'n_stages': len(result.betas) - 1,
                           'log_evidence': round(result.logz, 3),
+                          # correlation-inflated se (covers the measured
+                          # seed-to-seed scatter); raw CLT se for reference
                           'log_evidence_se': round(result.logz_se, 3),
+                          'log_evidence_se_clt': round(result.logz_se_clt, 3),
                           'elapsed_s': round(result.elapsed_s, 2),
                           'summary': result.summary()}, indent=2))
         return
@@ -301,10 +315,14 @@ def cmd_scan(args):
         'elapsed_s': round(time.time() - t0, 2),
     }
     if len(res.scan_names) == 1:
+        # one-sided limits leave a crossing at nan; json.dumps would emit
+        # bare NaN (invalid strict JSON) — map non-finite to null
+        def _r(x):
+            return round(x, 6) if np.isfinite(x) else None
         lo, hi = res.interval(1.0)
-        out['interval_68'] = [round(lo, 6), round(hi, 6)]
+        out['interval_68'] = [_r(lo), _r(hi)]
         lo2, hi2 = res.interval(4.0)
-        out['interval_95'] = [round(lo2, 6), round(hi2, 6)]
+        out['interval_95'] = [_r(lo2), _r(hi2)]
     print(json.dumps(out, indent=2))
 
 

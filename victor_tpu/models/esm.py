@@ -320,7 +320,13 @@ class ExcursionSetProfile:
                    esm_x50=None)
         use_eh = use_eisenstein_hu
         if not use_eh and pk_table is not None:
-            tbl['esm_pk0'] = jnp.asarray(pk_table['pk0'])
+            # resample onto this instance's k grid (the table may have been
+            # generated with a different npts/kmax) — same cubic-spline
+            # ingestion as io/tables.py
+            from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+            tbl['esm_pk0'] = jnp.asarray(
+                IUS(np.asarray(pk_table['k']), np.asarray(pk_table['pk0']),
+                    k=3)(k))
             tbl['esm_s80'] = jnp.asarray(pk_table['sigma8_0'])
             tbl['esm_s8z'] = jnp.asarray(pk_table['sigma8_z'])
         else:

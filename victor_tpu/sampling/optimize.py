@@ -113,7 +113,7 @@ def find_map(bundle, params_block: Dict,
     cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
                                         for p in space.sampled)),
                  tuple(sorted(space.fixed.items())),
-                 tuple((d.name, d.argnames) for d in space.derived),
+                 tuple((d.name, d.argnames, d.src) for d in space.derived),
                  n_starts, adam_steps, learning_rate)
     fns = _FIT_CACHE.setdefault(cache_key, {})
 
@@ -437,7 +437,7 @@ def profile_scan(bundle, params_block: Dict, scan_names,
                       tuple(sorted((p.name, p.dist, p.lo, p.hi)
                                    for p in space.sampled)),
                       tuple(sorted(space.fixed.items())),
-                      tuple((d.name, d.argnames) for d in space.derived),
+                      tuple((d.name, d.argnames, d.src) for d in space.derived),
                       adam_steps, newton_steps, learning_rate)
     _cached = _FIT_CACHE.setdefault(scan_cache_key, {})
 

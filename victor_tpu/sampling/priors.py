@@ -54,6 +54,9 @@ class DerivedParam:
     fn: Callable              # params dict -> value
     argnames: Tuple[str, ...]
     latex: Optional[str] = None
+    src: str = ''             # raw lambda text — part of jit-fn cache keys
+                              # (name+argnames alone would alias two lambdas
+                              # with the same signature but different bodies)
 
 
 def _parse_lambda(expr: str) -> Tuple[Callable, Tuple[str, ...]]:
@@ -93,7 +96,8 @@ class ParamSpace:
                 val = spec['value']
                 if isinstance(val, str):
                     fn, args = _parse_lambda(val)
-                    self.derived.append(DerivedParam(name, fn, args, spec.get('latex')))
+                    self.derived.append(DerivedParam(name, fn, args,
+                                                     spec.get('latex'), val))
                 else:
                     self.fixed[name] = float(val)
                 continue

@@ -269,8 +269,12 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     rhat = diagnostics.split_rhat(chain)
     n_recorded = max(len(chain), 1)
     acc = float(np.mean(np.asarray(states.n_accepted)) / n_recorded)
-    log.info('HMC: %d chains x %d samples, acceptance=%.3f max(R-1)=%.4f',
-             n_chains, len(chain), acc, float(np.max(rhat - 1)))
+    # split-R-hat needs >=4 samples per chain to be defined; logging a nan
+    # for a short smoke segment reads like a failure when it isn't
+    max_rm1 = float(np.max(rhat - 1)) if len(chain) >= 4 else None
+    log.info('HMC: %d chains x %d samples, acceptance=%.3f max(R-1)=%s',
+             n_chains, len(chain), acc,
+             'n/a (<4 samples)' if max_rm1 is None else f'{max_rm1:.4f}')
 
     result = MCMCResult(
         space=space, chain=chain, log_prob=lnp, aux=aux,

@@ -44,6 +44,14 @@ log = get_logger('smc')
 
 _SMC_CACHE: dict = {}
 
+# The internal CLT standard error assumes independent importance weights;
+# resampling/mutation correlations make it optimistic. Measured on the BOSS
+# posterior (BASELINE.md seed study): seed-to-seed scatter 0.12 vs CLT se
+# 0.038 — a factor ~3. The REPORTED logz_se is inflated by this factor so the
+# quoted bar covers the observed scatter; the raw CLT value stays available
+# as logz_se_clt.
+LOGZ_SE_INFLATION = 3.0
+
 
 @dataclasses.dataclass
 class SMCResult:
@@ -52,13 +60,12 @@ class SMCResult:
     log_prob: np.ndarray        # (N,) lnL + ln prior at the particles
     aux: np.ndarray             # (N, n_aux) auxiliary outputs (chi2)
     logz: float                 # log evidence estimate
-    logz_se: float              # internal CLT standard error of logz;
-                                # empirically ~3x optimistic on correlated
-                                # targets (BOSS seed study: scatter 0.12 vs
-                                # se 0.038 — resampling/mutation correlations
-                                # that the independent-weights formula
-                                # ignores). Run several seeds for
-                                # publication-grade evidence errors.
+    logz_se: float              # reported standard error of logz: the
+                                # internal CLT se inflated by
+                                # LOGZ_SE_INFLATION (measured resampling-
+                                # correlation factor) so it covers the
+                                # observed seed-to-seed scatter
+    logz_se_clt: float          # raw independent-weights CLT se (optimistic)
     betas: np.ndarray           # temperature ladder actually used (incl. 0, 1)
     ess: np.ndarray             # pre-resampling ESS per stage
     acceptance: np.ndarray      # mutation acceptance per stage
@@ -108,7 +115,8 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
             mesh: Optional[jax.sharding.Mesh] = None,
             mesh_axis=None, max_stages: int = 200,
             checkpoint: Optional[str] = None, resume: bool = False,
-            output: Optional[str] = None) -> SMCResult:
+            output: Optional[str] = None,
+            aux_names: Optional[list] = None) -> SMCResult:
     """Sample the posterior AND estimate the evidence by tempered SMC.
 
     `bundle` is a CCFModelBundle, a multi-quantile JointBundle, or (for
@@ -161,7 +169,7 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
                                         for p in space.sampled)),
                  tuple(sorted(space.fixed.items())),
-                 tuple((d.name, d.argnames) for d in space.derived),
+                 tuple((d.name, d.argnames, d.src) for d in space.derived),
                  n_particles, n_moves, chunk,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _SMC_CACHE.setdefault(cache_key, {})
@@ -305,19 +313,30 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     theta = np.asarray(space.to_bounded(y), dtype=np.float64)
     lnl_h = np.asarray(lnl, dtype=np.float64)
     lnp = lnl_h + np.asarray(space.log_prior(jnp.asarray(theta)))
+    se_clt = float(np.sqrt(var_sum))
     result = SMCResult(
         space=space, particles=theta, log_prob=lnp,
         aux=np.asarray(aux, dtype=np.float64),
-        logz=float(logz), logz_se=float(np.sqrt(var_sum)),
+        logz=float(logz), logz_se=LOGZ_SE_INFLATION * se_clt,
+        logz_se_clt=se_clt,
         betas=np.asarray(betas), ess=np.asarray(ess_hist),
         acceptance=np.asarray(acc_hist), elapsed_s=time.time() - t0)
-    log.info('SMC done: %d stages, logZ = %.3f +/- %.3f (%.1f s)',
-             len(betas) - 1, result.logz, result.logz_se, result.elapsed_s)
+    log.info('SMC done: %d stages, logZ = %.3f +/- %.3f '
+             '(CLT se %.3f x %.0f correlation inflation; %.1f s)',
+             len(betas) - 1, result.logz, result.logz_se, se_clt,
+             LOGZ_SE_INFLATION, result.elapsed_s)
     if output:
         from . import chains as chain_io
+        if aux_names is None:
+            # the default aux for CCF bundle targets is the chi2 derived
+            # column; callable targets return an arbitrary aux statistic and
+            # must not inherit that label
+            is_callable = isinstance(cache_id, tuple) and cache_id \
+                and cache_id[0] == 'callable'
+            aux_names = ['aux_0'] if is_callable else ['chi2_ccf_correct']
         chain_io.export_getdist(output, space, theta[:, None, :],
                                 lnp[:, None], result.aux[:, None, :],
-                                aux_names=['chi2_ccf_correct'], burn_in=0,
+                                aux_names=aux_names, burn_in=0,
                                 n_chain_files=1)
         log.info('posterior particles written to %s.*', output)
     return result
