@@ -22,6 +22,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(REPO, 'tests', 'fixtures')
 
 
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False,
+                     help='also run tests marked slow (full sampler/optimizer '
+                          'iteration counts; the default run covers the same '
+                          'code paths at reduced cost)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow'):
+        return
+    skip_slow = pytest.mark.skip(reason='slow: needs --runslow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope='session')
 def ref_fixtures():
     """Golden outputs generated from the (shimmed) reference implementation."""

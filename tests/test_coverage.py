@@ -27,6 +27,7 @@ class TestCoverage:
             n_starts=4, adam_steps=100, newton_steps=6)
         return pulls, hit68, names
 
+    @pytest.mark.slow
     def test_pulls_are_standard_normal(self, pulls):
         """beta is excluded from the tight calibration bands: its per-mock
         likelihood has beta-grid-scale structure (template spacing ~0.01 vs

@@ -135,6 +135,7 @@ class TestJointSampling:
         assert res.chain.shape == (4, 8, 2)
         assert np.all(np.isfinite(res.log_prob))
 
+    @pytest.mark.slow
     def test_run_hmc_on_joint_bundle(self, joint_cfg):
         """Gradient-based HMC routes JointBundle through the joint
         likelihood (the whole stacked-quantile pipeline is differentiable)."""
@@ -152,6 +153,7 @@ class TestJointSampling:
         lo, hi = res.space.bounds()
         assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
 
+    @pytest.mark.slow
     def test_find_map_on_joint_bundle(self, joint_cfg, single_bundle):
         """MAP on the duplicated-dataset joint bundle: same optimum as the
         single dataset (block-diagonal duplicate doubles chi2 but moves
@@ -180,6 +182,7 @@ class TestJointSampling:
                                    single.std['fsigma8'] / np.sqrt(2),
                                    rtol=0.1)
 
+    @pytest.mark.slow
     def test_run_smc_on_joint_bundle(self, joint_cfg):
         from victor_tpu.sampling import run_smc
         jb = build_joint_tables(joint_cfg)
@@ -226,6 +229,7 @@ class TestJointCLI:
         # single path lerps precision matrices — the reference quirk)
         assert 110.0 < out['chi2'] < 130.0
 
+    @pytest.mark.slow
     def test_run_ensemble(self, joint_yaml, capsys):
         import json
         from victor_tpu.__main__ import main

@@ -30,11 +30,14 @@ QUAD_STD = {'fsigma8': 0.054, 'beta': 0.011, 'sigma_v': 44.0,
 
 @pytest.fixture(scope='module')
 def map_result(boss_config):
+    # reduced from (8 starts, 150 adam, 8 newton): the Newton polish drives
+    # the gradient to stationarity regardless, and every assertion below has
+    # margin; the full-strength settings run in the slow tier and the CLI
     from victor_tpu.io import build_tables
     from victor_tpu.sampling.optimize import find_map
     bundle = build_tables(boss_config['model'], boss_config['data'])
-    return find_map(bundle, BLOCK_4P, n_starts=8, adam_steps=150,
-                    newton_steps=8, seed=3)
+    return find_map(bundle, BLOCK_4P, n_starts=4, adam_steps=120,
+                    newton_steps=6, seed=3)
 
 
 class TestFindMAP:
@@ -79,6 +82,7 @@ class TestFindMAP:
 
 
 class TestProfileScan:
+    @pytest.mark.slow
     def test_profile_fsigma8(self, boss_config, map_result):
         """1D profile over fsigma8: the minimum sits at the MAP, the
         delta-chi2 = 1 interval half-width matches the Laplace sigma (the
@@ -176,6 +180,7 @@ class TestFisherForecast:
 
 
 class TestFitCLI:
+    @pytest.mark.slow
     def test_cli_fit_runs(self, capsys, tmp_path, boss_config):
         import json
         import yaml

@@ -69,6 +69,9 @@ def main():
         if os.environ.get('VICTOR_BENCH_INTERIOR'):
             vcfg['model']['dispersion_interior'] = \
                 os.environ['VICTOR_BENCH_INTERIOR']
+        if os.environ.get('VICTOR_BENCH_FINAL'):
+            vcfg['model']['dispersion_final'] = \
+                os.environ['VICTOR_BENCH_FINAL']
         bundle = build_tables(vcfg['model'], vcfg['data'])
         batched = make_batched_loglike(bundle, names, chunk=chunk)
 
@@ -78,12 +81,25 @@ def main():
             np.asarray(batched(theta)[0])      # forced per-rep transfer
         dt = time.perf_counter() - t0
 
+        # chi2 parity gate at the notebook golden point (cell-22 values;
+        # catches lost matmul-precision pins — bf16 costs ~1.3 on chi2 —
+        # and any accuracy regression from the dispersion fast/fused knobs)
+        golden_chi2 = {'streaming': 65.0118, 'dispersion': 65.0299,
+                       'kaiser': 103.9033, 'euclid_special': 4880.2898}
+        gate = None
+        if variant in golden_chi2:
+            gp = jnp.asarray([[0.47, 0.37, 380.0, 1.0]])
+            chi2 = float(np.asarray(batched(gp)[1])[0])
+            gate = {'chi2': round(chi2, 4),
+                    'ok': bool(abs(chi2 - golden_chi2[variant]) < 0.05)}
+
         evals_per_sec = reps * n / dt
         print(json.dumps({
             'metric': f'likelihood_evals_per_sec[{variant}]',
             'value': round(evals_per_sec, 1),
             'unit': 'evals/s',
             'vs_baseline': round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
+            **({'parity_gate': gate} if gate else {}),
         }), flush=True)
 
 

@@ -25,6 +25,14 @@ beta inference has the identical property; use the samplers/profile scan
 for beta intervals rather than the Laplace sigma.
 
 Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
+        python tools/coverage_test.py --model esm --mocks 30
+                    # 9-parameter excursion-set pipeline calibration:
+                    # fiducial = the ESM MAP neighbourhood, params block
+                    # from configs/esm_sampling_config.yaml. The ESM shape
+                    # nuisances (b01, Rp, Rx) are honestly wide/degenerate
+                    # (BASELINE.md) so their pulls are prior-influenced;
+                    # the physics parameters (f, sigma_8_0, sigma_v,
+                    # epsilon) are the calibration targets.
 """
 
 import argparse
@@ -112,6 +120,11 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
     return pulls, hit68, names
 
 
+ESM_FIDUCIAL = {'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544,
+                'b01': -4.228, 'Rp': 7.973, 'Rx': 0.467, 'beta': 0.37,
+                'sigma_v': 380.0, 'epsilon': 1.0}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--mocks', type=int, default=100)
@@ -119,6 +132,10 @@ def main():
     ap.add_argument('--form', default='gaussian',
                     help='likelihood form for generation+fit (gaussian = '
                          'exactly calibrated; sellentin adds the t-tail)')
+    ap.add_argument('--model', default='template',
+                    choices=['template', 'esm'],
+                    help='template = 4-param BOSS fit; esm = 9-param '
+                         'excursion-set pipeline')
     args = ap.parse_args()
 
     import yaml
@@ -127,14 +144,29 @@ def main():
     from victor_tpu.utils.profiling import enable_persistent_cache
     enable_persistent_cache()
 
-    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
-        cfg = yaml.safe_load(f)
-    cfg['model']['dir'] = REPO
-    cfg['data']['dir'] = REPO
-    bundle = build_tables(cfg['model'], cfg['data'])
+    if args.model == 'esm':
+        with open(os.path.join(REPO, 'configs',
+                               'esm_sampling_config.yaml')) as f:
+            full = yaml.safe_load(f)
+        cfg = {'model': full['model'], 'data': full['data']}
+        cfg['model']['dir'] = REPO
+        cfg['data']['dir'] = REPO
+        bundle = build_tables(cfg['model'], cfg['data'])
+        # drop latex keys; keep prior/ref structure for find_map
+        block = full['params']
+        fiducial = ESM_FIDUCIAL
+    else:
+        with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+            cfg = yaml.safe_load(f)
+        cfg['model']['dir'] = REPO
+        cfg['data']['dir'] = REPO
+        bundle = build_tables(cfg['model'], cfg['data'])
+        block = PARAMS_BLOCK
+        fiducial = FIDUCIAL
 
     pulls, hit68, names = run_coverage(bundle, n_mocks=args.mocks,
-                                       seed=args.seed, form=args.form)
+                                       seed=args.seed, form=args.form,
+                                       fiducial=fiducial, params_block=block)
     print(f'{args.mocks} mocks, likelihood form = {args.form}')
     for i, n in enumerate(names):
         p = pulls[:, i]

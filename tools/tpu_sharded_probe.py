@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Run the mesh-sharded program on the REAL TPU backend and check parity.
+
+All mesh-sharded code paths are routinely tested on the virtual 8-device CPU
+mesh (tests/test_sampling.py, __graft_entry__.dryrun_multichip); the real
+chip normally runs unsharded programs. This probe closes the remaining gap
+this environment permits: it builds a `Mesh` over the available TPU device(s)
+(1-way on the single tunneled v5e chip), lowers the SAME sharded programs
+through the TPU compiler, and
+
+  1. runs the sharded batched BOSS likelihood vs the unsharded dispatch —
+     asserting bit-parity and recording the sharded dispatch latency vs the
+     unsharded floor (the input to BASELINE.md's multi-chip scaling bounds);
+  2. runs a sharded HMC segment (chains axis on the mesh) vs the unsharded
+     runner — asserting trajectory parity.
+
+Prints one JSON line per check; exits non-zero if any check fails.
+Run it alone (one TPU process at a time through the axon tunnel).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import yaml
+    from victor_tpu.io import build_tables
+    from victor_tpu.likelihood.batched import make_batched_loglike
+    from victor_tpu.parallel import make_mesh
+    from victor_tpu.sampling import run_hmc_mcmc
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
+
+    backend = jax.default_backend()
+    devices = jax.devices()
+    print(json.dumps({'backend': backend, 'n_devices': len(devices),
+                      'device0': str(devices[0])}), flush=True)
+
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+    bundle = build_tables(cfg['model'], cfg['data'])
+    names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
+
+    failures = 0
+
+    # ---- 1. sharded batched likelihood ----------------------------------
+    mesh = make_mesh(('batch',))
+    n = int(os.environ.get('VICTOR_PROBE_BATCH', 8192))
+    rng = np.random.default_rng(0)
+    theta_h = np.column_stack([
+        rng.uniform(0.3, 0.6, n), rng.uniform(0.25, 0.55, n),
+        rng.uniform(250.0, 450.0, n), rng.uniform(0.9, 1.1, n)])
+    batched = make_batched_loglike(bundle, names, chunk=64)
+
+    theta = jnp.asarray(theta_h)
+    lnl_ref = np.asarray(batched(theta)[0])           # unsharded warm-up
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        lnl_ref = np.asarray(batched(theta)[0])
+    dt_unsharded = (time.perf_counter() - t0) / reps
+
+    theta_sh = jax.device_put(theta, NamedSharding(mesh, P('batch')))
+    lnl_sh = np.asarray(batched(theta_sh)[0])         # sharded warm-up
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        lnl_sh = np.asarray(batched(theta_sh)[0])
+    dt_sharded = (time.perf_counter() - t0) / reps
+
+    bit_equal = bool(np.array_equal(lnl_sh, lnl_ref))
+    ok = bit_equal or np.allclose(lnl_sh, lnl_ref, rtol=1e-6)
+    failures += 0 if ok else 1
+    print(json.dumps({
+        'check': 'sharded_batched_likelihood',
+        'mesh': f"{dict(zip(mesh.axis_names, mesh.devices.shape))}",
+        'batch': n, 'bit_equal': bit_equal, 'ok': bool(ok),
+        'unsharded_ms_per_dispatch': round(1e3 * dt_unsharded, 1),
+        'sharded_ms_per_dispatch': round(1e3 * dt_sharded, 1),
+        'sharded_evals_per_sec': round(n / dt_sharded, 1),
+    }), flush=True)
+
+    # ---- 2. sharded HMC segment -----------------------------------------
+    block = {
+        'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                    'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+        'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6},
+                 'ref': {'dist': 'norm', 'loc': 0.4, 'scale': 0.02}},
+        'sigma_v': 380.0, 'epsilon': 1.0,
+    }
+    cmesh = make_mesh(('chains',))
+    t0 = time.perf_counter()
+    r_mesh = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=50,
+                          n_samples=50, n_leapfrog=8, seed=0, mesh=cmesh)
+    dt_mesh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r_none = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=50,
+                          n_samples=50, n_leapfrog=8, seed=0)
+    dt_none = time.perf_counter() - t0
+    close = np.allclose(r_mesh.chain, r_none.chain, rtol=5e-5, atol=1e-6)
+    failures += 0 if close else 1
+    print(json.dumps({
+        'check': 'sharded_hmc_segment',
+        'mesh': f"{dict(zip(cmesh.axis_names, cmesh.devices.shape))}",
+        'chains': 8, 'draws': 50, 'trajectories_match': bool(close),
+        'acceptance_mesh': round(r_mesh.acceptance, 3),
+        'acceptance_unsharded': round(r_none.acceptance, 3),
+        'sharded_s': round(dt_mesh, 1), 'unsharded_s': round(dt_none, 1),
+    }), flush=True)
+
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == '__main__':
+    main()

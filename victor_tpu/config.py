@@ -40,6 +40,15 @@ class TheoryOptions:
     # see models/ccf_theory.py); 'exact' reproduces the reference float-
     # for-float and is used by the parity test suite
     dispersion_interior: str = 'chebyshev'
+    # final stage of the dispersion solve (the last Picard update and the
+    # jacobian's v_r/dv_r evaluations): 'exact' (default — three exact
+    # spline passes, reference semantics), 'fast' (opt-in throughput mode:
+    # reuses the final update's exact v_r for the jacobian — error of the
+    # order of the fixed-point convergence error itself — and a Chebyshev-
+    # compressed dv_r; validated at the posterior level, BASELINE.md), or
+    # 'fused' (exact algorithm in one VMEM-resident Pallas kernel — kept as
+    # a measured experiment, see models/ccf_theory.py)
+    dispersion_final: str = 'exact'
 
     def replace(self, **kw):
         # accept the reference's per-call kwarg vocabulary
@@ -94,6 +103,7 @@ def theory_options_from_config(model: dict) -> TheoryOptions:
             'rescale_templates_independent_of_AP', True),
         niter=model.get('niter', 5),
         dispersion_interior=model.get('dispersion_interior', 'chebyshev'),
+        dispersion_final=model.get('dispersion_final', 'exact'),
     )
 
 

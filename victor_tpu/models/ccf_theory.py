@@ -254,16 +254,17 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
             # r_par at degree 32, ~2.4e-6 at the shipped degree 24; the
             # test_golden.py bound test asserts |xi| deviation < 2e-5 and
             # |chi2| < 1e-3 against the exact path at the shipped degree.
+            from ..ops.splines import chebyshev_eval, chebyshev_fit
+            lo = tables.spline_vel.x[0] * resc_vel
+            hi = tables.spline_vel.x[-1] * resc_vel
             A = s_par - v_par * iaH_true
             if opts.niter == 0 or opts.dispersion_interior == 'exact':
                 r_par = A / (1.0 + iaH_true * vr_at(s_true) / s_true)
-                for _ in range(opts.niter):
+                for _ in range(max(opts.niter - 1, 0)):
                     rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
                     r_par = A / (1.0 + iaH_true * vr_at(rr) / rr)
+                n_final = min(opts.niter, 1)   # niter=0: initial guess only
             else:
-                from ..ops.splines import chebyshev_eval, chebyshev_fit
-                lo = tables.spline_vel.x[0] * resc_vel
-                hi = tables.spline_vel.x[-1] * resc_vel
                 coef = chebyshev_fit(vr_at, lo, hi, degree=24)
 
                 def vr_fast(q):
@@ -273,16 +274,49 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
                 for _ in range(opts.niter - 1):
                     rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
                     r_par = A / (1.0 + iaH_true * vr_fast(rr) / rr)
+                n_final = 1
+
+            # final stage: the exact Picard update + the jacobian's
+            # v_r/dv_r — the three exact spline passes that set the
+            # dispersion model's throughput floor (BASELINE.md anatomy)
+            if n_final and opts.dispersion_final == 'fused':
+                # whole final stage in one VMEM-resident Pallas kernel
+                # (forward-only throughput experiment; same algorithm)
+                from ..ops.dispersion_pallas import dispersion_final_fused
+                r_par, rr, mu_r, jacobian = dispersion_final_fused(
+                    tables.spline_vel.x, c_vr, c_dvr, r_par, A, s_perp,
+                    iaH_true, resc_vel)
+            else:
+                if n_final:
+                    rr_prev = jnp.sqrt(s_perp ** 2 + r_par ** 2)
+                    vr_prev = vr_at(rr_prev)               # exact final pass
+                    r_par = A / (1.0 + iaH_true * vr_prev / rr_prev)
                 rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
-                r_par = A / (1.0 + iaH_true * vr_at(rr) / rr)   # exact final
-            rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
-            mu_r = r_par / rr
+                mu_r = r_par / rr
+                if n_final and opts.dispersion_final == 'fast':
+                    # At the converged fixed point |rr - rr_prev| is of the
+                    # order of the convergence error itself (~1e-5 relative),
+                    # so the final update's exact v_r(rr_prev) stands in for
+                    # v_r(rr) at error ~ dv_r*(rr-rr_prev) — SMALLER than the
+                    # interior Chebyshev error — and dv_r uses a degree-48
+                    # Chebyshev compression (the jacobian tolerates more
+                    # dv_r error than r_par tolerates v_r error, but degree
+                    # 24 measured 3.7e-4 on xi vs 9e-6 at 48; Clenshaw-48 is
+                    # still ~1.5x fewer VPU ops than the 30-interval
+                    # masksum). Net effect measured at <=9e-6 on xi — below
+                    # the interior compression's own 2e-5 bound
+                    # (test_dispersion_fast_final_bound); opt-in via
+                    # dispersion_final='fast'.
+                    vr_rr = vr_prev
+                    coef_d = chebyshev_fit(dvr_at, lo, hi, degree=48)
+                    dvr_rr = chebyshev_eval(coef_d, lo, hi, rr)
+                else:
+                    vr_rr = vr_at(rr)
+                    dvr_rr = dvr_at(rr)
+                jacobian = 1.0 / (1.0 + vr_rr * iaH_true / rr
+                                  + iaH_true * mu_r ** 2 * (dvr_rr - vr_rr / rr))
             sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
             vel_pdf = jnp.exp(-0.5 * (v_par / sv) ** 2) / (SQRT2PI * sv)
-            vr_rr = vr_at(rr)
-            dvr_rr = dvr_at(rr)
-            jacobian = 1.0 / (1.0 + vr_rr * iaH_true / rr
-                              + iaH_true * mu_r ** 2 * (dvr_rr - vr_rr / rr))
 
         if opts.realspace_ccf_from_data:
             rr_eval, mu_eval = data_coords(r_par, s_perp)
