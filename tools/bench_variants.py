@@ -72,6 +72,9 @@ def main():
         if os.environ.get('VICTOR_BENCH_FINAL'):
             vcfg['model']['dispersion_final'] = \
                 os.environ['VICTOR_BENCH_FINAL']
+        if os.environ.get('VICTOR_BENCH_STREAMING'):
+            vcfg['model']['streaming_eval'] = \
+                os.environ['VICTOR_BENCH_STREAMING']
         bundle = build_tables(vcfg['model'], vcfg['data'])
         batched = make_batched_loglike(bundle, names, chunk=chunk)
 

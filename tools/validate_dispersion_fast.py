@@ -1,19 +1,43 @@
 #!/usr/bin/env python
-"""Posterior-level validation of the dispersion fast final stage.
+"""Posterior-level validation of the opt-in fast evaluation modes.
 
-`dispersion_final='fast'` approximates two of the three exact final-stage
-spline passes (BASELINE.md anatomy): the jacobian reuses the final Picard
-update's exact v_r and uses a degree-48 Chebyshev dv_r. Pointwise bounds
-(xi <= 2e-5 abs, chi2 ~2e-3 — tests/test_golden.py) say it is accurate;
-the operative question for a sampler-facing speed mode is whether the BOSS
-POSTERIOR moves. This runs the full dense-mass HMC chain under the
-dispersion model with exact vs fast final stages (same seed) and reports
-the moment shifts in units of the posterior sigma. Acceptance: every
-|Δmean| < 0.1 sigma and every |Δsigma|/sigma < 10%.
+Two opt-in throughput modes approximate exact spline passes with Chebyshev
+compressions (BASELINE.md anatomy):
+
+  --model dispersion  (default) validates `dispersion_final='fast'`: the
+      jacobian reuses the final Picard update's exact v_r and uses a
+      degree-48 Chebyshev dv_r. Pointwise bounds: xi <= 2e-5 abs,
+      chi2 ~2e-3 (tests/test_golden.py).
+  --model streaming  validates `streaming_eval='fast'`: degree-48 Chebyshev
+      compressions of v_r and the mu-independent sigma_v template inside
+      the velocity-pdf convolution. Pointwise bounds: xi <= 3e-5 abs,
+      chi2 ~1.3e-2 (the pdf mean/width are more sensitive than the
+      dispersion jacobian, hence the looser chi2).
+
+Pointwise bounds say the modes are accurate; the operative question for a
+sampler-facing speed mode is whether the BOSS POSTERIOR moves. This runs
+tempered SMC under exact vs fast (same seed) and compares moments + logZ.
+
+Sampler choice: tempered SMC, not HMC. The posterior's beta direction has
+likelihood structure at the data beta-grid scale (the same property
+documented for the template model, tools/coverage_test.py), which leaves
+straggler HMC chains with R-1 ~ 0.1-0.4 at any practical schedule —
+measured 3 attempts, 8-16 chains x 2100 steps; the moment comparison was
+dominated by unconverged-chain noise. SMC's population tempering handles
+that structure, estimates the same moments from 4096 particles, and also
+compares the log-evidence. (Side observation from the HMC attempts, same
+seed and schedule: dispersion fast mode ran the full chain 3.3x faster
+than exact — removing two masksum passes removes their reverse-mode
+transposes too.)
+
+Acceptance: per-parameter |Δmean| < 0.1 sigma, |Δsigma|/sigma < 10%, and
+|ΔlogZ| < 2 x the combined (inflated) se.
 
 Run alone on the TPU:  python tools/validate_dispersion_fast.py
+                       python tools/validate_dispersion_fast.py --model streaming
 """
 
+import argparse
 import json
 import os
 import sys
@@ -23,11 +47,22 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+OPTS = {
+    'dispersion': lambda mode: {'rsd_model': 'dispersion',
+                                'dispersion_final': mode},
+    'streaming': lambda mode: {'rsd_model': 'streaming',
+                               'streaming_eval': mode},
+}
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='dispersion', choices=sorted(OPTS))
+    args = ap.parse_args()
+
     import yaml
     from victor_tpu.io import build_tables
-    from victor_tpu.sampling import run_hmc_mcmc
+    from victor_tpu.sampling import run_smc
     from victor_tpu.utils.profiling import enable_persistent_cache
     enable_persistent_cache()
 
@@ -42,35 +77,19 @@ def main():
 
     runs = {}
     for mode in ('exact', 'fast'):
-        # longer schedule than the streaming default: the dispersion
-        # posterior needs more warmup for a converged dense mass matrix
-        # (300/800 left a stuck chain with max R-1 > 2 in the first
-        # attempt); the comparison below is meaningless unless BOTH chains
-        # converge, so convergence is asserted as a precondition
-        # 16 chains cost the same wall time as 8 (the per-step dispatch is
-        # latency-bound at this batch size) and halve the R-hat noise
-        res = run_hmc_mcmc(
-            bundle, block, n_chains=16, n_warmup=600, n_samples=1500, seed=1,
-            opts_kw={'rsd_model': 'dispersion', 'dispersion_final': mode})
+        res = run_smc(
+            bundle, block, n_particles=4096, n_moves=8, seed=0,
+            opts_kw=OPTS[args.model](mode))
         runs[mode] = res
         print(json.dumps({
-            'mode': mode, 'acceptance': round(res.acceptance, 3),
-            'max_rm1': round(float(np.max(res.rhat - 1)), 4),
+            'model': args.model, 'mode': mode,
+            'n_stages': len(res.betas) - 1,
+            'logz': round(res.logz, 3), 'logz_se': round(res.logz_se, 3),
             'elapsed_s': round(res.elapsed_s, 1),
             'summary': {k: {'mean': round(v['mean'], 5),
                             'std': round(v['std'], 5)}
                         for k, v in res.summary().items()},
         }), flush=True)
-
-    for mode, res in runs.items():
-        rm1 = float(np.max(res.rhat - 1))
-        if rm1 > 0.05:
-            print(json.dumps({'check': 'dispersion_fast_posterior_parity',
-                              'ok': False,
-                              'error': f'{mode} chain unconverged '
-                                       f'(max R-1 = {rm1:.3f}) — comparison '
-                                       'invalid, increase warmup/samples'}))
-            sys.exit(2)
 
     ok = True
     report = {}
@@ -81,7 +100,11 @@ def main():
         report[name] = {'dmean_over_sigma': round(dm, 4),
                         'dsigma_rel': round(ds, 4)}
         ok &= (dm < 0.1) and (ds < 0.1)
-    print(json.dumps({'check': 'dispersion_fast_posterior_parity',
+    dlz = abs(runs['fast'].logz - runs['exact'].logz)
+    selz = float(np.hypot(runs['fast'].logz_se, runs['exact'].logz_se))
+    report['logZ'] = {'delta': round(dlz, 3), 'combined_se': round(selz, 3)}
+    ok &= dlz < 2 * selz
+    print(json.dumps({'check': f'{args.model}_fast_posterior_parity',
                       'ok': bool(ok), 'shifts': report}), flush=True)
     sys.exit(0 if ok else 1)
 

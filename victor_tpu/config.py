@@ -40,6 +40,11 @@ class TheoryOptions:
     # see models/ccf_theory.py); 'exact' reproduces the reference float-
     # for-float and is used by the parity test suite
     dispersion_interior: str = 'chebyshev'
+    # streaming-model evaluation: 'exact' (default) or 'fast' (opt-in:
+    # degree-48 Chebyshev compressions of the v_r spline and the
+    # mu-independent sigma_v template — the technique validated for the
+    # dispersion final stage; bounds + posterior validation in BASELINE.md)
+    streaming_eval: str = 'exact'
     # final stage of the dispersion solve (the last Picard update and the
     # jacobian's v_r/dv_r evaluations): 'exact' (default — three exact
     # spline passes, reference semantics), 'fast' (opt-in throughput mode:
@@ -104,6 +109,7 @@ def theory_options_from_config(model: dict) -> TheoryOptions:
         niter=model.get('niter', 5),
         dispersion_interior=model.get('dispersion_interior', 'chebyshev'),
         dispersion_final=model.get('dispersion_final', 'exact'),
+        streaming_eval=model.get('streaming_eval', 'exact'),
     )
 
 

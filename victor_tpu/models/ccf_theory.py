@@ -236,8 +236,34 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
             r_par = s_par - v_par * iaH_true
             rr = jnp.sqrt(s_perp ** 2 + r_par ** 2)
             mu_r = r_par / rr
-            sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
-            mean = vr_at(rr) * mu_r
+            if opts.streaming_eval == 'fast' and tables.sv_surf.y_const:
+                # Opt-in throughput mode (streaming_eval='fast'): the two
+                # 150k-point spline masksums whose queries are smooth in rr
+                # — v_r and the mu-independent sigma_v template — evaluate
+                # on degree-48 Chebyshev compressions (~1.5x fewer VPU ops
+                # each than the 30-interval masksum, and the two Clenshaw
+                # recurrences share rr). Same technique/degree as the
+                # validated dispersion fast mode; bounds in
+                # test_golden.py::test_streaming_fast_bound, posterior
+                # validation in BASELINE.md round 3. mu-dependent sigma_v
+                # surfaces (y_const=False) keep the exact bicubic — only
+                # the 1D factor compresses losslessly enough.
+                from ..ops.splines import chebyshev_eval, chebyshev_fit
+                lo = tables.spline_vel.x[0] * resc_vel
+                hi = tables.spline_vel.x[-1] * resc_vel
+                coef_v = chebyshev_fit(vr_at, lo, hi, degree=48)
+                slo = tables.sv_surf.x[0] * resc
+                shi = tables.sv_surf.x[-1] * resc
+
+                def sv_1d(q):
+                    return tables.sv_surf.ev(q / resc, jnp.zeros_like(q))
+
+                coef_s = chebyshev_fit(sv_1d, slo, shi, degree=48)
+                mean = chebyshev_eval(coef_v, lo, hi, rr) * mu_r
+                sv = sigma_v * chebyshev_eval(coef_s, slo, shi, rr)
+            else:
+                sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
+                mean = vr_at(rr) * mu_r
             vel_pdf = jnp.exp(-0.5 * ((v_par - mean) / sv) ** 2) / (SQRT2PI * sv)
             jacobian = 1.0
         else:  # dispersion
