@@ -22,7 +22,7 @@ class TestCoverage:
         from coverage_test import run_coverage
         from victor_tpu.io import build_tables
         bundle = build_tables(boss_config['model'], boss_config['data'])
-        pulls, hit68, names = run_coverage(
+        pulls, hit68, names, _ = run_coverage(
             bundle, n_mocks=8, seed=11, form='gaussian',
             n_starts=4, adam_steps=100, newton_steps=6)
         return pulls, hit68, names

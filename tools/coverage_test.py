@@ -25,6 +25,11 @@ beta inference has the identical property; use the samplers/profile scan
 for beta intervals rather than the Laplace sigma.
 
 Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
+        python tools/coverage_test.py --mocks 200 --beta-profile
+                    # --beta-profile turns the advice above into machinery:
+                    # per-mock delta-chi2=1 profile intervals for beta
+                    # (profile_scan, 25 points over +/-4 sigma) and their
+                    # measured coverage, alongside the Laplace pulls
         python tools/coverage_test.py --model esm --mocks 30
                     # 9-parameter excursion-set pipeline calibration:
                     # fiducial = the ESM MAP neighbourhood, params block
@@ -78,13 +83,18 @@ def shift_datavector(bundle, delta):
 
 def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
                  fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
-                 n_starts=4, adam_steps=120, newton_steps=6):
-    """Returns (pulls (n_mocks, ndim), hit68 fraction, names)."""
+                 n_starts=4, adam_steps=120, newton_steps=6,
+                 beta_profile=False):
+    """Returns (pulls (n_mocks, ndim), hit68 fraction, names,
+    beta_intervals) — beta_intervals is an (n_mocks, 2) array of per-mock
+    delta-chi2=1 profile intervals for beta when beta_profile=True (the
+    remedy for beta's grid-structure-broken Laplace sigma: the profile
+    interval follows the actual likelihood wiggles), else None."""
     import jax.numpy as jnp
     from victor_tpu.likelihood.core import (interpolated_covariance,
                                             multipole_datavector)
     from victor_tpu.models.ccf_theory import theory_vector
-    from victor_tpu.sampling.optimize import find_map
+    from victor_tpu.sampling.optimize import find_map, profile_scan
 
     fit_kw = {'form': form}
     names = [n for n in params_block]
@@ -104,7 +114,7 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
 
     rng = np.random.default_rng(seed)
     pulls = np.empty((n_mocks, len(names)))
-    hits = 0
+    beta_iv = np.empty((n_mocks, 2)) if beta_profile else None
     for k in range(n_mocks):
         mock = tvec + L @ rng.standard_normal(len(tvec))
         # shift the stored data vector so that AT the fiducial beta it
@@ -116,8 +126,22 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
         sd = res.std
         pulls[k] = [(res.params[n] - fiducial[n]) / max(sd[n], 1e-300)
                     for n in names]
+        if beta_profile:
+            # the machinery behind "use profile scans for beta": the
+            # delta-chi2=1 interval follows the per-mock likelihood's
+            # beta-grid-scale wiggles that the quadratic Laplace sigma
+            # cannot (module docstring). 25 points over +/-4 Laplace
+            # sigmas resolves the ~0.01 grid spacing ~4x.
+            prof = profile_scan(mb, params_block, 'beta', n_grid=25,
+                                n_sigma=4.0, seed=seed + k, fit_kw=fit_kw,
+                                map_result=res)
+            lo, hi = prof.interval(1.0)
+            # a nan crossing = delta-chi2 never reaches 1 on that side
+            # within the scan window -> treat as covering that side
+            beta_iv[k] = [lo if np.isfinite(lo) else -np.inf,
+                          hi if np.isfinite(hi) else np.inf]
     hit68 = float(np.mean(np.abs(pulls) < 1.0))
-    return pulls, hit68, names
+    return pulls, hit68, names, beta_iv
 
 
 ESM_FIDUCIAL = {'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544,
@@ -136,6 +160,10 @@ def main():
                     choices=['template', 'esm'],
                     help='template = 4-param BOSS fit; esm = 9-param '
                          'excursion-set pipeline')
+    ap.add_argument('--beta-profile', action='store_true',
+                    help='also measure beta coverage with per-mock '
+                         'delta-chi2=1 profile intervals (the remedy for '
+                         'the grid-structure-broken Laplace sigma)')
     args = ap.parse_args()
 
     import yaml
@@ -164,9 +192,10 @@ def main():
         block = PARAMS_BLOCK
         fiducial = FIDUCIAL
 
-    pulls, hit68, names = run_coverage(bundle, n_mocks=args.mocks,
-                                       seed=args.seed, form=args.form,
-                                       fiducial=fiducial, params_block=block)
+    pulls, hit68, names, beta_iv = run_coverage(
+        bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+        fiducial=fiducial, params_block=block,
+        beta_profile=args.beta_profile)
     print(f'{args.mocks} mocks, likelihood form = {args.form}')
     for i, n in enumerate(names):
         p = pulls[:, i]
@@ -178,6 +207,16 @@ def main():
     # the error bar ~2x
     print(f'overall 68.3%-interval coverage: {hit68 * 100:.1f}% '
           f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / len(pulls)):.1f}%)')
+    if beta_iv is not None:
+        fb = fiducial['beta']
+        cov_b = float(np.mean((beta_iv[:, 0] <= fb) & (fb <= beta_iv[:, 1])))
+        widths = beta_iv[np.all(np.isfinite(beta_iv), axis=1)]
+        half = (widths[:, 1] - widths[:, 0]) / 2 if len(widths) else [np.nan]
+        print(f'beta PROFILE-interval (delta-chi2=1) coverage: '
+              f'{cov_b * 100:.1f}% '
+              f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / len(beta_iv)):.1f}%); '
+              f'median half-width {np.median(half):.4f} '
+              f'(Laplace sigma understates: pull std above)')
 
 
 if __name__ == '__main__':
