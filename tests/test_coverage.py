@@ -47,6 +47,30 @@ class TestCoverage:
         assert np.abs(p[:, ib]).max() < 15.0
         assert 0.35 < hit68 < 0.95, f'68%-coverage: {hit68:.2f}'
 
+    @pytest.mark.slow
+    def test_smc_posterior_coverage_smoke(self, boss_config):
+        """--method smc plumbing: per-mock tempered-SMC posteriors produce
+        finite posterior-mean pulls and sane central intervals. The real
+        calibration runs on TPU (100 mocks, BASELINE.md round 3: nominal
+        coverage for every parameter incl. beta, whose marginal posterior
+        integrates over the grid-scale wiggles that break Laplace/profile
+        intervals); 3 tiny mocks here just pin the code path."""
+        from coverage_test import run_coverage_smc
+        from victor_tpu.io import build_tables
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        # 48 particles matches test_smc's CPU-sized bundle run: the full
+        # BOSS likelihood in f64 on one core is the cost, not the sampler
+        pulls, cover68, names = run_coverage_smc(
+            bundle, n_mocks=2, seed=5, form='gaussian',
+            n_particles=48, n_moves=2, chunk=16)
+        assert pulls.shape == (2, 4)
+        assert np.all(np.isfinite(pulls))
+        # posterior-mean pulls in posterior-std units: |pull| > 6 would mean
+        # a broken interval even at 48 particles
+        assert np.abs(pulls).max() < 6.0
+        assert cover68.shape == (len(names),)
+        assert np.all((cover68 >= 0.0) & (cover68 <= 1.0))
+
     def test_mock_shift_is_exact_at_fiducial_beta(self, boss_config):
         """shift_datavector moves the beta-interpolated data vector by
         exactly delta at every beta (constant shift commutes with PCHIP)."""
