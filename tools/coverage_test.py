@@ -26,10 +26,14 @@ grid-scale structure, the minimum hops between wiggles under noise, and
 the quadratic Laplace sigma understates the mock-to-mock scatter (pull
 std 2.86, heavy-tailed). Local delta-chi2=1 profile intervals do NOT fix
 it (56.0 +/- 3.3% coverage at 200 mocks — they follow the same wiggles).
-The marginal posterior DOES: --method smc (100 mocks, 2026-08-17)
-measures nominal central-68% coverage for every parameter (70/65/71/72%,
-binomial sigma 4.7%) and beta posterior-mean pull std 1.03 — report
-credible intervals from the samplers, not the Laplace sigma, for beta.
+The marginal posterior DOES: --method smc (100 mocks seed 0 + 200 mocks
+seed 100, 2026-08-17) measures nominal central-68% coverage for every
+parameter (200-mock: 70/70/67/64%, binomial sigma 3.3%; beta
+posterior-mean pull std 1.0-1.15 vs 2.86 Laplace) — report credible
+intervals from the samplers, not the Laplace sigma, for beta. The same
+holds through the 9-param ESM pipeline (--model esm --method smc:
+constrained directions nominal, prior-pinned shape nuisances shrink
+toward the prior and overcover — BASELINE.md round 3).
 
 Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
         python tools/coverage_test.py --mocks 200 --beta-profile
