@@ -54,7 +54,7 @@ class TestCoverage:
         calibration runs on TPU (100 mocks, BASELINE.md round 3: nominal
         coverage for every parameter incl. beta, whose marginal posterior
         integrates over the grid-scale wiggles that break Laplace/profile
-        intervals); 3 tiny mocks here just pin the code path."""
+        intervals); 2 tiny mocks here just pin the code path."""
         from coverage_test import run_coverage_smc
         from victor_tpu.io import build_tables
         bundle = build_tables(boss_config['model'], boss_config['data'])

@@ -308,3 +308,26 @@ class TestRemainingOptions:
         ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
         got = our_loglike(cfg['model'], cfg['data'], PARAMS)
         np.testing.assert_allclose(got, ref, rtol=1e-7)
+
+
+class TestOptionValidation:
+    def test_perf_mode_typos_raise(self):
+        """The perf-mode strings select silently-diverging code paths in
+        ccf_theory.py (an unrecognised value would fall through to the
+        exact branch), so a typo must raise at options-construction time —
+        both from YAML (theory_options_from_config) and from the per-call
+        kwarg-override path (TheoryOptions.replace)."""
+        import pytest as _pytest
+        from victor_tpu.config import TheoryOptions, theory_options_from_config
+        for bad in (dict(dispersion_final='Fast'),
+                    dict(streaming_eval='chebyshev'),
+                    dict(dispersion_interior='cheby')):
+            with _pytest.raises(ValueError, match='must be one of'):
+                TheoryOptions(**bad)
+            with _pytest.raises(ValueError, match='must be one of'):
+                TheoryOptions().replace(**bad)
+            with _pytest.raises(ValueError, match='must be one of'):
+                theory_options_from_config(dict(bad))
+        # valid values still construct
+        assert TheoryOptions(dispersion_final='fused',
+                             streaming_eval='fast').streaming_eval == 'fast'

@@ -25,7 +25,8 @@ comparable to sigma(beta) (~0.007), so the per-mock beta likelihood has
 grid-scale structure, the minimum hops between wiggles under noise, and
 the quadratic Laplace sigma understates the mock-to-mock scatter (pull
 std 2.86, heavy-tailed). Local delta-chi2=1 profile intervals do NOT fix
-it (56.0 +/- 3.3% coverage at 200 mocks — they follow the same wiggles).
+it (56.0 +/- 3.3% coverage at 200 mocks, itself an upper bound — window-
+truncated sides count as covering; they follow the same wiggles).
 The marginal posterior DOES: --method smc (100 mocks seed 0 + 200 mocks
 seed 100, 2026-08-17) measures nominal central-68% coverage for every
 parameter (200-mock: 70/70/67/64%, binomial sigma 3.3%; beta
@@ -98,24 +99,16 @@ def shift_datavector(bundle, delta):
     return dataclasses.replace(bundle, tables=t2)
 
 
-def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
-                 fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
-                 n_starts=4, adam_steps=120, newton_steps=6,
-                 beta_profile=False):
-    """Returns (pulls (n_mocks, ndim), hit68 fraction, names,
-    beta_intervals) — beta_intervals is an (n_mocks, 2) array of per-mock
-    delta-chi2=1 profile intervals for beta when beta_profile=True (the
-    remedy for beta's grid-structure-broken Laplace sigma: the profile
-    interval follows the actual likelihood wiggles), else None."""
+def _mock_setup(bundle, fiducial):
+    """Shared mock-generation ingredients (tvec, dvec, L).
+
+    tvec = theory vector at the fiducial, dvec = stored data vector at the
+    fiducial beta, L = Cholesky factor of the covariance there. Both
+    coverage paths MUST draw mocks identically — one implementation."""
     import jax.numpy as jnp
     from victor_tpu.likelihood.core import (interpolated_covariance,
                                             multipole_datavector)
     from victor_tpu.models.ccf_theory import theory_vector
-    from victor_tpu.sampling.optimize import find_map, profile_scan
-
-    fit_kw = {'form': form}
-    names = [n for n in params_block]
-    fid = np.array([fiducial[n] for n in names])
 
     params = {k: jnp.asarray(v) for k, v in fiducial.items()}
     tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
@@ -127,7 +120,23 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
     cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
                                              jnp.asarray(fiducial['beta'])),
                      dtype=np.float64)
-    L = np.linalg.cholesky(cov)
+    return tvec, dvec, np.linalg.cholesky(cov)
+
+
+def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
+                 fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
+                 n_starts=4, adam_steps=120, newton_steps=6,
+                 beta_profile=False):
+    """Returns (pulls (n_mocks, ndim), hit68 fraction, names,
+    beta_intervals) — beta_intervals is an (n_mocks, 2) array of per-mock
+    delta-chi2=1 profile intervals for beta when beta_profile=True (the
+    remedy for beta's grid-structure-broken Laplace sigma: the profile
+    interval follows the actual likelihood wiggles), else None."""
+    from victor_tpu.sampling.optimize import find_map, profile_scan
+
+    fit_kw = {'form': form}
+    names = [n for n in params_block]
+    tvec, dvec, L = _mock_setup(bundle, fiducial)
 
     rng = np.random.default_rng(seed)
     pulls = np.empty((n_mocks, len(names)))
@@ -154,7 +163,9 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
                                 map_result=res)
             lo, hi = prof.interval(1.0)
             # a nan crossing = delta-chi2 never reaches 1 on that side
-            # within the scan window -> treat as covering that side
+            # within the +/-4-Laplace-sigma scan window -> that side counts
+            # as covering, so the printed profile coverage is an UPPER
+            # bound; the truncated fraction is reported alongside it
             beta_iv[k] = [lo if np.isfinite(lo) else -np.inf,
                           hi if np.isfinite(hi) else np.inf]
     hit68 = float(np.mean(np.abs(pulls) < 1.0))
@@ -175,27 +186,12 @@ def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
     Returns (pulls (n_mocks, ndim) posterior-mean pulls in posterior-std
     units, cover68 (ndim,) per-parameter central-interval coverage, names).
     """
-    import jax.numpy as jnp
-    from victor_tpu.likelihood.core import (interpolated_covariance,
-                                            multipole_datavector)
-    from victor_tpu.models.ccf_theory import theory_vector
     from victor_tpu.sampling.smc import run_smc
 
     fit_kw = {'form': form}
     names = [n for n in params_block]
     fid = np.array([fiducial[n] for n in names])
-
-    params = {k: jnp.asarray(v) for k, v in fiducial.items()}
-    tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
-                                    bundle.theory_opts, params),
-                      dtype=np.float64)
-    dvec = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
-                                           jnp.asarray(fiducial['beta'])),
-                      dtype=np.float64)
-    cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
-                                             jnp.asarray(fiducial['beta'])),
-                     dtype=np.float64)
-    L = np.linalg.cholesky(cov)
+    tvec, dvec, L = _mock_setup(bundle, fiducial)
 
     rng = np.random.default_rng(seed)
     pulls = np.empty((n_mocks, len(names)))
@@ -244,6 +240,10 @@ def main():
     ap.add_argument('--moves', type=int, default=6,
                     help='SMC mutation moves per stage (method=smc)')
     args = ap.parse_args()
+    if args.beta_profile and args.method == 'smc':
+        ap.error('--beta-profile applies to --method map only (the smc '
+                 'method already reports credible-interval coverage for '
+                 'beta)')
 
     import yaml
 
@@ -259,7 +259,7 @@ def main():
         cfg['model']['dir'] = REPO
         cfg['data']['dir'] = REPO
         bundle = build_tables(cfg['model'], cfg['data'])
-        # drop latex keys; keep prior/ref structure for find_map
+        # the full cobaya-style block (latex keys are tolerated)
         block = full['params']
         fiducial = ESM_FIDUCIAL
     else:
@@ -307,11 +307,13 @@ def main():
         cov_b = float(np.mean((beta_iv[:, 0] <= fb) & (fb <= beta_iv[:, 1])))
         widths = beta_iv[np.all(np.isfinite(beta_iv), axis=1)]
         half = (widths[:, 1] - widths[:, 0]) / 2 if len(widths) else [np.nan]
+        trunc = float(np.mean(~np.isfinite(beta_iv).all(axis=1)))
         print(f'beta PROFILE-interval (delta-chi2=1) coverage: '
               f'{cov_b * 100:.1f}% '
               f'(binomial sigma {100 * np.sqrt(0.683 * 0.317 / len(beta_iv)):.1f}%); '
-              f'median half-width {np.median(half):.4f} '
-              f'(Laplace sigma understates: pull std above)')
+              f'median half-width {np.median(half):.4f}; '
+              f'{trunc * 100:.0f}% of mocks truncated by the scan window '
+              f'(those count as covering -> coverage is an upper bound)')
 
 
 if __name__ == '__main__':

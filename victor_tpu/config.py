@@ -55,6 +55,21 @@ class TheoryOptions:
     # a measured experiment, see models/ccf_theory.py)
     dispersion_final: str = 'exact'
 
+    def __post_init__(self):
+        # the perf-mode strings select silently-diverging code paths in
+        # ccf_theory.py (an unrecognised value would fall through to the
+        # exact branch), so a typo must raise here — rsd_model and the
+        # physics-model fields are validated at their dispatch sites with
+        # the reference's own error messages
+        for field, allowed in (
+                ('dispersion_interior', ('chebyshev', 'exact')),
+                ('dispersion_final', ('exact', 'fast', 'fused')),
+                ('streaming_eval', ('exact', 'fast'))):
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f'{field}={v!r}: must be one of {allowed}')
+
     def replace(self, **kw):
         # accept the reference's per-call kwarg vocabulary
         mapping = {'velocity_independent_of_AP': 'velocity_independent_of_AP'}

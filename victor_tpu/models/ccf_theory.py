@@ -262,6 +262,18 @@ def theory_xi_points(tables, spec: TableSpec, opts: TheoryOptions, params,
                 mean = chebyshev_eval(coef_v, lo, hi, rr) * mu_r
                 sv = sigma_v * chebyshev_eval(coef_s, slo, shi, rr)
             else:
+                if opts.streaming_eval == 'fast':
+                    # fast mode requested but the dispersion template is
+                    # mu-dependent: only the 1D factor compresses losslessly
+                    # enough, so the exact bicubic must run. Say so once per
+                    # trace — silently measuring/validating the exact path
+                    # while believing it is the fast one is worse than the
+                    # lost speedup.
+                    import logging
+                    logging.getLogger('victor_tpu.theory').warning(
+                        "streaming_eval='fast' ignored: the sigma_v surface "
+                        'is mu-dependent (anisotropic dispersion template); '
+                        'running the exact evaluation')
                 sv = sigma_v * tables.sv_surf.ev(rr / resc, mu_r)
                 mean = vr_at(rr) * mu_r
             vel_pdf = jnp.exp(-0.5 * ((v_par - mean) / sv) ** 2) / (SQRT2PI * sv)
