@@ -260,6 +260,49 @@ class TestRemainingOptions:
         got = our_loglike(cfg['model'], cfg['data'], PARAMS)
         np.testing.assert_allclose(got, ref, rtol=1e-7)
 
+    def test_streaming_fast_on_anisotropic_template_warns_and_runs_exact(
+            self, boss_config, tmp_path):
+        """streaming_eval='fast' requires a mu-independent sigma_v surface;
+        on an anisotropic template it must fall back to the exact bicubic
+        AND say so (a silent fallback would let a user believe they
+        measured/validated the fast mode — models/ccf_theory.py)."""
+        import logging
+        src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        mu_sv = np.linspace(0.0, 1.0, 21)
+        sv2d = payload['sigmav'][:, None] * (1.0 + 0.25 * mu_sv[None, :] ** 2)
+        fn = tmp_path / 'aniso_model.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+            f.create_dataset('musv', data=mu_sv)
+            f.create_dataset('sigmav2d', data=sv2d)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        cfg['model']['velocity_pdf']['dispersion'] = {
+            'model': 'template', 'template_keys': ['rsv', 'musv', 'sigmav2d']}
+        exact = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        cfg['model']['streaming_eval'] = 'fast'
+        # the victor_tpu root logger has propagate=False, so capture with an
+        # explicit handler rather than caplog's root-based capture
+        records = []
+
+        class _Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        h = _Grab(level=logging.WARNING)
+        logging.getLogger('victor_tpu.theory').addHandler(h)
+        try:
+            fast = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        finally:
+            logging.getLogger('victor_tpu.theory').removeHandler(h)
+        assert any('fast' in r.getMessage() and 'mu-dependent' in r.getMessage()
+                   for r in records)
+        np.testing.assert_allclose(fast, exact, rtol=1e-12)
+
     def test_hexadecapole_three_multipole_fit(self, boss_config, tmp_path):
         """ell=0,2,4 stacking: 90-dim data vector + (3x30)^2 covariance."""
         rng = np.random.default_rng(7)
