@@ -43,7 +43,11 @@ class TheoryOptions:
     # streaming-model evaluation: 'exact' (default) or 'fast' (opt-in:
     # degree-48 Chebyshev compressions of the v_r spline and the
     # mu-independent sigma_v template — the technique validated for the
-    # dispersion final stage; bounds + posterior validation in BASELINE.md)
+    # dispersion final stage; bounds + posterior validation in BASELINE.md).
+    # 'fast' is a FORWARD-path optimization (batched likelihood / SMC /
+    # quadrature: 1.36x): under reverse-mode AD the Clenshaw recurrence's
+    # sequential transpose makes HMC 1.55x SLOWER than exact (measured,
+    # BASELINE.md round 3) — keep 'exact' for HMC/NUTS
     streaming_eval: str = 'exact'
     # final stage of the dispersion solve (the last Picard update and the
     # jacobian's v_r/dv_r evaluations): 'exact' (default — three exact
