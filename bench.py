@@ -95,6 +95,24 @@ def main():
     }))
 
 
+class _TunnelStall(Exception):
+    """The axon tunnel sometimes hangs SILENTLY (no error, no progress) on
+    the first device touch after another process released the chip —
+    observed twice on 2026-08-17 (>14 min with zero log output; a fresh
+    process immediately succeeded). A watchdog turns that hang into a
+    retryable exception."""
+
+
+def _arm_watchdog(seconds: int):
+    import signal
+
+    def _fire(signum, frame):
+        raise _TunnelStall(f'no completion within {seconds}s '
+                           '(silent tunnel stall?)')
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def _is_transient_backend_error(e: Exception) -> bool:
     """Only TPU-backend/tunnel failures warrant a fresh-process retry.
 
@@ -102,6 +120,8 @@ def _is_transient_backend_error(e: Exception) -> bool:
     configs) must surface immediately — retrying them just doubles
     time-to-failure for genuine regressions.
     """
+    if isinstance(e, _TunnelStall):
+        return True
     if type(e).__name__ in ('XlaRuntimeError', 'JaxRuntimeError'):
         return True
     msg = str(e)
@@ -119,7 +139,13 @@ def _main_with_retry():
     is a fresh process. Guarded by an env flag to prevent loops.
     """
     try:
+        # generous bound: a legitimately cold compile of the big likelihood
+        # graph takes ~300-400 s through the tunnel; the silent stall this
+        # guards against showed >840 s with zero progress
+        _arm_watchdog(int(os.environ.get('VICTOR_BENCH_WATCHDOG', 900)))
         main()
+        import signal
+        signal.alarm(0)
     except Exception as e:                      # noqa: BLE001
         if os.environ.get('VICTOR_BENCH_RETRIED') or \
                 not _is_transient_backend_error(e):
