@@ -301,6 +301,23 @@ ESM_FIDUCIAL = {'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544,
                 'b01': -4.228, 'Rp': 7.973, 'Rx': 0.467, 'beta': 0.37,
                 'sigma_v': 380.0, 'epsilon': 1.0}
 
+# 9-dim SBC space for the excursion-set pipeline: normals around the ESM
+# MAP neighbourhood, scales sized to the posterior-typical region (shape
+# nuisances narrower than their degenerate likelihood widths so every
+# prior draw keeps the profile pipeline in its physical regime — Rp/Rx
+# positive at >9 sigma)
+SBC_BLOCK_ESM = {
+    'f': {'prior': {'dist': 'norm', 'loc': 0.778, 'scale': 0.05}},
+    'sigma_8_0': {'prior': {'dist': 'norm', 'loc': 0.81, 'scale': 0.05}},
+    'b10': {'prior': {'dist': 'norm', 'loc': -1.544, 'scale': 0.15}},
+    'b01': {'prior': {'dist': 'norm', 'loc': -4.228, 'scale': 0.4}},
+    'Rp': {'prior': {'dist': 'norm', 'loc': 7.973, 'scale': 0.3}},
+    'Rx': {'prior': {'dist': 'norm', 'loc': 0.467, 'scale': 0.05}},
+    'beta': {'prior': {'dist': 'norm', 'loc': 0.37, 'scale': 0.03}},
+    'sigma_v': {'prior': {'dist': 'norm', 'loc': 380.0, 'scale': 30.0}},
+    'epsilon': {'prior': {'dist': 'norm', 'loc': 1.0, 'scale': 0.02}},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -333,10 +350,7 @@ def main():
     if args.beta_profile and args.method != 'map':
         ap.error('--beta-profile applies to --method map only (the smc/sbc '
                  'methods already characterise the beta marginal)')
-    if args.method == 'sbc' and args.model != 'template':
-        ap.error('--method sbc currently ships a template-model parameter '
-                 'space (SBC_BLOCK); an ESM SBC would need a 9-dim normal '
-                 'prior block')
+
 
     import yaml
 
@@ -366,8 +380,10 @@ def main():
 
     if args.method == 'sbc':
         from scipy import stats
+        sbc_block = SBC_BLOCK_ESM if args.model == 'esm' else SBC_BLOCK
         ranks, names = run_sbc(
             bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+            params_block=sbc_block,
             n_particles=args.particles, n_moves=args.moves)
         print(f'{args.mocks} mocks, likelihood form = {args.form}, '
               f'method = sbc (fractional posterior ranks of prior-drawn '
