@@ -195,6 +195,38 @@ class TestFitCLI:
         assert set(out['best_fit']) == {'fsigma8', 'beta', 'sigma_v', 'epsilon'}
 
 
+class TestAnalyzeCLI:
+    @pytest.mark.slow
+    def test_cli_analyze_writes_report_and_chains(self, capsys, tmp_path,
+                                                  boss_config):
+        """The one-command pipeline: MAP + SMC posterior/evidence ->
+        report.md + GetDist chains + JSON summary (tiny settings; the
+        report's headline is the central-68% credible interval — the
+        calibrated reporting path)."""
+        import json
+        import os
+        import yaml
+        from victor_tpu.__main__ import main
+        p = tmp_path / 'an.yaml'
+        cfg = dict(boss_config)
+        cfg['params'] = BLOCK_4P
+        p.write_text(yaml.safe_dump(cfg))
+        outdir = str(tmp_path / 'analysis')
+        # starts/adam-steps match the map_result fixture's compiled graph
+        # exactly, so in the full suite this test adds no new find_map
+        # compile (the vmap width and scan length are part of the shape)
+        main(['analyze', str(p), '--output', outdir, '--starts', '4',
+              '--adam-steps', '120', '--particles', '48', '--moves', '2'])
+        out = json.loads(capsys.readouterr().out)
+        assert os.path.isfile(out['report'])
+        report = open(out['report']).read()
+        assert 'central 68%' in report and 'log Z' in report
+        assert os.path.isfile(os.path.join(outdir, 'chains.1.txt'))
+        for n in ('fsigma8', 'beta', 'sigma_v', 'epsilon'):
+            lo, hi = out['posterior'][n]['central_68']
+            assert lo < out['posterior'][n]['mean'] < hi
+
+
 class TestPlotScanTool:
     def test_1d_and_2d_plots(self, tmp_path):
         import sys as _sys

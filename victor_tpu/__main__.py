@@ -356,7 +356,7 @@ def cmd_analyze(args):
 
     t0 = time.time()
     mres = find_map(bundle, params_block, n_starts=args.starts,
-                    seed=args.seed)
+                    adam_steps=args.adam_steps, seed=args.seed)
     t_map = time.time() - t0
 
     t0 = time.time()
@@ -548,6 +548,7 @@ def main(argv=None):
                     help='output directory (default <config>_analysis/)')
     pa.add_argument('--starts', type=int, default=16,
                     help='MAP multi-start count')
+    pa.add_argument('--adam-steps', type=int, default=250)
     pa.add_argument('--particles', type=int, default=4096,
                     help='SMC particle count')
     pa.add_argument('--moves', type=int, default=8,
