@@ -95,22 +95,45 @@ def main():
     }))
 
 
-class _TunnelStall(Exception):
-    """The axon tunnel sometimes hangs SILENTLY (no error, no progress) on
-    the first device touch after another process released the chip —
-    observed twice on 2026-08-17 (>14 min with zero log output; a fresh
-    process immediately succeeded). A watchdog turns that hang into a
-    retryable exception."""
-
-
 def _arm_watchdog(seconds: int):
-    import signal
+    """Guards against the axon tunnel hanging SILENTLY (no error, no
+    progress) on the first device touch after another process released the
+    chip — observed twice on 2026-08-17 (>14 min with zero log output; a
+    fresh process immediately succeeded).
 
-    def _fire(signum, frame):
-        raise _TunnelStall(f'no completion within {seconds}s '
-                           '(silent tunnel stall?)')
-    signal.signal(signal.SIGALRM, _fire)
-    signal.alarm(seconds)
+    Watchdog THREAD (not SIGALRM): the stall this guards against blocks
+    the main thread inside a native tunnel RPC, where a Python-level signal
+    handler would never run (handlers only execute between bytecodes — the
+    same reason Ctrl-C cannot interrupt an XLA compile). A daemon timer
+    thread acts regardless of what the main thread is stuck in: it either
+    re-execs a fresh process (first time) or exits nonzero (already
+    retried)."""
+    import threading
+
+    def _on_stall():
+        sys.stderr.write(f'bench.py: watchdog fired after {seconds}s with '
+                         'no completion (silent tunnel stall); ')
+        sys.stderr.flush()
+        if os.environ.get('VICTOR_BENCH_RETRIED'):
+            sys.stderr.write('already retried once - giving up\n')
+            sys.stderr.flush()
+            # leave a machine-readable record of WHY there is no number
+            print(json.dumps({'metric': 'likelihood_evals_per_sec',
+                              'value': 0.0, 'unit': 'evals/s',
+                              'vs_baseline': 0.0,
+                              'error': 'silent tunnel stall: no completion '
+                                       'in 2 attempts (watchdog)'}),
+                  flush=True)
+            os._exit(3)
+        sys.stderr.write('re-executing in a fresh process\n')
+        sys.stderr.flush()
+        os.environ['VICTOR_BENCH_RETRIED'] = '1'
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+    t = threading.Timer(seconds, _on_stall)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _is_transient_backend_error(e: Exception) -> bool:
@@ -120,8 +143,6 @@ def _is_transient_backend_error(e: Exception) -> bool:
     configs) must surface immediately — retrying them just doubles
     time-to-failure for genuine regressions.
     """
-    if isinstance(e, _TunnelStall):
-        return True
     if type(e).__name__ in ('XlaRuntimeError', 'JaxRuntimeError'):
         return True
     msg = str(e)
@@ -138,15 +159,15 @@ def _main_with_retry():
     2026-08-16); the backend state is process-wide, so the only clean retry
     is a fresh process. Guarded by an env flag to prevent loops.
     """
+    # generous bound: a legitimately cold compile of the big likelihood
+    # graph takes ~300-400 s through the tunnel; the silent stall this
+    # guards against showed >840 s with zero progress
+    dog = _arm_watchdog(int(os.environ.get('VICTOR_BENCH_WATCHDOG', 900)))
     try:
-        # generous bound: a legitimately cold compile of the big likelihood
-        # graph takes ~300-400 s through the tunnel; the silent stall this
-        # guards against showed >840 s with zero progress
-        _arm_watchdog(int(os.environ.get('VICTOR_BENCH_WATCHDOG', 900)))
         main()
-        import signal
-        signal.alarm(0)
+        dog.cancel()
     except Exception as e:                      # noqa: BLE001
+        dog.cancel()    # a late fire mid-retry would skip the clean path
         if os.environ.get('VICTOR_BENCH_RETRIED') or \
                 not _is_transient_backend_error(e):
             raise

@@ -249,42 +249,50 @@ def run_sbc(bundle, n_mocks=100, seed=0, form='gaussian',
     rebuilt at each mock's own beta_k (the generative model the likelihood
     actually assumes). Returns (ranks (n_mocks, ndim) in [0, 1], names).
     """
-    import jax.numpy as jnp
-    from victor_tpu.likelihood.core import (interpolated_covariance,
-                                            multipole_datavector)
-    from victor_tpu.models.ccf_theory import theory_vector
     from victor_tpu.sampling.smc import run_smc
 
+    if form != 'gaussian':
+        # SBC's rank-uniformity guarantee requires the FITTED likelihood to
+        # equal the SIMULATOR density; mocks here are Gaussian draws, so a
+        # sellentin/hartlap/percival fit would deviate from U(0,1) by
+        # construction and read as a spurious calibration failure
+        raise ValueError("run_sbc supports form='gaussian' only: the "
+                         'Gaussian simulator must match the fitted '
+                         'likelihood for ranks to be uniform')
     block = params_block or SBC_BLOCK
     names = list(block)
     for n in names:                      # SBC precondition, not a style check
-        assert block[n]['prior']['dist'] == 'norm', \
-            'run_sbc draws generation parameters with numpy; priors must be ' \
-            'norm so the draw matches ParamSpace.sample_prior exactly'
+        if block[n]['prior']['dist'] != 'norm':
+            raise ValueError(
+                'run_sbc draws generation parameters with numpy; priors '
+                'must be norm so the draw matches ParamSpace.sample_prior '
+                f"exactly (got {block[n]['prior']['dist']!r} for {n})")
+
+    # beta draws must stay inside every beta grid the generative step
+    # interpolates over: the DATA-side grids (beta_ccf for the data vector,
+    # beta_cov for the covariance) and, when present, the model-side grid.
+    # Outside them the generative step would silently clamp/extrapolate —
+    # exactly the rank-uniformity breakage the raise below prevents. Grids
+    # are None for fixed (beta-independent) inputs, where any draw is fine.
+    t = bundle.tables
+    grids = [g for g in (getattr(t, 'beta_ccf', None),
+                         getattr(t, 'beta_cov', None),
+                         getattr(t, 'beta_grid', None)) if g is not None]
+    blo = max((float(np.asarray(g)[0]) for g in grids), default=-np.inf)
+    bhi = min((float(np.asarray(g)[-1]) for g in grids), default=np.inf)
 
     rng = np.random.default_rng(seed)
     ranks = np.empty((n_mocks, len(names)))
-    bgrid = np.asarray(bundle.tables.beta_grid)
     for k in range(n_mocks):
         theta = {n: rng.normal(block[n]['prior']['loc'],
                                block[n]['prior']['scale']) for n in names}
-        # a beta draw outside the data template grid cannot be simulated
-        # (the likelihood would correctly assign it zero mass, but the
-        # generative step needs the data vector there) — with the shipped
-        # scale that is a >6-sigma event; fail loudly rather than clip,
-        # because clipping would silently break rank uniformity
-        assert bgrid[0] < theta['beta'] < bgrid[-1], \
-            f'mock {k}: beta draw {theta["beta"]:.4f} outside the data grid'
-        params = {kk: jnp.asarray(v) for kk, v in theta.items()}
-        tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
-                                        bundle.theory_opts, params),
-                          dtype=np.float64)
-        bb = jnp.asarray(theta['beta'])
-        dvec = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
-                                               bb), dtype=np.float64)
-        cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
-                                                 bb), dtype=np.float64)
-        L = np.linalg.cholesky(cov)
+        # with the shipped scales an out-of-grid beta is a >6-sigma event;
+        # fail loudly rather than clip (clipping breaks rank uniformity)
+        if not blo < theta['beta'] < bhi:
+            raise RuntimeError(
+                f'mock {k}: beta draw {theta["beta"]:.4f} outside the '
+                f'narrowest beta grid [{blo:.4f}, {bhi:.4f}]')
+        tvec, dvec, L = _mock_setup(bundle, theta)
         mock = tvec + L @ rng.standard_normal(len(tvec))
         mb = shift_datavector(bundle, mock - dvec)
         res = run_smc(mb, block, n_particles=n_particles, n_moves=n_moves,

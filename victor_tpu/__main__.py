@@ -249,6 +249,24 @@ def cmd_eval(args):
         'params': {k: float(v) for k, v in params.items()}}))
 
 
+def _map_report_stats(bundle, mres):
+    """(ndof, p_value, derived) for a MAP result — shared by fit/analyze so
+    the two reports can never disagree on dof accounting."""
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy import stats
+    # read the data dimension from array SHAPES only (np.asarray of the
+    # covariance stack would transfer the whole thing to host)
+    ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
+        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
+        int(bundle.tables.cov.shape[-1])
+    ndof = ndata - mres.space.ndim
+    p_val = float(stats.chi2.sf(mres.chi2, ndof))
+    derived = {k: float(np.asarray(v)) for k, v in
+               mres.space.derived_values(jnp.asarray(mres.theta)).items()}
+    return ndof, p_val, derived
+
+
 def cmd_fit(args):
     from .sampling.optimize import find_map
 
@@ -262,21 +280,14 @@ def cmd_fit(args):
     t0 = time.time()
     result = find_map(bundle, params_block, n_starts=args.starts,
                       adam_steps=args.adam_steps, seed=args.seed)
-    import numpy as np
-    import jax.numpy as jnp
-    from scipy import stats
-    ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
-        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
-        int(np.asarray(bundle.tables.cov).shape[-1])
-    ndof = ndata - result.space.ndim
-    derived = {k: round(float(np.asarray(v)), 6) for k, v in
-               result.space.derived_values(jnp.asarray(result.theta)).items()}
+    ndof, p_val, derived = _map_report_stats(bundle, result)
+    derived = {k: round(v, 6) for k, v in derived.items()}
     out = {
         'chi2': round(result.chi2, 4),
         # Gaussian chi^2 tail probability at the best fit (indicative for
         # the sellentin/percival forms, whose statistic is t-like)
         'ndof': ndof,
-        'p_value': round(float(stats.chi2.sf(result.chi2, ndof)), 4),
+        'p_value': round(p_val, 4),
         'log_likelihood': round(result.lnlike, 4),
         'log_posterior': round(result.lnpost, 4),
         'grad_norm': result.grad_norm,
@@ -365,15 +376,7 @@ def cmd_analyze(args):
                    output=os.path.join(outdir, 'chains'))
     t_smc = time.time() - t0
 
-    import jax.numpy as jnp
-    from scipy import stats
-    ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
-        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
-        int(np.asarray(bundle.tables.cov).shape[-1])
-    ndof = ndata - mres.space.ndim
-    p_val = float(stats.chi2.sf(mres.chi2, ndof))
-    derived = {k: float(np.asarray(v)) for k, v in
-               mres.space.derived_values(jnp.asarray(mres.theta)).items()}
+    ndof, p_val, derived = _map_report_stats(bundle, mres)
 
     names = [p.name for p in sres.space.sampled]
     part = sres.particles
