@@ -105,29 +105,33 @@ def _arm_watchdog(seconds: int):
     the main thread inside a native tunnel RPC, where a Python-level signal
     handler would never run (handlers only execute between bytecodes — the
     same reason Ctrl-C cannot interrupt an XLA compile). A daemon timer
-    thread acts regardless of what the main thread is stuck in: it either
-    re-execs a fresh process (first time) or exits nonzero (already
-    retried)."""
+    thread acts regardless of what the main thread is stuck in: it re-execs
+    a fresh process until VICTOR_BENCH_ATTEMPTS is exhausted, then exits
+    nonzero with a machine-readable error record."""
     import threading
 
     def _on_stall():
+        attempt = int(os.environ.get('VICTOR_BENCH_ATTEMPT', 1))
+        max_attempts = int(os.environ.get('VICTOR_BENCH_ATTEMPTS', 3))
         sys.stderr.write(f'bench.py: watchdog fired after {seconds}s with '
-                         'no completion (silent tunnel stall); ')
+                         f'no completion (silent tunnel stall, attempt '
+                         f'{attempt}/{max_attempts}); ')
         sys.stderr.flush()
-        if os.environ.get('VICTOR_BENCH_RETRIED'):
-            sys.stderr.write('already retried once - giving up\n')
+        if attempt >= max_attempts:
+            sys.stderr.write('giving up\n')
             sys.stderr.flush()
             # leave a machine-readable record of WHY there is no number
             print(json.dumps({'metric': 'likelihood_evals_per_sec',
                               'value': 0.0, 'unit': 'evals/s',
                               'vs_baseline': 0.0,
                               'error': 'silent tunnel stall: no completion '
-                                       'in 2 attempts (watchdog)'}),
+                                       f'in {max_attempts} attempts '
+                                       '(watchdog)'}),
                   flush=True)
             os._exit(3)
         sys.stderr.write('re-executing in a fresh process\n')
         sys.stderr.flush()
-        os.environ['VICTOR_BENCH_RETRIED'] = '1'
+        os.environ['VICTOR_BENCH_ATTEMPT'] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
     t = threading.Timer(seconds, _on_stall)
@@ -152,12 +156,14 @@ def _is_transient_backend_error(e: Exception) -> bool:
 
 
 def _main_with_retry():
-    """One clean-process retry on transient TPU-backend failures.
+    """Clean-process retries on transient TPU-backend failures.
 
     The remote-device tunnel occasionally surfaces a FAILED_PRECONDITION on
     the first touch after another process released the chip (observed
     2026-08-16); the backend state is process-wide, so the only clean retry
-    is a fresh process. Guarded by an env flag to prevent loops.
+    is a fresh process. VICTOR_BENCH_ATTEMPTS bounds the total attempts
+    (default 3 — a tunnel outage on 2026-08-18 outlasted two 900 s
+    watchdog windows).
     """
     # generous bound: a legitimately cold compile of the big likelihood
     # graph takes ~300-400 s through the tunnel; the silent stall this
@@ -168,12 +174,13 @@ def _main_with_retry():
         dog.cancel()
     except Exception as e:                      # noqa: BLE001
         dog.cancel()    # a late fire mid-retry would skip the clean path
-        if os.environ.get('VICTOR_BENCH_RETRIED') or \
+        attempt = int(os.environ.get('VICTOR_BENCH_ATTEMPT', 1))
+        if attempt >= int(os.environ.get('VICTOR_BENCH_ATTEMPTS', 3)) or \
                 not _is_transient_backend_error(e):
             raise
-        sys.stderr.write(f'bench.py: first attempt failed ({e!r}); '
+        sys.stderr.write(f'bench.py: attempt {attempt} failed ({e!r}); '
                          'retrying in a fresh process\n')
-        os.environ['VICTOR_BENCH_RETRIED'] = '1'
+        os.environ['VICTOR_BENCH_ATTEMPT'] = str(attempt + 1)
         time.sleep(10)
         os.execv(sys.executable, [sys.executable,
                                   os.path.abspath(__file__)])
