@@ -306,6 +306,45 @@ class TestCobayaConfigIngestion:
         assert abs(out['chi2'] - 65.01) < 0.01
 
 
+class TestInputValidation:
+    def test_missing_data_file_keys_raise_input_error(self, boss_config):
+        """Malformed data blocks get the InputError contract, not a raw
+        TypeError from os.path.join(None)."""
+        import copy
+        from victor_tpu.io import build_tables
+        cfg = copy.deepcopy(boss_config)
+        del cfg['data']['redshift_space_ccf']['data_file']
+        with pytest.raises(InputError, match='data_file'):
+            build_tables(cfg['model'], cfg['data'])
+        cfg = copy.deepcopy(boss_config)
+        del cfg['data']['covariance_matrix']['data_file']
+        with pytest.raises(InputError, match='data_file'):
+            build_tables(cfg['model'], cfg['data'])
+
+    def test_non_monotonic_r_raises_input_error(self, boss_config, tmp_path):
+        """A non-sorted radial grid in the input file must raise InputError
+        instead of crashing inside scipy (or silently building garbage
+        h=0 Hermite coefficients for duplicated knots)."""
+        import copy
+        import os
+        import h5py
+        from victor_tpu.io import build_tables
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = os.path.join(repo, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        payload['r'] = payload['r'][::-1].copy()
+        fn = tmp_path / 'bad_model.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        with pytest.raises(InputError, match='strictly increasing'):
+            build_tables(cfg['model'], None)
+
+
 class TestBetaNoneParity:
     def test_beta_none_raises_like_reference(self, fit):
         """Reference raises InputError for beta=None on beta-grid inputs

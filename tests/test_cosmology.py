@@ -49,11 +49,26 @@ class TestBackgroundCosmology:
         for z in [0.5, 1.0]:
             for name in ['comoving_transverse_distance', 'hubble_distance',
                          'angular_diameter_distance', 'F_AP', 'y',
-                         'DH_over_rd', 'DM_over_rd', 'DV_over_rd', 'DA_over_rd',
+                         'DH_over_rd', 'DM_over_rd', 'DA_over_rd',
                          'Hz_rd']:
                 got = getattr(our_cosmo, name)(z)
                 want = getattr(ref_cosmo, name)(z)
                 np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=name)
+
+    def test_DV_over_rd_intended(self, our_cosmo, ref_cosmo):
+        """D_V = (z DM^2 DH)^(1/3): the reference's precedence bug (cube root
+        on DH only, victor/cosmology.py:188 — ref bug 8, SURVEY §2b) is fixed
+        as intended, built here from the reference's own DM/DH/rd pieces."""
+        for z in [0.5, 1.0]:
+            dm = ref_cosmo.comoving_transverse_distance(z)
+            dh = ref_cosmo.hubble_distance(z)
+            intended = (z * dm ** 2 * dh) ** (1 / 3) / ref_cosmo.rd
+            np.testing.assert_allclose(our_cosmo.DV_over_rd(z), intended,
+                                       rtol=1e-9)
+            # and the reference's value really is the buggy one
+            buggy = z * dm ** 2 * dh ** (1 / 3) / ref_cosmo.rd
+            np.testing.assert_allclose(ref_cosmo.DV_over_rd(z), buggy,
+                                       rtol=1e-12)
 
     def test_growth(self, our_cosmo, ref_cosmo):
         np.testing.assert_allclose(our_cosmo.growth_factor(ZS),

@@ -30,6 +30,31 @@ class TestSpline1D:
         want = InterpolatedUnivariateSpline(self.x, self.y, k=3, ext=0)(self.q)
         np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
 
+    @pytest.mark.parametrize('strategy', ['gather', 'masksum'])
+    def test_nonfinite_queries_propagate_nan(self, strategy):
+        """NaN queries must come out NaN under BOTH strategies (the masksum
+        select used to return a finite-but-bogus 0, hiding invalid parameter
+        points from the likelihood's NaN guard on TPU); inf with clamp=True
+        follows ext=3 boundary clamping like scipy."""
+        spl = ops.Spline1D.build(self.x, clamp=True)
+        coeffs = spl.coeffs(jnp.asarray(self.y))
+        q = jnp.asarray([np.nan, np.inf, -np.inf, 50.0])
+        got = np.asarray(ops.ppoly_eval(spl.x, coeffs, q, clamp=True,
+                                        strategy=strategy))
+        assert np.isnan(got[0])
+        ius = InterpolatedUnivariateSpline(self.x, self.y, k=3, ext=3)
+        np.testing.assert_allclose(got[1], ius(self.x[-1]), rtol=1e-9)
+        np.testing.assert_allclose(got[2], ius(self.x[0]), rtol=1e-9)
+        np.testing.assert_allclose(got[3], ius(50.0), rtol=1e-9)
+
+    def test_dynamic_eval_propagates_nan(self):
+        from victor_tpu.ops.splines import cubic_coeffs_dynamic, ppoly_eval_dynamic
+        x = jnp.asarray(np.sort(RNG.uniform(0, 100, 16)))
+        y = jnp.asarray(RNG.normal(size=16))
+        c = cubic_coeffs_dynamic(x, y)
+        got = np.asarray(ppoly_eval_dynamic(x, c, jnp.asarray([np.nan, 50.0])))
+        assert np.isnan(got[0]) and np.isfinite(got[1])
+
     def test_batched_values(self):
         Y = RNG.normal(size=(3, 31))
         spl = ops.Spline1D.build(self.x, clamp=True)

@@ -142,9 +142,7 @@ class TestInputFormats:
 
 
 class TestVelocityTemplate:
-    def test_template_mean_model(self, boss_config, tmp_path):
-        """velocity_pdf.mean.model='template' with fsigma8/H/z rescaling
-        (victor/ccf_model.py:439-443,483-490)."""
+    def _template_cfg(self, boss_config, tmp_path, z_sim):
         src = os.path.join(REPO, boss_config['model']['input_model_data_file'])
         with h5py.File(src) as f:
             payload = {k: f[k][:] for k in f}
@@ -160,11 +158,62 @@ class TestVelocityTemplate:
         cfg['model']['input_model_data_file'] = str(fn)
         cfg['model']['dir'] = ''
         cfg['model']['velocity_pdf']['mean'] = {
-            'model': 'template', 'template_fsigma8': 0.45, 'z_sim': 0.52,
+            'model': 'template', 'template_fsigma8': 0.45, 'z_sim': z_sim,
             'template_hubble_ratio': 1.02, 'template_keys': ['rv', 'vr']}
+        return cfg
+
+    def test_template_mean_model(self, boss_config, tmp_path):
+        """velocity_pdf.mean.model='template' with fsigma8/H/z rescaling
+        (victor/ccf_model.py:439-443,483-490)."""
+        cfg = self._template_cfg(boss_config, tmp_path, z_sim=0.52)
         ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
         got = our_loglike(cfg['model'], cfg['data'], PARAMS)
         np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+    def test_template_mean_model_z_sim_zero(self, boss_config, tmp_path):
+        """z_sim=0 (a z=0 snapshot) is a legitimate falsy config value: the
+        redshift rescale must be 1/(1+z_eff), not silently coerced to z_eff
+        (ref ccf_model.py:231 uses plain .get with no falsy coercion)."""
+        cfg = self._template_cfg(boss_config, tmp_path, z_sim=0)
+        ref = ref_loglike(cfg['model'], cfg['data'], PARAMS)
+        got = our_loglike(cfg['model'], cfg['data'], PARAMS)
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+        # and z_sim=0 really differs from the z_eff default
+        cfg2 = self._template_cfg(boss_config, tmp_path, z_sim=None)
+        cfg2['model']['velocity_pdf']['mean'].pop('z_sim')
+        got_default = our_loglike(cfg2['model'], cfg2['data'], PARAMS)
+        assert abs(np.asarray(got_default)[0] - np.asarray(got)[0]) > 1e-6
+
+
+class TestEmpiricalCorrDerivative:
+    def test_empirical_corr_dvr_respline(self, boss_config):
+        """The empirical-correction derivative grid must evaluate the
+        RE-SPLINE of the nodal delta/Delta values over r_v (ref
+        ccf_model.py:421-423,456-459), not the source template spline
+        directly — the BOSS rdelta grid (55 pts) differs from r_v (31 pts),
+        and the direct evaluation diverges from the reference by ~3.6% in
+        dvr. Streaming goldens never consume dvr, so this path needs its own
+        pin (dispersion-exact e2e + node-level dvr)."""
+        import dataclasses
+        from victor.ccf_model import CCFModel as RefModel
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['velocity_pdf']['mean']['empirical_corr'] = True
+        cfg['model']['rsd_model'] = 'dispersion'
+        p = {**PARAMS, 'Av': 0.5}
+        ref_model = RefModel(copy.deepcopy(cfg['model']))
+        rv = np.append([0.01], ref_model.r)
+        ref_vr, ref_dvr = ref_model.velocity_terms(rv, dict(p))
+        b = build_tables(copy.deepcopy(cfg['model']), copy.deepcopy(cfg['data']))
+        assert b.theory_opts.empirical_corr
+        vr, dvr = th.velocity_terms(b.tables, b.spec, b.theory_opts, jp(p))
+        np.testing.assert_allclose(np.asarray(vr), ref_vr, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(dvr), ref_dvr, rtol=1e-10)
+        # and end-to-end through the dvr-consuming dispersion jacobian
+        opts = dataclasses.replace(b.theory_opts, dispersion_interior='exact')
+        got = lk.log_likelihood(b.tables, b.spec, opts, b.fit_opts, jp(p))
+        ref = ref_loglike(cfg['model'], cfg['data'], p)
+        np.testing.assert_allclose((float(got[0]), float(got[1])), ref,
+                                   rtol=1e-9)
 
 
 class TestToyExample:

@@ -251,6 +251,14 @@ def build_tables(model: dict, data: Optional[dict] = None,
     if matter_model == 'template' and not template_sigma8:
         raise InputError('When using template model for the matter ccf, template_sigma8 must be provided')
 
+    # the r vector comes straight from the input file: validate it like the
+    # beta grids are, before the spline-operator builders (which would raise
+    # raw scipy errors, or silently produce garbage Hermite coefficients via
+    # h=0, on a non-monotonic/duplicated grid)
+    if r.ndim != 1 or len(r) < 4 or np.any(np.diff(r) <= 0) or r[0] <= 0.01:
+        raise InputError('radial grid in the input model data file must be a '
+                         'strictly increasing 1D vector with >= 4 points, all '
+                         f'above the r=0.01 velocity anchor; got shape {r.shape}')
     r_v = np.concatenate([[0.01], r])
     rgrid100 = np.linspace(0.1, r.max(), 100)
 
@@ -285,12 +293,20 @@ def build_tables(model: dict, data: Optional[dict] = None,
                      0, ri, full_output=1)[0] for ri in r50])
             int_spl = IUS(r50, integral, k=3, ext=3)
         delta_rv, Delta_rv = delta_spl(r_v), int_spl(r_v)
-        delta_r100, Delta_r100 = delta_spl(rgrid100), int_spl(rgrid100)
+        # velocity_terms re-splines the NODAL values over r_v (ext=3) and
+        # evaluates THAT on the fine grid (ref ccf_model.py:421-423,456-459)
+        # — a spline-of-spline composition, not a direct source-spline
+        # evaluation; the re-spline is linear in the nodal values, so it is
+        # one more fixed operator
+        respline_100 = ops.spline_eval_matrix(r_v, rgrid100, ext=3)
+        delta_r100, Delta_r100 = respline_100 @ delta_rv, respline_100 @ Delta_rv
     elif matter_model == 'linear_bias':
         lb_delta_op = ops.spline_eval_matrix(r, r_v, ext=3)
         lb_Delta_op = ops.enclosed_density_operator(r, r_v)
-        lb_delta100_op = ops.spline_eval_matrix(r, rgrid100, ext=3)
-        lb_Delta100_op = ops.enclosed_density_operator(r, rgrid100)
+        # same re-spline composition as the template branch above
+        respline_100 = ops.spline_eval_matrix(r_v, rgrid100, ext=3)
+        lb_delta100_op = respline_100 @ lb_delta_op
+        lb_Delta100_op = respline_100 @ lb_Delta_op
     elif matter_model == 'excursion_set':
         pass  # fixtures built below; profiles computed on device per call
     else:
@@ -334,8 +350,14 @@ def build_tables(model: dict, data: Optional[dict] = None,
         if not template_fsigma8:
             raise InputError('When using template model for the mean of the velocity pdf, '
                              'a value for template_fsigma8 must be provided')
-        z_sim = velocity['mean'].get('z_sim', z_eff) or z_eff
-        template_hubble_ratio = velocity['mean'].get('template_hubble_ratio', 1) or 1
+        # explicit None checks (guarding YAML `null`), NOT `or`: z_sim = 0 is
+        # a legitimate z=0 simulation snapshot (redshift_shift = 1/(1+z_eff),
+        # ref ccf_model.py:231) and must not be coerced to z_eff
+        z_sim = velocity['mean'].get('z_sim')
+        z_sim = z_eff if z_sim is None else z_sim
+        template_hubble_ratio = velocity['mean'].get('template_hubble_ratio')
+        template_hubble_ratio = 1 if template_hubble_ratio is None \
+            else template_hubble_ratio
         redshift_shift = (1 + z_sim) / (1 + z_eff)
         template_keys = list(np.atleast_1d(velocity['mean'].get('template_keys')))
         if len(template_keys) != 2:
@@ -420,12 +442,16 @@ def build_tables(model: dict, data: Optional[dict] = None,
 
     if data is not None:
         data_dir = data.get('dir', '')
-        data_fn = os.path.join(data_dir, data['redshift_space_ccf'].get('data_file'))
+        if data.get('redshift_space_ccf', {}).get('data_file') is None:
+            raise InputError('data block must provide redshift_space_ccf.data_file')
+        data_fn = os.path.join(data_dir, data['redshift_space_ccf']['data_file'])
         # the covariance block is optional: multi-quantile joint fits supply
         # one joint cross-covariance at the JointBundle level instead
         # (victor_tpu/likelihood/multiquantile.py)
         has_cov = 'covariance_matrix' in data and data['covariance_matrix']
-        cov_fn = os.path.join(data_dir, data['covariance_matrix'].get('data_file')) \
+        if has_cov and data['covariance_matrix'].get('data_file') is None:
+            raise InputError('covariance_matrix block must provide data_file')
+        cov_fn = os.path.join(data_dir, data['covariance_matrix']['data_file']) \
             if has_cov else None
         for fn in ([data_fn, cov_fn] if has_cov else [data_fn]):
             if not os.path.isfile(fn):

@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from ..config import TableSpec, TheoryOptions
 from ..errors import InputError
 from ..ops.legendre import legendre_p
+# single implementation shared with ops.PchipTable (the compare_all
+# searchsorted and Horner form are CLAUDE.md-mandated on TPU — keeping one
+# copy means a future fix cannot miss the other call site); re-exported for
+# likelihood/core.py
+from ..ops.splines import pchip_eval  # noqa: F401
 
 SQRT2PI = 2.5066282746310002
 
@@ -45,14 +50,6 @@ def resolve_ap(params):
     return epsilon, aperp, apar
 
 
-def pchip_eval(grid, coeffs, q):
-    """Evaluate host-precomputed PCHIP coefficients (nb-1, 4, ...) at scalar q."""
-    n = grid.shape[0]
-    idx = jnp.clip(jnp.searchsorted(grid, q, side='right',
-                                    method='compare_all') - 1, 0, n - 2)
-    t = q - grid[idx]
-    c = coeffs[idx]
-    return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
 
 
 def real_multipoles(tables, spec: TableSpec, beta):

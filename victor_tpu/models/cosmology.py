@@ -110,10 +110,16 @@ class BackgroundCosmology:
         return self.comoving_transverse_distance(z, mpc_units) / rd
 
     def DV_over_rd(self, z, rd=None, mpc_units=False):
+        """Spherically-averaged BAO distance D_V = (z DM^2 DH)^(1/3) over rd.
+
+        The reference (victor/cosmology.py:188) applies the cube root to the
+        Hubble distance only — an operator-precedence bug (ref bug 8,
+        SURVEY.md §2b / PARITY.md) that returns z*DM^2*DH^(1/3), four orders
+        of magnitude off; implemented as intended here."""
         rd = self.rd if rd is None else rd
         z = np.asarray(z, dtype=float)
         return (z * self.comoving_transverse_distance(z, mpc_units) ** 2
-                * self.hubble_distance(z, mpc_units) ** (1 / 3)) / rd
+                * self.hubble_distance(z, mpc_units)) ** (1 / 3) / rd
 
     def DA_over_rd(self, z, rd=None, mpc_units=False):
         rd = self.rd if rd is None else rd
@@ -125,7 +131,9 @@ class BackgroundCosmology:
 
     # --- growth approximations (victor/cosmology.py:234-293) ---
     def growth_factor(self, z):
-        """Closed-form LCDM growth factor D(z), normalised to D(0)=1.
+        """Closed-form flat-LCDM growth factor D(z); D(0)=1 when flat
+        (non-flat configs inherit the reference-identical D(0)=sqrt(1-Ok)
+        normalisation of the hyp2f1 closed form — see ops/special.py).
 
         Evaluated with the on-device 2F1 (ops/special.py, parity with
         scipy.special.hyp2f1 at ~1e-13), so D(z) — and sigma8z/fsigma8 built

@@ -29,6 +29,8 @@ excursion_set_profile.py:460 and `eulerian_model_profiles` undefined at :408).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,11 @@ from .eisenstein_hu import (eisenstein_hu_params, power_eh, sigma80,
                             tophat_window)
 
 TWO_PI2 = 2.0 * jnp.pi ** 2
+
+# all k-integral contractions pin full precision: TPU's default bf16 matmul
+# passes would silently degrade the s_j variances (and the finite-difference
+# _s0_derivative_term built from their differences) on f32 — CLAUDE.md rule 6
+_mm_hi = functools.partial(jnp.matmul, precision='highest')
 
 
 # ---------------------------------------------------------------------------
@@ -110,14 +117,14 @@ def _sj_pq(st, Rp, Rq, Rx, j=0):
     Rq = jnp.atleast_1d(Rq)
     integ = (k ** (2 + 2 * j) * pk * _w_cut(k, Rp, Rx))[None, :] * \
         _w_tophat(Rq[:, None] * k[None, :]) / TWO_PI2
-    return integ @ kw
+    return _mm_hi(integ, kw)
 
 
 def _sj_pp(st, Rp, Rx, j=0):
     """Auto variance s_j^{pp} (scalar)."""
     k, kw, pk = st['k'], st['kw'], st['pk']
     integ = k ** (2 + 2 * j) * pk * _w_cut(k, Rp, Rx) ** 2 / TWO_PI2
-    return integ @ kw
+    return _mm_hi(integ, kw)
 
 
 def _s0_derivative_term(st, Rp, Rq, Rx):
@@ -158,7 +165,7 @@ def eulerian_2halo(st, r_euler, Rp, Rx):
     bv = 1.0 - k ** 2 * (s0 / s1)
     base = bv * _w_cut(k, Rp, Rx) * pk * k ** 2 / TWO_PI2
     integ = base[None, :] * _w_tophat(r_euler[:, None] * k[None, :])
-    return integ @ kw
+    return _mm_hi(integ, kw)
 
 
 # ---------------------------------------------------------------------------
@@ -263,8 +270,6 @@ def esm_velocity_terms(tables, spec, opts, params, growth_term, iaH_true,
                        delta_rv, delta_100):
     """Nonlinear mean velocity from the ESM evolution term
     (victor/ccf_model.py:460-482). `growth_term` is f (params['f'])."""
-    import functools
-    _mm = functools.partial(jnp.matmul, precision='highest')
     r_v, r100 = tables.r_v, tables.rgrid100
     ld_rv = density_evolution_at(tables, spec, params, r_v)
     ld_100 = density_evolution_at(tables, spec, params, r100)
@@ -277,7 +282,7 @@ def esm_velocity_terms(tables, spec, opts, params, growth_term, iaH_true,
     # the reference's fine-grid derivative deliberately omits the empirical
     # correction factor (ccf_model.py:470-482) — reproduced for parity
     vr_100 = -growth_term * r100 * ld_100 / (3.0 * iaH_true * (1.0 + delta_100))
-    dvr = _mm(tables.dvr_op, vr_100)
+    dvr = _mm_hi(tables.dvr_op, vr_100)
     return vr, dvr
 
 

@@ -42,10 +42,12 @@ def hyp2f1_growth(z):
 
 
 def growth_factor_lcdm(z, omega_m, omega_l):
-    """Linear growth factor D(z) normalised to D(0)=1 in (possibly non-flat) LCDM.
+    """Linear growth factor D(z) from the flat-LCDM hyp2f1 closed form.
 
-    Same closed form as victor/cosmology.py:234-242 (hyp2f1 representation),
-    computed on device.
+    Same closed form as victor/cosmology.py:234-242, computed on device.
+    D(0) = sqrt(omega_m + omega_l): exactly 1 only in the flat case — the
+    closed form is the flat-LCDM growth solution, and a non-flat cosmology
+    inherits its (reference-identical) bias through sigma8z/fsigma8.
     """
     az = 1.0 / (1.0 + z)
     num = az ** 2.5 * jnp.sqrt(omega_l + omega_m * az ** -3.0) * \

@@ -253,7 +253,27 @@ def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
     lo = jnp.concatenate([neg_inf, x[1:-1]])
     hi = jnp.concatenate([x[1:-1], pos_inf])
     m = (qq[qx] >= lo[xe]) & (qq[qx] < hi[xe])
-    return jnp.sum(jnp.where(m, p, 0.0), axis=0)
+    # masked PRODUCT, not where(m, p, 0): a NaN query fails every interval
+    # mask, so a select would return a finite-but-bogus 0 where the gather
+    # strategy (and scipy) propagate NaN — silently hiding invalid parameter
+    # points from the likelihood's NaN guard on TPU. 0.0 * NaN = NaN keeps
+    # the poison; for finite queries the product is bit-identical to the
+    # select. The astype is load-bearing: jnp multiplies raw bools as a
+    # logical select, which would reintroduce the 0.
+    return jnp.sum(m.astype(p.dtype) * p, axis=0)
+
+
+def pchip_eval(x, coeffs, q):
+    """Evaluate host-precomputed PCHIP coefficients (n-1, 4, ...) at scalar q
+    (polynomial end-extrapolation, no clamp — scipy PchipInterpolator
+    semantics). Shared by PchipTable and the raw-array call sites in the
+    theory/likelihood hot paths."""
+    n = x.shape[0]
+    idx = jnp.clip(jnp.searchsorted(x, q, side='right',
+                                    method='compare_all') - 1, 0, n - 2)
+    t = q - x[idx]
+    c = coeffs[idx]                              # (4, ...)
+    return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
 
 
 @jax.tree_util.register_dataclass
@@ -273,12 +293,7 @@ class PchipTable:
 
     def __call__(self, q: jax.Array) -> jax.Array:
         """Evaluate at scalar q; returns array with the table's trailing shape."""
-        n = self.x.shape[0]
-        idx = jnp.clip(jnp.searchsorted(self.x, q, side='right',
-                                        method='compare_all') - 1, 0, n - 2)
-        t = q - self.x[idx]
-        c = self.coeffs[idx]                     # (4, ...)
-        return ((c[3] * t + c[2]) * t + c[1]) * t + c[0]
+        return pchip_eval(self.x, self.coeffs, q)
 
 
 @jax.tree_util.register_dataclass
@@ -409,7 +424,8 @@ def ppoly_eval_dynamic(x, coeffs, q, clamp: bool = True):
     lo = jnp.concatenate([neg_inf, x[1:-1]])
     hi = jnp.concatenate([x[1:-1], pos_inf])
     m = (qq[None] >= lo[expand]) & (qq[None] < hi[expand])
-    return jnp.sum(jnp.where(m, p, 0.0), axis=0)
+    # m * p for NaN propagation — see ppoly_eval
+    return jnp.sum(m.astype(p.dtype) * p, axis=0)
 
 
 def gradient_nonuniform(y, x):
@@ -517,7 +533,7 @@ def ppoly_eval_pallas(x, coeffs, q, clamp: bool = True, tile: int = 32,
                 m = qq >= x_ref[0, i]
             else:
                 m = (qq >= x_ref[0, i]) & (qq < x_ref[0, i + 1])
-            acc = acc + jnp.where(m, p, 0.0)
+            acc = acc + m.astype(p.dtype) * p   # propagates NaN queries (see ppoly_eval)
         o_ref[:] = acc
 
     return pl.pallas_call(

@@ -95,11 +95,18 @@ def plot_2D_ccf(xi_sp, rs, rp=None, even=True, cmap=None, vmin=-1, vmax=0.2,
         if clabel:
             ax.clabel(cs, inline=True, fontsize=10, fmt='%1.2f')
 
+    # axis_label only fills in labels the caller did NOT supply — explicit
+    # xlabel/ylabel always win (the reference quirk of axis_label overriding
+    # them is not reproduced)
     if axis_label is not None:
-        xlabel = r'$%s_\perp\;[h^{-1}\mathrm{Mpc}]$' % axis_label
-        ylabel = r'$%s_{||}\;[h^{-1}\mathrm{Mpc}]$' % axis_label
-    ax.set_xlabel(xlabel, fontsize=18)
-    ax.set_ylabel(ylabel, fontsize=18)
+        if xlabel is None:
+            xlabel = r'$%s_\perp\;[h^{-1}\mathrm{Mpc}]$' % axis_label
+        if ylabel is None:
+            ylabel = r'$%s_{||}\;[h^{-1}\mathrm{Mpc}]$' % axis_label
+    if xlabel is not None:
+        ax.set_xlabel(xlabel, fontsize=18)
+    if ylabel is not None:
+        ax.set_ylabel(ylabel, fontsize=18)
     ax.tick_params(labelsize=16)
     ax.set_xlim(x[0], x[-1])
     ax.set_ylim(-y[-1] if not even else y[0], y[-1])
