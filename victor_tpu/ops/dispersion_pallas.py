@@ -86,8 +86,9 @@ def dispersion_final_fused(x, c_vr, c_dvr, r_par, A, s_perp, iaH, resc_vel,
                     m = qq >= x_ref[0, i]
                 else:
                     m = (qq >= x_ref[0, i]) & (qq < x_ref[0, i + 1])
-                acc = acc + m.astype(p.dtype) * p   # propagates NaN queries (see ppoly_eval)
-            return acc
+                acc = acc + jnp.where(m, p, 0.0)
+            # `+ (qq - qq)` propagates NaN queries — see ppoly_eval
+            return acc + (qq - qq)
 
         # exact final Picard update (pass 1)
         rp = rp_ref[:]
@@ -115,9 +116,11 @@ def dispersion_final_fused(x, c_vr, c_dvr, r_par, A, s_perp, iaH, resc_vel,
                 m = q2 >= x_ref[0, i]
             else:
                 m = (q2 >= x_ref[0, i]) & (q2 < x_ref[0, i + 1])
-            acc_v = acc_v + m.astype(pv.dtype) * pv   # propagates NaN (see ppoly_eval)
-            acc_d = acc_d + m.astype(pd.dtype) * pd
-        dvr_rr = acc_d / resc_s
+            acc_v = acc_v + jnp.where(m, pv, 0.0)
+            acc_d = acc_d + jnp.where(m, pd, 0.0)
+        # `+ (q2 - q2)` propagates NaN queries — see ppoly_eval
+        acc_v = acc_v + (q2 - q2)
+        dvr_rr = (acc_d + (q2 - q2)) / resc_s
         jac = 1.0 / (1.0 + acc_v * iaH_s / rr
                      + iaH_s * mu_r * mu_r * (dvr_rr - acc_v / rr))
 

@@ -253,14 +253,14 @@ def ppoly_eval(x: jax.Array, coeffs: jax.Array, q: jax.Array,
     lo = jnp.concatenate([neg_inf, x[1:-1]])
     hi = jnp.concatenate([x[1:-1], pos_inf])
     m = (qq[qx] >= lo[xe]) & (qq[qx] < hi[xe])
-    # masked PRODUCT, not where(m, p, 0): a NaN query fails every interval
-    # mask, so a select would return a finite-but-bogus 0 where the gather
+    # `+ (qq - qq)` propagates NaN queries: a NaN fails every interval mask,
+    # so the select alone would return a finite-but-bogus 0 where the gather
     # strategy (and scipy) propagate NaN — silently hiding invalid parameter
-    # points from the likelihood's NaN guard on TPU. 0.0 * NaN = NaN keeps
-    # the poison; for finite queries the product is bit-identical to the
-    # select. The astype is load-bearing: jnp multiplies raw bools as a
-    # logical select, which would reintroduce the 0.
-    return jnp.sum(m.astype(p.dtype) * p, axis=0)
+    # points from the likelihood's NaN guard on TPU. The post-sum term is 0
+    # for finite queries (bit-identical result) and NaN for NaN queries, and
+    # costs two VPU ops per POINT — a NaN-aware mask would cost per
+    # interval-lane on this VPU-bound hot path.
+    return jnp.sum(jnp.where(m, p, 0.0), axis=0) + (qq - qq)
 
 
 def pchip_eval(x, coeffs, q):
@@ -424,8 +424,8 @@ def ppoly_eval_dynamic(x, coeffs, q, clamp: bool = True):
     lo = jnp.concatenate([neg_inf, x[1:-1]])
     hi = jnp.concatenate([x[1:-1], pos_inf])
     m = (qq[None] >= lo[expand]) & (qq[None] < hi[expand])
-    # m * p for NaN propagation — see ppoly_eval
-    return jnp.sum(m.astype(p.dtype) * p, axis=0)
+    # `+ (qq - qq)` propagates NaN queries — see ppoly_eval
+    return jnp.sum(jnp.where(m, p, 0.0), axis=0) + (qq - qq)
 
 
 def gradient_nonuniform(y, x):
@@ -533,8 +533,9 @@ def ppoly_eval_pallas(x, coeffs, q, clamp: bool = True, tile: int = 32,
                 m = qq >= x_ref[0, i]
             else:
                 m = (qq >= x_ref[0, i]) & (qq < x_ref[0, i + 1])
-            acc = acc + m.astype(p.dtype) * p   # propagates NaN queries (see ppoly_eval)
-        o_ref[:] = acc
+            acc = acc + jnp.where(m, p, 0.0)
+        # `+ (qq - qq)` propagates NaN queries — see ppoly_eval
+        o_ref[:] = acc + (qq - qq)
 
     return pl.pallas_call(
         kernel,
