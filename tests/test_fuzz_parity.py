@@ -1,0 +1,208 @@
+"""Randomized-configuration parity fuzz vs the executed reference.
+
+The golden/option-parity tests pin the fixed BOSS tables; this fuzz layer
+re-samples the *shapes* and *values* of every table (β sub-grids of different
+lengths for model/data/covariance independently, contiguous s-bin subsets with
+the matching covariance rows/cols, smooth multiplicative perturbations of the
+multipoles / δ-template / σ_v-template / covariance) and draws random option
+combinations (rsd_model × likelihood form × β-interpolation × isotropy ×
+matter model × empirical correction × AP-rescale mode × kaiser toggles) and
+random parameter points, asserting (lnL, χ²) parity against the actual
+reference code (tools/refshim) at 1e-7. Catches loader/shape/option-plumbing
+edge cases the fixed-grid goldens cannot (reference surface:
+victor/ccf_model.py:99-297, victor/ccf_fit.py:44-260,356-483).
+"""
+
+import copy
+import os
+import sys
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+import refshim  # noqa: E402
+
+refshim.install()
+
+from victor_tpu.io import build_tables  # noqa: E402
+from victor_tpu.likelihood import core as lk  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_FAST = 6      # seeds run in the default suite
+N_SLOW = 24     # additional seeds under --runslow
+
+
+def _smooth(rng, x, amp, order=3):
+    """Smooth random perturbation field on x: a low-order Chebyshev series
+    with |value| <~ amp (keeps the perturbed tables physical and splinable)."""
+    xh = 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
+    coef = rng.normal(0.0, 1.0, order + 1) / (order + 1)
+    return amp * np.polynomial.chebyshev.chebval(xh, coef)
+
+
+def _perturbed_files(rng, tmp_path):
+    """Write randomly perturbed / re-shaped model, data, and covariance HDF5
+    files; return (model_file, data_file, cov_file, meta)."""
+    base = os.path.join(REPO, 'data', 'BOSS_DR12_CMASS_data')
+    with h5py.File(os.path.join(
+            base, 'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_'
+                  'PatchyMean_model.hdf5')) as f:
+        m = {k: f[k][:] for k in f}
+    with h5py.File(os.path.join(
+            base, 'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_'
+                  'data.hdf5')) as f:
+        d = {k: f[k][:] for k in f}
+    with h5py.File(os.path.join(
+            base, 'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_'
+                  'variable_D_covariance.hdf5')) as f:
+        c = {k: f[k][:] for k in f}
+
+    # --- model file: independent beta sub-grid + smooth value perturbations
+    mstep = int(rng.integers(1, 3))
+    msel = slice(None, None, mstep)
+    r = m['r']
+    mono = m['monopole'][msel] * (1.0 + _smooth(rng, r, 0.03)[None, :])
+    quad = m['quadrupole'][msel] + _smooth(rng, r, 0.005)[None, :]
+    delta = m['delta'] * (1.0 + _smooth(rng, m['rdelta'], 0.04))
+    sigmav = m['sigmav'] * (1.0 + _smooth(rng, m['rsv'], 0.04))
+    model_file = tmp_path / 'fuzz_model.hdf5'
+    with h5py.File(model_file, 'w') as f:
+        f.create_dataset('beta', data=m['beta'][msel])
+        f.create_dataset('r', data=r)
+        f.create_dataset('monopole', data=mono)
+        f.create_dataset('quadrupole', data=quad)
+        f.create_dataset('rdelta', data=m['rdelta'])
+        f.create_dataset('delta', data=delta)
+        f.create_dataset('rsv', data=m['rsv'])
+        f.create_dataset('sigmav', data=sigmav)
+
+    # --- data + covariance: shared contiguous s-bin subset (the covariance
+    # rows/cols must track the data vector: indices [S, n_s0 + S] for l=0,2)
+    n_s0 = d['s'].size
+    start = int(rng.integers(0, 3))
+    n_s = int(rng.integers(24, n_s0 - start + 1))
+    S = np.arange(start, start + n_s)
+    dstep = int(rng.integers(1, 3))
+    dsel = slice(None, None, dstep)
+    data_file = tmp_path / 'fuzz_data.hdf5'
+    with h5py.File(data_file, 'w') as f:
+        f.create_dataset('beta', data=d['beta'][dsel])
+        f.create_dataset('s', data=d['s'][S])
+        f.create_dataset('monopole',
+                         data=(d['monopole'][dsel][:, S]
+                               + _smooth(rng, d['s'][S], 0.01)[None, :]))
+        f.create_dataset('quadrupole',
+                         data=(d['quadrupole'][dsel][:, S]
+                               + _smooth(rng, d['s'][S], 0.005)[None, :]))
+
+    cstep = int(rng.integers(1, 3))
+    csel = slice(None, None, cstep)
+    idx = np.concatenate([S, n_s0 + S])
+    cov = c['covmat'][csel][:, idx][:, :, idx]
+    scale = 1.0 + _smooth(rng, np.arange(idx.size, dtype=float), 0.05)
+    cov = cov * scale[None, :, None] * scale[None, None, :]  # SPD-preserving
+    cov_file = tmp_path / 'fuzz_cov.hdf5'
+    with h5py.File(cov_file, 'w') as f:
+        f.create_dataset('beta', data=c['beta'][csel])
+        f.create_dataset('covmat', data=cov)
+
+    return str(model_file), str(data_file), str(cov_file)
+
+
+def _random_config(rng, model_file, data_file, cov_file):
+    rsd = rng.choice(['streaming', 'dispersion', 'kaiser', 'euclid_special'])
+    form = rng.choice(['gaussian', 'hartlap', 'sellentin', 'percival'])
+    model = {
+        'input_model_data_file': model_file, 'dir': '',
+        'rsd_model': str(rsd), 'z_eff': 0.57,
+        'cosmology': {'Omega_m': 0.31},
+        'realspace_ccf': {
+            'reconstruction': True, 'beta_key': 'beta',
+            'format': 'multipoles',
+            'ccf_keys': ['r', 'monopole', 'quadrupole'],
+            'assume_isotropic': bool(rng.integers(0, 2))},
+        'matter_ccf': {'model': 'template', 'integrated': False,
+                       'template_keys': ['rdelta', 'delta'],
+                       'template_sigma8': 0.628, 'bias': 1.9},
+        'velocity_pdf': {
+            'mean': {'model': 'linear',
+                     'empirical_corr': bool(rng.integers(0, 2))},
+            'dispersion': {'model': 'template',
+                           'template_keys': ['rsv', 'sigmav']},
+            'rescale_templates_independent_of_AP': bool(rng.integers(0, 2))},
+    }
+    params = {'fsigma8': float(rng.uniform(0.35, 0.60)),
+              'beta': float(rng.uniform(0.30, 0.45)),
+              'sigma_v': float(rng.uniform(280.0, 430.0)),
+              'epsilon': float(rng.uniform(0.96, 1.04))}
+    if model['velocity_pdf']['mean']['empirical_corr']:
+        params['Av'] = float(rng.uniform(-0.5, 0.5))
+    if rsd in ('dispersion', 'kaiser', 'euclid_special'):
+        # NOTE the reference SILENTLY IGNORES a config-level `niter:` (its
+        # init whitelist drops it, victor/ccf_model.py:85-97; only the
+        # per-call kwarg override at theory_xi time is honored). victor_tpu
+        # honors it in both places (documented superset — PARITY.md), so the
+        # reference call must receive it as a kwarg (_run_case).
+        model['niter'] = int(rng.integers(3, 7))
+    if rsd == 'dispersion':
+        model['dispersion_interior'] = 'exact'  # victor_tpu-only key; the
+        # reference ignores it — pins exact-parity fixed-point iterations
+    if rsd == 'kaiser':
+        model['kaiser_approximation'] = bool(rng.integers(0, 2))
+        model['kaiser_coord_shift'] = bool(rng.integers(0, 2))
+        if rng.integers(0, 2):
+            params['M'] = float(rng.uniform(0.9, 1.1))
+            params['Q'] = float(rng.uniform(0.9, 1.1))
+    if rng.integers(0, 2):
+        model['matter_ccf'] = {'model': 'linear_bias', 'bias': 1.9,
+                               'template_sigma8': 0.628}
+        params['bias'] = float(rng.uniform(1.7, 2.1))
+    data = {
+        'redshift_space_ccf': {
+            'reconstruction': True, 'data_file': data_file, 'dir': '',
+            'beta_key': 'beta',  # the data's own (independently re-sampled)
+            # beta grid — without it the reference defaults to the MODEL grid
+            'format': 'multipoles', 'ccf_keys': ['s', 'monopole',
+                                                 'quadrupole']},
+        'covariance_matrix': {'data_file': cov_file, 'cov_key': 'covmat',
+                              'fixed_beta': False, 'beta_key': 'beta'},
+        'beta_interpolation': str(rng.choice(['datavector', 'likelihood'])),
+        'likelihood': {'form': str(form), 'nmocks': 1000, 'nparams': 4},
+        'dir': '',
+    }
+    return model, data, params
+
+
+def _run_case(seed, tmp_path):
+    rng = np.random.default_rng(seed)
+    files = _perturbed_files(rng, tmp_path)
+    model, data, params = _random_config(rng, *files)
+
+    from victor.ccf_fit import CCFFit
+    fit = CCFFit(copy.deepcopy(model), copy.deepcopy(data))
+    ref_kwargs = {}
+    if 'niter' in model:
+        ref_kwargs['niter'] = model['niter']  # kwarg-only in the reference
+    ref = fit.log_likelihood(dict(params), **ref_kwargs)
+
+    b = build_tables(copy.deepcopy(model), copy.deepcopy(data))
+    got = lk.log_likelihood(b.tables, b.spec, b.theory_opts, b.fit_opts,
+                            {k: jnp.asarray(v) for k, v in params.items()})
+    np.testing.assert_allclose((float(got[0]), float(got[1])), ref, rtol=1e-7,
+                               err_msg=f'seed={seed} model={model} '
+                                       f'params={params}')
+
+
+@pytest.mark.parametrize('seed', range(N_FAST))
+def test_fuzz_parity(seed, tmp_path):
+    _run_case(seed, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('seed', range(N_FAST, N_FAST + N_SLOW))
+def test_fuzz_parity_extended(seed, tmp_path):
+    _run_case(seed, tmp_path)
