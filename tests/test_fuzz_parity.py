@@ -44,9 +44,27 @@ def _smooth(rng, x, amp, order=3):
     return amp * np.polynomial.chebyshev.chebval(xh, coef)
 
 
-def _perturbed_files(rng, tmp_path):
+def _fuzz_scenario(rng):
+    """Structural variants beyond value/shape perturbations. Drawn FIRST so
+    the file writer and the config builder stay consistent."""
+    return {
+        # (r, mu)-format fixed real-space input instead of beta-grid multipoles
+        'rmu_model': bool(rng.random() < 0.2),
+        # 3-key anisotropic sigma_v(r, mu) dispersion template
+        'aniso_sv': bool(rng.random() < 0.3),
+        # template provides the INTEGRATED profile Delta(r) (integrated: True)
+        'integrated': bool(rng.random() < 0.25),
+        # single fixed covariance matrix instead of the beta grid
+        'fixed_cov': bool(rng.random() < 0.25),
+        # savgol radial filter of the dispersion template: reference default
+        # (window 3, order 1), disabled, or window 5 / order 2
+        'filter_variant': str(rng.choice(['default', 'off', 'w5o2'])),
+    }
+
+
+def _perturbed_files(rng, tmp_path, sc):
     """Write randomly perturbed / re-shaped model, data, and covariance HDF5
-    files; return (model_file, data_file, cov_file, meta)."""
+    files for scenario `sc`; return (model_file, data_file, cov_file)."""
     base = os.path.join(REPO, 'data', 'BOSS_DR12_CMASS_data')
     with h5py.File(os.path.join(
             base, 'CMASS_zobovVoids_reconRs10_0.43z0.7_medianRvcut_'
@@ -71,14 +89,36 @@ def _perturbed_files(rng, tmp_path):
     sigmav = m['sigmav'] * (1.0 + _smooth(rng, m['rsv'], 0.04))
     model_file = tmp_path / 'fuzz_model.hdf5'
     with h5py.File(model_file, 'w') as f:
-        f.create_dataset('beta', data=m['beta'][msel])
+        if sc['rmu_model']:
+            # fixed (non-reconstruction) (r, mu)-grid input built from the
+            # central beta row (reference converts it to multipoles on load,
+            # victor/ccf_model.py:169-181)
+            n_mu = int(rng.integers(48, 81))
+            mu = np.linspace(0.0, 1.0, n_mu)
+            p2 = 1.5 * mu ** 2 - 0.5
+            ib = mono.shape[0] // 2
+            f.create_dataset('mu', data=mu)
+            f.create_dataset('xi_rmu', data=(mono[ib][:, None]
+                                             + quad[ib][:, None] * p2[None, :]))
+        else:
+            f.create_dataset('beta', data=m['beta'][msel])
+            f.create_dataset('monopole', data=mono)
+            f.create_dataset('quadrupole', data=quad)
         f.create_dataset('r', data=r)
-        f.create_dataset('monopole', data=mono)
-        f.create_dataset('quadrupole', data=quad)
         f.create_dataset('rdelta', data=m['rdelta'])
+        # integrated mode reuses the (perturbed) delta values as Delta(r):
+        # parity only needs both codes to ingest the same numbers the same way
         f.create_dataset('delta', data=delta)
         f.create_dataset('rsv', data=m['rsv'])
-        f.create_dataset('sigmav', data=sigmav)
+        if sc['aniso_sv']:
+            n_musv = int(rng.integers(11, 22))
+            mu_sv = np.linspace(0.0, 1.0, n_musv)
+            shape = 1.0 + rng.uniform(0.05, 0.4) * mu_sv ** 2 \
+                + rng.uniform(-0.15, 0.15) * mu_sv ** 4
+            f.create_dataset('musv', data=mu_sv)
+            f.create_dataset('sigmav2d', data=sigmav[:, None] * shape[None, :])
+        else:
+            f.create_dataset('sigmav', data=sigmav)
 
     # --- data + covariance: shared contiguous s-bin subset (the covariance
     # rows/cols must track the data vector: indices [S, n_s0 + S] for l=0,2)
@@ -107,32 +147,47 @@ def _perturbed_files(rng, tmp_path):
     cov = cov * scale[None, :, None] * scale[None, None, :]  # SPD-preserving
     cov_file = tmp_path / 'fuzz_cov.hdf5'
     with h5py.File(cov_file, 'w') as f:
-        f.create_dataset('beta', data=c['beta'][csel])
-        f.create_dataset('covmat', data=cov)
+        if sc['fixed_cov']:
+            f.create_dataset('covmat', data=cov[cov.shape[0] // 2])
+        else:
+            f.create_dataset('beta', data=c['beta'][csel])
+            f.create_dataset('covmat', data=cov)
 
     return str(model_file), str(data_file), str(cov_file)
 
 
-def _random_config(rng, model_file, data_file, cov_file):
+def _random_config(rng, sc, model_file, data_file, cov_file):
     rsd = rng.choice(['streaming', 'dispersion', 'kaiser', 'euclid_special'])
     form = rng.choice(['gaussian', 'hartlap', 'sellentin', 'percival'])
+    if sc['rmu_model']:
+        realspace = {'reconstruction': False, 'format': 'rmu',
+                     'ccf_keys': ['r', 'mu', 'xi_rmu'],
+                     'assume_isotropic': bool(rng.integers(0, 2))}
+    else:
+        realspace = {'reconstruction': True, 'beta_key': 'beta',
+                     'format': 'multipoles',
+                     'ccf_keys': ['r', 'monopole', 'quadrupole'],
+                     'assume_isotropic': bool(rng.integers(0, 2))}
+    dispersion = {'model': 'template',
+                  'template_keys': (['rsv', 'musv', 'sigmav2d']
+                                    if sc['aniso_sv'] else ['rsv', 'sigmav'])}
+    if sc['filter_variant'] == 'off':
+        dispersion['filter'] = False
+    elif sc['filter_variant'] == 'w5o2':
+        dispersion['filter_window'] = 5
+        dispersion['filter_order'] = 2
     model = {
         'input_model_data_file': model_file, 'dir': '',
         'rsd_model': str(rsd), 'z_eff': 0.57,
         'cosmology': {'Omega_m': 0.31},
-        'realspace_ccf': {
-            'reconstruction': True, 'beta_key': 'beta',
-            'format': 'multipoles',
-            'ccf_keys': ['r', 'monopole', 'quadrupole'],
-            'assume_isotropic': bool(rng.integers(0, 2))},
-        'matter_ccf': {'model': 'template', 'integrated': False,
+        'realspace_ccf': realspace,
+        'matter_ccf': {'model': 'template', 'integrated': sc['integrated'],
                        'template_keys': ['rdelta', 'delta'],
                        'template_sigma8': 0.628, 'bias': 1.9},
         'velocity_pdf': {
             'mean': {'model': 'linear',
                      'empirical_corr': bool(rng.integers(0, 2))},
-            'dispersion': {'model': 'template',
-                           'template_keys': ['rsv', 'sigmav']},
+            'dispersion': dispersion,
             'rescale_templates_independent_of_AP': bool(rng.integers(0, 2))},
     }
     params = {'fsigma8': float(rng.uniform(0.35, 0.60)),
@@ -168,8 +223,10 @@ def _random_config(rng, model_file, data_file, cov_file):
             # beta grid — without it the reference defaults to the MODEL grid
             'format': 'multipoles', 'ccf_keys': ['s', 'monopole',
                                                  'quadrupole']},
-        'covariance_matrix': {'data_file': cov_file, 'cov_key': 'covmat',
-                              'fixed_beta': False, 'beta_key': 'beta'},
+        'covariance_matrix': ({'data_file': cov_file, 'cov_key': 'covmat',
+                               'fixed_beta': True} if sc['fixed_cov'] else
+                              {'data_file': cov_file, 'cov_key': 'covmat',
+                               'fixed_beta': False, 'beta_key': 'beta'}),
         'beta_interpolation': str(rng.choice(['datavector', 'likelihood'])),
         'likelihood': {'form': str(form), 'nmocks': 1000, 'nparams': 4},
         'dir': '',
@@ -179,8 +236,9 @@ def _random_config(rng, model_file, data_file, cov_file):
 
 def _run_case(seed, tmp_path):
     rng = np.random.default_rng(seed)
-    files = _perturbed_files(rng, tmp_path)
-    model, data, params = _random_config(rng, *files)
+    sc = _fuzz_scenario(rng)
+    files = _perturbed_files(rng, tmp_path, sc)
+    model, data, params = _random_config(rng, sc, *files)
 
     from victor.ccf_fit import CCFFit
     fit = CCFFit(copy.deepcopy(model), copy.deepcopy(data))
