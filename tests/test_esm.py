@@ -265,3 +265,57 @@ class TestTophatWindowADStability:
         assert np.isfinite(float(g32)) and np.isfinite(float(h32))
         np.testing.assert_allclose(float(g32), float(g64), rtol=2e-4)
         np.testing.assert_allclose(float(h32), float(h64), rtol=2e-3)
+
+
+class TestESMRandomCosmology:
+    """Randomized-cosmology parity sweep: the fixture classes above pin ONE
+    cosmology; these draw (h, Omega_m, Omega_b, ns, sigma_8_0, b10, b01,
+    Rp, Rx, delta_c) at random within the regular (no shell-crossing) regime
+    and compare the full enclosed-density profile against a freshly
+    constructed reference ExcursionSetProfile — the whole cosmology-dependent
+    chain (EH98 P(k), growth, sigma8 normalisation, s_j integrals, 1-halo +
+    2-halo Eulerian profile) at each draw."""
+
+    def _draw(self, seed):
+        rng = np.random.default_rng(1000 + seed)
+        return {
+            'h': float(rng.uniform(0.62, 0.74)),
+            'Omega_m': float(rng.uniform(0.26, 0.35)),
+            'Omega_b': float(rng.uniform(0.042, 0.054)),
+            'ns': float(rng.uniform(0.93, 1.0)),
+            'sigma_8_0': float(rng.uniform(0.72, 0.92)),
+            'b10': float(rng.uniform(-2.5, -0.6)),
+            'b01': float(rng.uniform(-5.5, -3.0)),
+            'Rp': float(rng.uniform(6.0, 10.5)),
+            'Rx': float(rng.uniform(0.35, 0.70)),
+            'delta_c': float(rng.uniform(1.55, 1.80)),
+        }
+
+    def _check(self, seed, esm_bundle):
+        from victor.excursion_set_profile import ExcursionSetProfile
+        d = self._draw(seed)
+        esp = ExcursionSetProfile(h=d['h'], omega_m=d['Omega_m'],
+                                  omega_b=d['Omega_b'], z=Z_EFF, ns=d['ns'],
+                                  mnu=0.06, use_eisenstein_hu=True)
+        esp.set_normalisation(d['sigma_8_0'], z=0)
+        t = esm_bundle.tables
+        r_v = np.asarray(t.r_v)
+        spl = esp.model_enclosed_density_profile(
+            r_v, Z_EFF, d['b10'], d['b01'], d['Rp'], d['Rx'],
+            delta_c=d['delta_c'])
+        params = dict(ESM_PARAMS)
+        params.update(d)
+        params['H0'] = 100.0 * params.pop('h')
+        ours = np.asarray(esm.enclosed_profile_at(
+            t, esm_bundle.spec, jparams(params), t.r_v))
+        np.testing.assert_allclose(ours, spl(r_v), rtol=5e-6, atol=1e-8,
+                                   err_msg=f'seed={seed} draw={d}')
+
+    @pytest.mark.parametrize('seed', range(3))
+    def test_random_cosmology(self, seed, esm_bundle):
+        self._check(seed, esm_bundle)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize('seed', range(3, 12))
+    def test_random_cosmology_extended(self, seed, esm_bundle):
+        self._check(seed, esm_bundle)
