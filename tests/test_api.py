@@ -343,6 +343,16 @@ class TestInputValidation:
         cfg['model']['dir'] = ''
         with pytest.raises(InputError, match='strictly increasing'):
             build_tables(cfg['model'], None)
+        # an all-tiny grid (max <= 0.1) would make the 100-pt fine grid
+        # linspace(0.1, r.max()) DEcreasing — same InputError contract
+        payload['r'] = np.linspace(0.02, 0.09, 30)
+        fn2 = tmp_path / 'bad_model2.hdf5'
+        with h5py.File(fn2, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+        cfg['model']['input_model_data_file'] = str(fn2)
+        with pytest.raises(InputError, match='strictly increasing'):
+            build_tables(cfg['model'], None)
 
 
 class TestBetaNoneParity:

@@ -255,12 +255,19 @@ def build_tables(model: dict, data: Optional[dict] = None,
     # beta grids are, before the spline-operator builders (which would raise
     # raw scipy errors, or silently produce garbage Hermite coefficients via
     # h=0, on a non-monotonic/duplicated grid)
-    if r.ndim != 1 or len(r) < 4 or np.any(np.diff(r) <= 0) or r[0] <= 0.01:
+    if r.ndim != 1 or len(r) < 4 or np.any(np.diff(r) <= 0) or r[0] <= 0.01 \
+            or r[-1] <= 0.1:
         raise InputError('radial grid in the input model data file must be a '
                          'strictly increasing 1D vector with >= 4 points, all '
-                         f'above the r=0.01 velocity anchor; got shape {r.shape}')
+                         'above the r=0.01 velocity anchor and extending past '
+                         f'r=0.1; got shape {r.shape}')
     r_v = np.concatenate([[0.01], r])
     rgrid100 = np.linspace(0.1, r.max(), 100)
+    # velocity_terms re-splines NODAL values over r_v (ext=3) and evaluates
+    # THAT on the fine grid (ref ccf_model.py:421-423,456-459) — a
+    # spline-of-spline composition; linear in the nodal values, so it is one
+    # more fixed operator, shared by the template and linear_bias branches
+    respline_100 = ops.spline_eval_matrix(r_v, rgrid100, ext=3)
 
     delta_rv = Delta_rv = delta_r100 = Delta_r100 = None
     lb_delta_op = lb_Delta_op = lb_delta100_op = lb_Delta100_op = None
@@ -293,18 +300,10 @@ def build_tables(model: dict, data: Optional[dict] = None,
                      0, ri, full_output=1)[0] for ri in r50])
             int_spl = IUS(r50, integral, k=3, ext=3)
         delta_rv, Delta_rv = delta_spl(r_v), int_spl(r_v)
-        # velocity_terms re-splines the NODAL values over r_v (ext=3) and
-        # evaluates THAT on the fine grid (ref ccf_model.py:421-423,456-459)
-        # — a spline-of-spline composition, not a direct source-spline
-        # evaluation; the re-spline is linear in the nodal values, so it is
-        # one more fixed operator
-        respline_100 = ops.spline_eval_matrix(r_v, rgrid100, ext=3)
         delta_r100, Delta_r100 = respline_100 @ delta_rv, respline_100 @ Delta_rv
     elif matter_model == 'linear_bias':
         lb_delta_op = ops.spline_eval_matrix(r, r_v, ext=3)
         lb_Delta_op = ops.enclosed_density_operator(r, r_v)
-        # same re-spline composition as the template branch above
-        respline_100 = ops.spline_eval_matrix(r_v, rgrid100, ext=3)
         lb_delta100_op = respline_100 @ lb_delta_op
         lb_Delta100_op = respline_100 @ lb_Delta_op
     elif matter_model == 'excursion_set':

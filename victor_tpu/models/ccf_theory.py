@@ -16,7 +16,6 @@ input, and the `realspace_ccf_from_data` inverse-AP mode are all supported.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ SQRT2PI = 2.5066282746310002
 
 # full-precision matmul: the operators are small, so MXU time is negligible,
 # but TPU's default bf16 matmul precision would cost ~1e-2 on chi^2
-_mm = functools.partial(jnp.matmul, precision='highest')
+from ..ops.splines import matmul_highest as _mm  # noqa: E402
 
 
 def resolve_ap(params):

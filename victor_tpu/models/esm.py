@@ -29,7 +29,6 @@ excursion_set_profile.py:460 and `eulerian_model_profiles` undefined at :408).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +44,7 @@ TWO_PI2 = 2.0 * jnp.pi ** 2
 # all k-integral contractions pin full precision: TPU's default bf16 matmul
 # passes would silently degrade the s_j variances (and the finite-difference
 # _s0_derivative_term built from their differences) on f32 — CLAUDE.md rule 6
-_mm_hi = functools.partial(jnp.matmul, precision='highest')
+from ..ops.splines import matmul_highest as _mm_hi  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

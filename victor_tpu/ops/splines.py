@@ -26,10 +26,18 @@ makes the whole hot path precomputable.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+#: matmul with the MXU precision pin — THE shared definition (imported by the
+#: theory/ESM/sampler hot paths). TPU's default bf16 matmul silently costs
+#: ~1.3 on chi2; keeping one copy means a future change to how the pin is
+#: expressed cannot miss a site and reintroduce the degradation.
+matmul_highest = functools.partial(jnp.matmul, precision='highest')
 
 
 # ---------------------------------------------------------------------------

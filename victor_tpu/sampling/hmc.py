@@ -23,7 +23,6 @@ random-walk Metropolis, victor/README.md:30).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -33,7 +32,7 @@ from jax import lax
 # full-precision matvecs: TPU's default bf16 matmul would perturb leapfrog
 # trajectories and kinetic energies at ~1e-3, skewing the acceptance
 # statistic that drives dual averaging (CLAUDE.md matmul-precision rule)
-_mv = functools.partial(jnp.matmul, precision='highest')
+from ..ops.splines import matmul_highest as _mv  # noqa: E402
 
 
 class HMCState(NamedTuple):
