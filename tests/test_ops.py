@@ -261,3 +261,44 @@ class TestUtilsTransforms:
         np.testing.assert_allclose(got_fn(q, m), ref_fn(q, m), rtol=1e-10)
         with pytest.raises(ValueError):
             fn_from_multipoles(r, [0, 2], mult[:1])
+
+
+class TestChebyshev:
+    """chebyshev_fit/eval back the dispersion-interior and fast-mode
+    compressions (models/ccf_theory.py); the trig variant is the measured
+    rejected alternative (see its docstring / BASELINE.md round 3)."""
+
+    def _series(self):
+        import jax.numpy as jnp
+        from victor_tpu.ops.splines import chebyshev_fit
+        fn = lambda r: -120.0 * (r / 30.0) * jnp.exp(-r / 35.0)  # noqa: E731
+        a, b = 0.01, 120.0
+        return fn, a, b, chebyshev_fit(fn, a, b, degree=48)
+
+    def test_fit_interpolates(self):
+        from victor_tpu.ops.splines import chebyshev_eval
+        fn, a, b, coef = self._series()
+        q = jnp.linspace(a, b, 777)
+        np.testing.assert_allclose(np.asarray(chebyshev_eval(coef, a, b, q)),
+                                   np.asarray(fn(q)), atol=5e-9)
+
+    def test_trig_matches_clenshaw_inside_domain(self):
+        from victor_tpu.ops.splines import chebyshev_eval, chebyshev_eval_trig
+        _, a, b, coef = self._series()
+        q = jnp.asarray(np.random.default_rng(0).uniform(a + 1e-3, b - 1e-3,
+                                                         2000))
+        np.testing.assert_allclose(
+            np.asarray(chebyshev_eval_trig(coef, a, b, q)),
+            np.asarray(chebyshev_eval(coef, a, b, q)), atol=1e-10)
+
+    def test_trig_gradients_finite_at_clip(self):
+        """d(arccos)/du is infinite at |u|=1; the eps-inset clip must keep
+        gradients finite for queries at and beyond the domain edges."""
+        import jax
+        from victor_tpu.ops.splines import chebyshev_eval_trig
+        _, a, b, coef = self._series()
+        q = jnp.asarray([a - 5.0, a, 0.5 * (a + b), b, b + 10.0])
+        g = jax.vmap(jax.grad(lambda x: chebyshev_eval_trig(coef, a, b, x)))(q)
+        assert np.all(np.isfinite(np.asarray(g)))
+        gc = jax.grad(lambda c: jnp.sum(chebyshev_eval_trig(c, a, b, q)))(coef)
+        assert np.all(np.isfinite(np.asarray(gc)))

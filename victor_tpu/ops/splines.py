@@ -498,6 +498,34 @@ def chebyshev_eval(coef: jax.Array, a, b, q: jax.Array) -> jax.Array:
     return u * b1 - b2 + coef[0]
 
 
+def chebyshev_eval_trig(coef: jax.Array, a, b, q: jax.Array) -> jax.Array:
+    """The same series as `chebyshev_eval` through the trigonometric identity
+    T_k(u) = cos(k*arccos(u)): one arccos + a (K, q) cos basis + one
+    contraction — a k-PARALLEL graph whose reverse-mode transpose is a
+    parallel broadcast-reduce, versus Clenshaw's 2(K-1)-step sequential
+    recurrence.
+
+    MEASURED AND REJECTED as a fix for streaming fast mode's HMC regression
+    (v5e, BOSS config, degree 48): forward 2,450 evals/s vs Clenshaw's
+    24,724 (10x slower — even 7.4x below the exact masksum), HMC warm 154 s
+    vs 33 s. The Clenshaw recurrence's sequential steps are each one cheap
+    lane-parallel FMA over the 150k-point vector; the trig form replaces
+    them with ~K transcendentals per point, and VPU transcendental cost
+    dominates everything else. Kept (like ppoly_eval_pallas) as the measured
+    reference point for that conclusion, with exact-parity tests.
+
+    u is clipped just INSIDE [-1, 1]: beyond the fit domain the series is
+    constant-extrapolated to fit accuracy anyway, and the margin keeps
+    d(arccos)/du = -1/sqrt(1-u^2) finite under AD (at u = +-1 exactly the
+    gradient would be inf -> NaN in the samplers)."""
+    eps = 1e-6
+    u = jnp.clip((2.0 * q - (a + b)) / (b - a), -1.0 + eps, 1.0 - eps)
+    theta = jnp.arccos(u)
+    k = jnp.arange(coef.shape[0], dtype=coef.dtype)
+    basis = jnp.cos(theta[..., None] * k)
+    return jnp.einsum('...k,k->...', basis, coef, precision='highest')
+
+
 # ---------------------------------------------------------------------------
 # Pallas TPU kernel variant of the interval-mask evaluation
 # ---------------------------------------------------------------------------
