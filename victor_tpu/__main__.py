@@ -250,21 +250,25 @@ def cmd_eval(args):
 
 
 def _map_report_stats(bundle, mres):
-    """(ndof, p_value, derived) for a MAP result — shared by fit/analyze so
-    the two reports can never disagree on dof accounting."""
+    """(ndata, ndof, p_value, derived) for a MAP result — shared by
+    fit/analyze so the two reports can never disagree on dof accounting.
+    The PTE respects the likelihood form: Hotelling-F for the
+    estimated-covariance forms (sampling/gof.py)."""
     import jax.numpy as jnp
     import numpy as np
-    from scipy import stats
+
+    from .sampling.gof import chi2_tail_probability
     # read the data dimension from array SHAPES only (np.asarray of the
     # covariance stack would transfer the whole thing to host)
     ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
         int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
         int(bundle.tables.cov.shape[-1])
     ndof = ndata - mres.space.ndim
-    p_val = float(stats.chi2.sf(mres.chi2, ndof))
+    p_val = chi2_tail_probability(mres.chi2, ndof, bundle.fit_opts.form,
+                                  bundle.fit_opts.nmocks)
     derived = {k: float(np.asarray(v)) for k, v in
                mres.space.derived_values(jnp.asarray(mres.theta)).items()}
-    return ndof, p_val, derived
+    return ndata, ndof, p_val, derived
 
 
 def cmd_fit(args):
@@ -280,12 +284,13 @@ def cmd_fit(args):
     t0 = time.time()
     result = find_map(bundle, params_block, n_starts=args.starts,
                       adam_steps=args.adam_steps, seed=args.seed)
-    ndof, p_val, derived = _map_report_stats(bundle, result)
+    _, ndof, p_val, derived = _map_report_stats(bundle, result)
     derived = {k: round(v, 6) for k, v in derived.items()}
     out = {
         'chi2': round(result.chi2, 4),
-        # Gaussian chi^2 tail probability at the best fit (indicative for
-        # the sellentin/percival forms, whose statistic is t-like)
+        # tail probability under the configured likelihood form (exact chi2
+        # for gaussian; Hotelling-F finite-mock null for sellentin/hartlap/
+        # percival — sampling/gof.py)
         'ndof': ndof,
         'p_value': round(p_val, 4),
         'log_likelihood': round(result.lnlike, 4),
@@ -376,7 +381,14 @@ def cmd_analyze(args):
                    output=os.path.join(outdir, 'chains'))
     t_smc = time.time() - t0
 
-    ndof, p_val, derived = _map_report_stats(bundle, mres)
+    ndata, ndof, p_val, derived = _map_report_stats(bundle, mres)
+
+    # Bayesian model adequacy from the SMC particles' recorded chi2 column
+    # (sampling/gof.py; analytic replicated-T tail, zero extra device work)
+    from .sampling.gof import posterior_predictive_pvalue
+    ppp = posterior_predictive_pvalue(sres.aux[:, 0], ndata,
+                                      bundle.fit_opts.form,
+                                      bundle.fit_opts.nmocks)
 
     names = [p.name for p in sres.space.sampled]
     part = sres.particles
@@ -395,6 +407,15 @@ def cmd_analyze(args):
         f'(p = {p_val:.4f}); |grad| = {mres.grad_norm:.2e}; '
         f'{mres.n_converged}/{mres.n_starts} starts converged '
         f'({t_map:.1f} s)',
+        '',
+        '## Goodness of fit',
+        '',
+        f'- best-fit tail probability p = {p_val:.4f} '
+        f'(chi2 {mres.chi2:.2f} / ndof {ndof}, '
+        f'{bundle.fit_opts.form} form)',
+        f'- posterior-predictive p = {ppp:.4f} '
+        '(Gelman-Meng-Stern; near 0 = model cannot reproduce the data, '
+        'near 1 = overdispersed/overestimated covariance)',
         '',
         '## Posterior (tempered SMC, '
         f'{len(part)} particles, {len(sres.betas) - 1} stages, '
@@ -435,6 +456,7 @@ def cmd_analyze(args):
     print(json.dumps({
         'report': report,
         'chi2': round(mres.chi2, 4), 'ndof': ndof, 'p_value': round(p_val, 4),
+        'posterior_predictive_p': round(ppp, 4),
         'log_evidence': round(sres.logz, 3),
         'log_evidence_se': round(sres.logz_se, 3),
         'posterior': {n: {'mean': round(float(mean[i]), 6),

@@ -10,6 +10,7 @@ from .chains import (save_checkpoint, load_checkpoint, export_getdist,
                      save_hmc_checkpoint, load_hmc_checkpoint)
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
                           acceptance_fraction)
+from .gof import chi2_tail_probability, posterior_predictive_pvalue
 
 __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
@@ -21,4 +22,5 @@ __all__ = [
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
     'acceptance_fraction',
+    'chi2_tail_probability', 'posterior_predictive_pvalue',
 ]
