@@ -81,6 +81,31 @@ class TestFindMAP:
         assert all({'value', 'std'} <= set(v) for v in s.values())
 
 
+class TestCacheKeyParamOrder:
+    def test_reordered_params_block_fits_correctly(self, boss_config,
+                                                   map_result):
+        """A params block and its alphabetised reordering (what a YAML
+        round-trip produces) must BOTH fit correctly in one process: the
+        jit-fn caches must key on parameter ORDER, because the cached
+        closures bake in the theta-component layout of the space they were
+        compiled with. Regression for the sorted-cache-key collision that
+        scrambled the analyze CLI's MAP (chi2 jumped to 3.8e7 with a nan
+        gradient) whenever any find_map on the hand-ordered block ran
+        first in the process (found by the analyze GOF assertion)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import find_map
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        reordered = {k: BLOCK_4P[k] for k in sorted(BLOCK_4P)}
+        assert list(reordered) != list(BLOCK_4P)
+        # map_result already primed the cache with the hand-ordered block at
+        # these exact settings — this call collides under a sorted key
+        m2 = find_map(bundle, reordered, n_starts=4, adam_steps=120,
+                      newton_steps=6, seed=3)
+        assert m2.chi2 < 65.01, m2.chi2          # converged, not scrambled
+        assert np.isfinite(m2.grad_norm)
+        assert abs(m2.chi2 - map_result.chi2) < 1e-3
+
+
 class TestProfileScan:
     @pytest.mark.slow
     def test_profile_fsigma8(self, boss_config, map_result):
@@ -221,10 +246,15 @@ class TestAnalyzeCLI:
         assert os.path.isfile(out['report'])
         report = open(out['report']).read()
         assert 'central 68%' in report and 'log Z' in report
+        assert 'Goodness of fit' in report
         assert os.path.isfile(os.path.join(outdir, 'chains.1.txt'))
         for n in ('fsigma8', 'beta', 'sigma_v', 'epsilon'):
             lo, hi = out['posterior'][n]['central_68']
             assert lo < out['posterior'][n]['mean'] < hi
+        # the BOSS model fits its own data: both adequacy measures should be
+        # unremarkable (chi2 ~57/56 dof; ppp conservative by construction)
+        assert 0.01 < out['p_value'] < 0.99
+        assert 0.01 < out['posterior_predictive_p'] < 0.999
 
 
 class TestPlotScanTool:

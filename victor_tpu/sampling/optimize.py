@@ -110,8 +110,15 @@ def find_map(bundle, params_block: Dict,
     tables_arg, lnpost_theta, neg_y, like_stats, cache_id = _make_objectives(
         bundle, space, opts_kw, fit_kw)
 
-    cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
-                                        for p in space.sampled)),
+    # the sampled tuple is deliberately NOT sorted: parameter ORDER is
+    # semantic (the cached closures bake in the theta-component layout of
+    # THIS space, while the caller's space supplies theta0 and decodes the
+    # result). Sorting here once collided a hand-ordered params block with
+    # its alphabetised YAML round-trip: same key, different layouts ->
+    # the optimum decoded with scrambled components (chi2 jumped 6 orders
+    # of magnitude, found by the analyze-CLI GOF assertion).
+    cache_key = (cache_id, tuple((p.name, p.dist, p.lo, p.hi)
+                                 for p in space.sampled),
                  tuple(sorted(space.fixed.items())),
                  tuple((d.name, d.argnames, d.src) for d in space.derived),
                  n_starts, adam_steps, learning_rate)
@@ -433,9 +440,10 @@ def profile_scan(bundle, params_block: Dict, scan_names,
     # the hessian-laden graph every invocation). The key covers everything
     # the closure captures: target statics, the parameter-space structure,
     # the fixed values (closure constants), and the loop lengths.
+    # sampled tuple NOT sorted — order is semantic (see find_map's cache key)
     scan_cache_key = ('scan', cache_id, scan_names, free_names,
-                      tuple(sorted((p.name, p.dist, p.lo, p.hi)
-                                   for p in space.sampled)),
+                      tuple((p.name, p.dist, p.lo, p.hi)
+                            for p in space.sampled),
                       tuple(sorted(space.fixed.items())),
                       tuple((d.name, d.argnames, d.src) for d in space.derived),
                       adam_steps, newton_steps, learning_rate)

@@ -203,7 +203,14 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     t0 = time.time()
     # cache the jitted segment/init functions across calls (a fresh lambda
     # per call would defeat jax's jit cache and recompile the big HMC graph)
-    cache_key = (_freeze(params_block), cache_id, _freeze(opts_kw),
+    # the params block's TOP-LEVEL order is semantic (it fixes the theta
+    # layout the cached closures bake in), so it is frozen order-preserving;
+    # inner dicts (prior/ref specs) and kwarg overrides are by-name and are
+    # normalised by _freeze's sort. Sorting the top level once collided a
+    # hand-ordered block with its alphabetised YAML round-trip (see
+    # find_map's cache key for the observed failure).
+    cache_key = (tuple((k, _freeze(v)) for k, v in params_block.items()),
+                 cache_id, _freeze(opts_kw),
                  _freeze(fit_kw), n_warmup, n_leapfrog, n_chains,
                  algorithm, max_depth,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))

@@ -166,8 +166,10 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
             return chunked_vmap(fn, chunk)(ys)
         return jax.vmap(fn)(ys)
 
-    cache_key = (cache_id, tuple(sorted((p.name, p.dist, p.lo, p.hi)
-                                        for p in space.sampled)),
+    # sampled tuple NOT sorted — parameter order is semantic (the cached
+    # closures bake in this space's theta layout; see find_map's cache key)
+    cache_key = (cache_id, tuple((p.name, p.dist, p.lo, p.hi)
+                                 for p in space.sampled),
                  tuple(sorted(space.fixed.items())),
                  tuple((d.name, d.argnames, d.src) for d in space.derived),
                  n_particles, n_moves, chunk,
