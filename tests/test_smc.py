@@ -129,3 +129,23 @@ class TestBOSSSMC:
         assert 0.3 < m['beta']['mean'] < 0.45
         import os
         assert os.path.exists(tmp_path / 'chains' / 'smc.1.txt')
+
+    @pytest.mark.slow
+    def test_cli_run_smc_json_includes_ppp(self, boss_config, tmp_path,
+                                           capsys):
+        """`run --sampler smc` JSON: evidence fields + the posterior-
+        predictive p-value computed from the particles' chi2 column
+        (bundle targets only — sampling/gof.py)."""
+        import json
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg = dict(boss_config)
+        cfg['params'] = self.BLOCK
+        p = tmp_path / 'smc.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--sampler', 'smc', '--particles', '48',
+              '--moves', '2', '--seed', '4',
+              '--output', str(tmp_path / 'c' / 'smc')])
+        out = json.loads(capsys.readouterr().out)
+        assert np.isfinite(out['log_evidence'])
+        assert 0.0 <= out['posterior_predictive_p'] <= 1.0

@@ -124,15 +124,24 @@ def cmd_run(args):
             checkpoint=ckpt,
             resume=args.resume,
             output=sampler.get('output', cfg.get('output', args.output)))
-        print(json.dumps({'sampler': 'smc', 'n_particles': len(result.particles),
-                          'n_stages': len(result.betas) - 1,
-                          'log_evidence': round(result.logz, 3),
-                          # correlation-inflated se (covers the measured
-                          # seed-to-seed scatter); raw CLT se for reference
-                          'log_evidence_se': round(result.logz_se, 3),
-                          'log_evidence_se_clt': round(result.logz_se_clt, 3),
-                          'elapsed_s': round(result.elapsed_s, 2),
-                          'summary': result.summary()}, indent=2))
+        out = {'sampler': 'smc', 'n_particles': len(result.particles),
+               'n_stages': len(result.betas) - 1,
+               'log_evidence': round(result.logz, 3),
+               # correlation-inflated se (covers the measured
+               # seed-to-seed scatter); raw CLT se for reference
+               'log_evidence_se': round(result.logz_se, 3),
+               'log_evidence_se_clt': round(result.logz_se_clt, 3),
+               'elapsed_s': round(result.elapsed_s, 2),
+               'summary': result.summary()}
+        if hasattr(bundle, 'fit_opts'):
+            # model adequacy from the particles' recorded chi2 column
+            # (sampling/gof.py; bundle targets only — a callable target's
+            # aux need not be a chi2)
+            from .sampling.gof import posterior_predictive_pvalue
+            out['posterior_predictive_p'] = round(posterior_predictive_pvalue(
+                result.aux[:, 0], _ndata(bundle), bundle.fit_opts.form,
+                bundle.fit_opts.nmocks), 4)
+        print(json.dumps(out, indent=2))
         return
     if kind in ('hmc', 'nuts'):
         n_chains = int(sampler.get('n_chains', args.chains))
@@ -249,6 +258,14 @@ def cmd_eval(args):
         'params': {k: float(v) for k, v in params.items()}}))
 
 
+def _ndata(bundle):
+    """Data-vector length from array SHAPES only (np.asarray of the
+    covariance stack would transfer the whole thing to host)."""
+    return bundle.ndata if hasattr(bundle, 'ndata') else \
+        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
+        int(bundle.tables.cov.shape[-1])
+
+
 def _map_report_stats(bundle, mres):
     """(ndata, ndof, p_value, derived) for a MAP result — shared by
     fit/analyze so the two reports can never disagree on dof accounting.
@@ -258,11 +275,7 @@ def _map_report_stats(bundle, mres):
     import numpy as np
 
     from .sampling.gof import chi2_tail_probability
-    # read the data dimension from array SHAPES only (np.asarray of the
-    # covariance stack would transfer the whole thing to host)
-    ndata = bundle.ndata if hasattr(bundle, 'ndata') else \
-        int(bundle.tables.icov.shape[-1]) if bundle.spec.fixed_covmat else \
-        int(bundle.tables.cov.shape[-1])
+    ndata = _ndata(bundle)
     ndof = ndata - mres.space.ndim
     p_val = chi2_tail_probability(mres.chi2, ndof, bundle.fit_opts.form,
                                   bundle.fit_opts.nmocks)
