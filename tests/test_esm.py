@@ -319,3 +319,34 @@ class TestESMRandomCosmology:
     @pytest.mark.parametrize('seed', range(3, 12))
     def test_random_cosmology_extended(self, seed, esm_bundle):
         self._check(seed, esm_bundle)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize('seed', range(2))
+    def test_random_cosmology_likelihood_e2e(self, seed, esm_bundle,
+                                             boss_config):
+        """Full chi2/lnL through the ESM matter model at a random cosmology
+        vs the shimmed reference (the fixture e2e test pins one point; this
+        ties the randomized profile sweep to the likelihood level)."""
+        import copy
+        from victor.ccf_fit import CCFFit
+        d = self._draw(100 + seed)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['matter_ccf'] = {
+            'model': 'excursion_set',
+            'excursion_set_options': {'use_eisenstein_hu': True},
+        }
+        rng = np.random.default_rng(200 + seed)
+        params = dict(ESM_PARAMS)
+        params.update(d)
+        params['H0'] = 100.0 * params.pop('h')
+        params['beta'] = float(rng.uniform(0.32, 0.42))
+        params['sigma_v'] = float(rng.uniform(300.0, 420.0))
+        params['epsilon'] = float(rng.uniform(0.97, 1.03))
+        ref_fit = CCFFit(cfg['model'], cfg['data'])
+        ref_lnl, ref_chi2 = ref_fit.log_likelihood(dict(params))
+        lnl, chi2 = lk.log_likelihood(esm_bundle.tables, esm_bundle.spec,
+                                      esm_bundle.theory_opts,
+                                      esm_bundle.fit_opts, jparams(params))
+        np.testing.assert_allclose(float(chi2), ref_chi2, rtol=2e-5,
+                                   err_msg=f'seed={seed} draw={params}')
+        np.testing.assert_allclose(float(lnl), ref_lnl, rtol=2e-5)
