@@ -216,6 +216,17 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out['evals_per_sec'] > 0
 
+    def test_json_sanitize(self):
+        """Non-finite floats (e.g. the undefined R-hat of a 2-draw smoke
+        run) must print as null, not bare NaN/Infinity (invalid strict
+        JSON that jq and non-Python consumers reject)."""
+        from victor_tpu.__main__ import _json_sanitize
+        out = _json_sanitize({'a': float('nan'), 'b': [1.0, float('inf')],
+                              'c': {'d': -float('inf'), 'e': 2}})
+        text = json.dumps(out)
+        assert json.loads(text) == {'a': None, 'b': [1.0, None],
+                                    'c': {'d': None, 'e': 2}}
+
 
 class TestCobayaAdapter:
     def test_import_and_gate(self):

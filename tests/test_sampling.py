@@ -250,6 +250,19 @@ class TestEndToEndMCMC:
         assert os.path.exists(tmp_path / 'chains' / 'boss.1.txt')
         assert os.path.exists(tmp_path / 'ckpt.npz')
 
+        # resume with the checkpoint already satisfying max_steps: the
+        # segment loop never runs, but the result must report the chain's
+        # R-hat (a rhat=inf initializer here read as non-convergence), and
+        # the second call must reuse the cached jitted runner functions
+        from victor_tpu.sampling.runner import _ENSEMBLE_RUNNERS
+        n_cached = len(_ENSEMBLE_RUNNERS)
+        res2 = run_mcmc(bundle, block, n_walkers=8, max_steps=6,
+                        check_every=3, rhat_stop=0.0, seed=2,
+                        checkpoint=str(tmp_path / 'ckpt.npz'), resume=True)
+        assert res2.chain.shape == (6, 8, 2)      # nothing appended
+        assert np.all(np.isfinite(res2.rhat))
+        assert len(_ENSEMBLE_RUNNERS) == n_cached
+
 
 class TestNUTS:
     def test_checkpoint_scheme_covers_recursive_uturn_pairs(self):
@@ -541,7 +554,10 @@ class TestHMC:
         r1 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
                           n_leapfrog=2, seed=0, checkpoint=ckpt)
         assert os.path.exists(ckpt)
-        r2 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
+        # resume passes a DIFFERENT n_chains: the checkpoint's actual chain
+        # count must win (mesh sizing / chain-file split / acceptance
+        # denominator all depend on it)
+        r2 = run_hmc_mcmc(bundle, block, n_chains=5, n_warmup=4, n_samples=4,
                           n_leapfrog=2, seed=1, checkpoint=ckpt, resume=True)
         # resumed run starts from the checkpointed positions and appends
         assert r2.chain.shape == (8, 2, 1)
@@ -569,6 +585,11 @@ class TestPlotChainsTool:
         lnp = -0.5 * (chain ** 2).sum(-1)
         root = str(tmp_path / 'chains' / 'toy')
         export_getdist(root, space, chain, lnp, n_chain_files=4)
+        # a stray non-chain file matching the glob must be skipped, not
+        # crash the numeric sort (e.g. cobaya leaves <root>.input.yaml-era
+        # siblings; here a .info.txt)
+        with open(f'{root}.info.txt', 'w') as f:
+            f.write('not a chain\n')
 
         chains, names = plot_chains.load_chains(root)
         assert len(chains) == 4 and names[:2] == ['a', 'b']

@@ -17,18 +17,21 @@ Usage:  python tools/plot_chains.py chains/boss [--burn 0.3] [--params a b]
 
 import argparse
 import glob
-import os
-import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _chain_index(path):
+    """Chain-file index from `<root>.<i>.txt`, or None for non-chain files
+    (a stray `chains/boss.info.txt` must be skipped, not crash int())."""
+    tail = path.rsplit('.', 2)
+    return int(tail[-2]) if len(tail) >= 3 and tail[-2].isdigit() else None
 
 
 def load_chains(root, burn_fraction=0.0):
     """Returns (list of (n_i, ncol) arrays, param names incl. derived)."""
-    files = sorted(glob.glob(f'{root}.*.txt'),
-                   key=lambda f: int(f.rsplit('.', 2)[-2]))
+    files = sorted((f for f in glob.glob(f'{root}.*.txt')
+                    if _chain_index(f) is not None), key=_chain_index)
     if not files:
         raise FileNotFoundError(f'no chain files matching {root}.<i>.txt')
     with open(f'{root}.paramnames') as f:
@@ -47,7 +50,9 @@ def cross_chain_rhat(chains, k):
 
     Computed unweighted: exact for this project's writers (weight = 1 per
     row); for externally-produced weighted chains treat it as approximate
-    and use GetDist for the formal statistic."""
+    and use GetDist for the formal statistic. Deliberately local (this tool
+    is zero-dependency); the package's formal statistic is the split-R-hat
+    in victor_tpu.sampling.diagnostics / parallel.mesh.cross_chain_rhat."""
     cols = [c[:, 2 + k] for c in chains]
     n = min(len(c) for c in cols)
     if n < 4 or len(cols) < 2:

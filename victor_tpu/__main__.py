@@ -67,6 +67,33 @@ def _has_data(cfg):
     return 'data' in cfg or 'quantiles' in cfg
 
 
+def _divisible_mesh(axis_name, count):
+    """One-axis mesh over all devices when `count` shards evenly; None
+    otherwise (hmc/nuts/smc/analyze previously never received a mesh from
+    the CLI, silently running single-device on multi-chip hosts)."""
+    import jax
+
+    from .parallel import make_mesh
+    n_dev = len(jax.devices())
+    if n_dev > 1 and count % n_dev == 0:
+        return make_mesh((axis_name,))
+    return None
+
+
+def _json_sanitize(obj):
+    """Map non-finite floats to None: json.dumps emits bare NaN/Infinity
+    (invalid strict JSON) for e.g. the undefined R-hat of a 2-draw smoke
+    run, breaking jq and strict parsers of the CLI output."""
+    import math
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
 def cmd_run(args):
     from .parallel import make_mesh
     from .sampling import run_hmc_mcmc, run_mcmc
@@ -89,16 +116,6 @@ def cmd_run(args):
         sampler.setdefault('max_steps', mc.get('max_samples', 2000))
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
     kind = args.sampler or sampler.get('kind', 'ensemble')
-
-    def _divisible_mesh(axis_name, count):
-        """One-axis mesh over all devices when `count` shards evenly; None
-        otherwise (hmc/nuts/smc previously never received a mesh from the
-        CLI, silently running single-device on multi-chip hosts)."""
-        import jax
-        n_dev = len(jax.devices())
-        if n_dev > 1 and count % n_dev == 0:
-            return make_mesh((axis_name,))
-        return None
 
     if kind == 'smc':
         import os
@@ -141,10 +158,22 @@ def cmd_run(args):
             out['posterior_predictive_p'] = round(posterior_predictive_pvalue(
                 result.aux[:, 0], _ndata(bundle), bundle.fit_opts.form,
                 bundle.fit_opts.nmocks), 4)
-        print(json.dumps(out, indent=2))
+        print(json.dumps(_json_sanitize(out), indent=2))
         return
     if kind in ('hmc', 'nuts'):
+        import os
+
+        import numpy as np
         n_chains = int(sampler.get('n_chains', args.chains))
+        ckpt = sampler.get('checkpoint', args.checkpoint)
+        if args.resume and ckpt and os.path.isfile(ckpt):
+            # run_hmc_mcmc resumes the checkpoint's actual chain count; the
+            # mesh and the GetDist chain-file split must be sized for THAT
+            # count, not the CLI default (same failure the SMC path above
+            # was patched for)
+            with np.load(ckpt, allow_pickle=False) as z:
+                if 'hmc_q' in z.files:
+                    n_chains = int(z['hmc_q'].shape[0])
         result = run_hmc_mcmc(
             bundle, params_block,
             mesh=_divisible_mesh('chains', n_chains),
@@ -156,17 +185,27 @@ def cmd_run(args):
             algorithm=kind,
             max_depth=int(sampler.get('max_depth', args.max_depth)),
             output=sampler.get('output', cfg.get('output', args.output)),
-            checkpoint=sampler.get('checkpoint', args.checkpoint),
+            checkpoint=ckpt,
             resume=args.resume)
-        print(json.dumps({'sampler': kind, 'n_samples': result.n_steps,
-                          'acceptance': round(result.acceptance, 3),
-                          'elapsed_s': round(result.elapsed_s, 2),
-                          'summary': result.summary(burn_in=0)}, indent=2))
+        print(json.dumps(_json_sanitize(
+            {'sampler': kind, 'n_samples': result.n_steps,
+             'acceptance': round(result.acceptance, 3),
+             'elapsed_s': round(result.elapsed_s, 2),
+             'summary': result.summary(burn_in=0)}), indent=2))
         return
-    mesh = make_mesh(('chains', 'walkers'))
+    import jax
+    n_walkers = int(sampler.get('n_walkers', args.walkers))
+    # walker-divisibility guard like the hmc/smc paths: an indivisible
+    # walker count falls back to single-device instead of crashing the
+    # sharded device_put inside run_mcmc
+    mesh = None
+    if len(jax.devices()) > 1:
+        cand = make_mesh(('chains', 'walkers'))
+        if n_walkers % cand.shape['walkers'] == 0:
+            mesh = cand
     result = run_mcmc(
         bundle, params_block,
-        n_walkers=int(sampler.get('n_walkers', args.walkers)),
+        n_walkers=n_walkers,
         max_steps=int(sampler.get('max_steps', args.max_steps)),
         rhat_stop=float(sampler.get('rhat_stop', 0.01)),
         check_every=int(sampler.get('check_every', 100)),
@@ -175,10 +214,11 @@ def cmd_run(args):
         output=sampler.get('output', cfg.get('output', args.output)),
         checkpoint=sampler.get('checkpoint', args.checkpoint),
         resume=args.resume)
-    print(json.dumps({'n_steps': result.n_steps,
-                      'acceptance': round(result.acceptance, 3),
-                      'elapsed_s': round(result.elapsed_s, 2),
-                      'summary': result.summary()}, indent=2))
+    print(json.dumps(_json_sanitize(
+        {'n_steps': result.n_steps,
+         'acceptance': round(result.acceptance, 3),
+         'elapsed_s': round(result.elapsed_s, 2),
+         'summary': result.summary()}), indent=2))
 
 
 def cmd_eval(args):
@@ -390,6 +430,7 @@ def cmd_analyze(args):
 
     t0 = time.time()
     sres = run_smc(bundle, params_block, n_particles=args.particles,
+                   mesh=_divisible_mesh('particles', args.particles),
                    n_moves=args.moves, seed=args.seed,
                    output=os.path.join(outdir, 'chains'))
     t_smc = time.time() - t0

@@ -38,6 +38,7 @@ def _freeze(obj):
 
 
 _HMC_RUNNERS: dict = {}
+_ENSEMBLE_RUNNERS: dict = {}
 
 
 @dataclasses.dataclass
@@ -184,6 +185,11 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
             log.info('resumed HMC from %s at step %s', checkpoint, resume_i0)
         except FileNotFoundError:
             pass
+    if resume_state is not None:
+        # the checkpoint's chain count is authoritative: the jit cache key,
+        # acceptance denominator and GetDist chain-file split below must all
+        # use the resumed count, not the caller's default
+        n_chains = int(resume_state.q.shape[0])
     theta0 = space.sample_ref(k0, n_chains)
     y0 = space.to_unbounded(theta0) if resume_state is None else resume_state.q
     chain_keys = jax.random.split(key, n_chains)
@@ -313,12 +319,31 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     so each segment runs data-parallel across chips with no host round trips
     inside the segment.
     """
+    from ..likelihood.multiquantile import JointBundle
+
     space = ParamSpace(params_block)
     logpost_t = make_posterior(bundle, space, opts_kw, fit_kw, bind_tables=False)
     # the pytree passed as the jit argument: tables for a single dataset,
     # the whole JointBundle for multi-quantile fits
     tables = getattr(bundle, 'tables', bundle)
     key = jax.random.PRNGKey(seed)
+
+    # cache the jitted init/segment functions across calls, keyed on
+    # everything the logpost_t closure bakes in (a fresh lambda per call
+    # would defeat jax's object-keyed jit cache and re-lower the full
+    # ensemble segment graph on every run_mcmc call — minutes of tracing
+    # per seed-study repeat; same pattern as _HMC_RUNNERS above)
+    if isinstance(bundle, JointBundle):
+        cache_id = ('joint',
+                    tuple((b.spec, b.theory_opts) for b in bundle.bundles),
+                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
+    else:
+        cache_id = (bundle.theory_opts, bundle.fit_opts, bundle.spec)
+    cache_key = (tuple((k, _freeze(v)) for k, v in params_block.items()),
+                 cache_id, _freeze(opts_kw), _freeze(fit_kw),
+                 check_every, thin,
+                 None if mesh is None else (mesh.shape_tuple, mesh_axis))
+    fns = _ENSEMBLE_RUNNERS.setdefault(cache_key, {})
 
     segments: list = []
     if resume and checkpoint:
@@ -339,8 +364,10 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     if state is None:
         key, k0 = jax.random.split(key)
         coords = space.sample_ref(k0, n_walkers)
-        state = jax.jit(lambda t, c, k: ensemble.init_state(
-            lambda x: logpost_t(t, x), c, k))(tables, coords, key)
+        if 'init' not in fns:
+            fns['init'] = jax.jit(lambda t, c, k: ensemble.init_state(
+                lambda x: logpost_t(t, x), c, k))
+        state = fns['init'](tables, coords, key)
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(mesh_axis))
@@ -352,13 +379,14 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
             n_accepted=jax.device_put(state.n_accepted, shard),
             n_steps=jax.device_put(state.n_steps, rep))
 
-    segment = jax.jit(
-        lambda t, st: ensemble.run(lambda c: logpost_t(t, c), st,
-                                   check_every, thin=thin),
-        donate_argnums=1)
+    if 'segment' not in fns:
+        fns['segment'] = jax.jit(
+            lambda t, st: ensemble.run(lambda c: logpost_t(t, c), st,
+                                       check_every, thin=thin),
+            donate_argnums=1)
+    segment = fns['segment']
 
     t0 = time.time()
-    rhat = np.full(space.ndim, np.inf)
     total_recorded = sum(len(c[0]) for c in segments)
     while total_recorded * thin < max_steps:
         state, (coords_seg, lnp_seg, aux_seg) = segment(tables, state)
@@ -385,6 +413,12 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     chain = np.concatenate([s[0] for s in segments])
     lnp = np.concatenate([s[1] for s in segments])
     aux = np.concatenate([s[2] for s in segments])
+    # recompute R-hat from the final chain: when a resumed checkpoint
+    # already satisfies max_steps the while loop never runs and the result
+    # would otherwise report the rhat=inf initializer for a converged chain
+    burn = int(len(chain) * burn_in_fraction)
+    post = chain[burn:] if len(chain) - burn >= 4 else chain
+    rhat = diagnostics.split_rhat(post)
     result = MCMCResult(
         space=space, chain=chain, log_prob=lnp, aux=aux,
         state=jax.device_get(state), rhat=rhat,
