@@ -98,6 +98,38 @@ class TestParamSpace:
                                    expect, rtol=1e-10)
         assert float(sp.log_prior(jnp.asarray([1.9]))) == -np.inf
 
+    def test_uniform_ref(self):
+        """A cobaya `ref: {dist: uniform, min, max}` must start points inside
+        that window, not silently scatter them over the whole prior."""
+        block = {'a': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 10.0},
+                       'ref': {'dist': 'uniform', 'min': 4.9, 'max': 5.1}}}
+        sp = ParamSpace(block)
+        draws = np.asarray(sp.sample_ref(jax.random.PRNGKey(0), 500))
+        assert draws.min() >= 4.9 and draws.max() <= 5.1
+
+    def test_ref_without_dist_means_norm(self):
+        # cobaya's {loc, scale} shorthand: previously ignored (prior draws)
+        block = {'a': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 10.0},
+                       'ref': {'loc': 5.0, 'scale': 0.01}}}
+        sp = ParamSpace(block)
+        draws = np.asarray(sp.sample_ref(jax.random.PRNGKey(0), 200))
+        assert abs(draws.mean() - 5.0) < 0.05 and draws.std() < 0.05
+
+    def test_unsupported_ref_dist_errors(self):
+        from victor_tpu.errors import InputError
+        block = {'a': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 1.0},
+                       'ref': {'dist': 'beta', 'a': 2, 'b': 2}}}
+        with pytest.raises(InputError):
+            ParamSpace(block)
+
+    def test_halfnorm_boundary_finite_in_f32(self):
+        """to_unbounded at x == lo must stay finite in f32 (the TPU path):
+        the old 1e-300 floor underflows to 0.0 and produced log(0) = -inf."""
+        block = {'s': {'prior': {'dist': 'halfnorm', 'loc': 2.0, 'scale': 3.0}}}
+        sp = ParamSpace(block)
+        y = sp.to_unbounded(jnp.asarray([2.0], dtype=jnp.float32))
+        assert np.all(np.isfinite(np.asarray(y)))
+
     def test_unbounded_transforms_new_dists(self):
         # round-trip + change-of-variables normalization: the pushforward
         # density exp(logprior(theta(y)) + logjac(y)) must integrate to 1
@@ -157,6 +189,20 @@ class TestEnsemble:
         _, (c1, _, _) = run(logpost, s1, 20)
         _, (c2, _, _) = run(logpost, s2, 20)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_thin_records_every_kth_state(self):
+        logpost = _gaussian_logpost(jnp.zeros(2), jnp.eye(2))
+        key = jax.random.PRNGKey(7)
+        x0 = jax.random.normal(key, (16, 2))
+        _, (c1, _, _) = run(logpost, init_state(logpost, x0, key), 20)
+        _, (c2, _, _) = run(logpost, init_state(logpost, x0, key), 20, thin=2)
+        assert c2.shape[0] == 10
+        # thinning changes only the recording, not the step sequence
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1)[1::2])
+        # thin > n_steps used to yield a zero-length scan that silently
+        # never advanced the state (an infinite loop in the runner)
+        with pytest.raises(ValueError):
+            run(logpost, init_state(logpost, x0, key), 5, thin=2)
 
 
 class TestChainIO:
@@ -435,6 +481,16 @@ class TestHMC:
         assert np.all(np.isfinite(res.log_prob))
         lo, hi = res.space.bounds()
         assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
+        # the recorded log_prob is the THETA-space posterior (lnl + prior),
+        # matching the SMC/ensemble exports — NOT the sampler's y-space
+        # target, which adds the reparameterisation log-Jacobian
+        from victor_tpu.likelihood.core import log_likelihood
+        theta = jnp.asarray(res.chain[0, 0])
+        params = res.space.full_params(theta)
+        lnl, _ = log_likelihood(bundle.tables, bundle.spec,
+                                bundle.theory_opts, bundle.fit_opts, params)
+        expect = float(lnl) + float(res.space.log_prior(theta))
+        np.testing.assert_allclose(res.log_prob[0, 0], expect, rtol=1e-5)
 
     def test_hmc_dense_mass_on_correlated_gaussian(self):
         """The staged dense-mass adaptation must handle a rho=0.95 valley

@@ -87,8 +87,10 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
     def _columns(flat, lnp, aux_flat):
         # derived columns: cobaya-style value-lambdas first, then aux outputs
         derived_cols, derived_names, derived_latex = [], [], []
+        # one full_params evaluation covers every derived lambda (inside the
+        # loop it recomputed all D lambdas D times per chain file)
+        params = space.full_params(flat) if space.derived else None
         for d in space.derived:
-            params = space.full_params(flat)
             derived_cols.append(np.asarray(params[d.name]))
             derived_names.append(d.name)
             derived_latex.append(d.latex or d.name)

@@ -81,13 +81,21 @@ def run(logpost_fn: Callable, state: EnsembleState, n_steps: int,
     """Advance `n_steps` sweeps under lax.scan, recording every `thin`-th.
 
     Returns (final_state, (coords, log_prob, aux)) with leading axis
-    n_steps // thin. The whole loop is one XLA computation: no host round
-    trips between steps.
+    n_steps // thin (n_steps must be a multiple of thin: a silent
+    remainder-drop, and the thin > n_steps zero-length scan that never
+    advanced the state, both hid misconfiguration). The whole loop is one
+    XLA computation: no host round trips between steps.
     """
+    if thin < 1 or n_steps % thin != 0:
+        raise ValueError(f'n_steps ({n_steps}) must be a positive multiple '
+                         f'of thin ({thin})')
+
     def body(st, _):
-        st2 = st
-        for _ in range(thin):
-            st2 = step(logpost_fn, st2, a)
+        # inner scan, not a Python unroll: unrolling duplicates the full
+        # likelihood subgraph 2*thin times in the traced program, and
+        # trace/lowering time dominates sampler wall-clock (CLAUDE.md)
+        st2 = lax.scan(lambda s, _: (step(logpost_fn, s, a), None),
+                       st, None, length=thin)[0]
         return st2, (st2.coords, st2.log_prob, st2.aux)
 
     return lax.scan(body, state, None, length=n_steps // thin)

@@ -205,6 +205,31 @@ def _freeze(st):
     return st._replace(log_eps=st.log_eps_avg, n_accepted=jnp.zeros(()))
 
 
+def staged_segment(step_fn: Callable, state: HMCState, i0, length: int,
+                   n_warmup: int, eps0: float
+                   ) -> Tuple[HMCState, Tuple[jnp.ndarray, ...]]:
+    """Shared staged-warmup scan for HMC and NUTS chain segments.
+
+    `step_fn(st, adapt, mu_offset)` advances one step; the warmup staging
+    (eps -> diag metric -> dense metric -> freeze, fired on the GLOBAL step
+    index so segmented runs are bit-identical to monolithic ones) lives
+    here once — it previously existed verbatim in both samplers, where a
+    schedule change applied to one would silently diverge the other."""
+    import math
+    mu_offset = math.log(10.0 * eps0)
+    w1 = n_warmup // 3
+    w2 = n_warmup // 3
+
+    def body(st, i):
+        st = lax.cond(i == w1, _diag_reset, lambda s: s, st)
+        st = lax.cond(i == w1 + w2, _dense_reset, lambda s: s, st)
+        st = lax.cond(i == n_warmup, _freeze, lambda s: s, st)
+        st = step_fn(st, i < n_warmup, mu_offset)
+        return st, (st.q, st.lnp, st.aux)
+
+    return lax.scan(body, state, i0 + jnp.arange(length))
+
+
 def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
                   n_warmup: int, n_leapfrog: int = 16, eps0: float = 0.1,
                   target_accept: float = 0.8
@@ -228,20 +253,10 @@ def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
     (bounded dispatches; see runner.run_hmc_mcmc) is bit-identical to one
     monolithic dispatch.
     """
-    import math
-    mu_offset = math.log(10.0 * eps0)
-    w1 = n_warmup // 3
-    w2 = n_warmup // 3
-
-    def body(st, i):
-        st = lax.cond(i == w1, _diag_reset, lambda s: s, st)
-        st = lax.cond(i == w1 + w2, _dense_reset, lambda s: s, st)
-        st = lax.cond(i == n_warmup, _freeze, lambda s: s, st)
-        st = _hmc_step(value_grad, st, n_leapfrog, i < n_warmup,
-                       target_accept, mu_offset=mu_offset)
-        return st, (st.q, st.lnp, st.aux)
-
-    return lax.scan(body, state, i0 + jnp.arange(length))
+    return staged_segment(
+        lambda st, adapt, mu: _hmc_step(value_grad, st, n_leapfrog, adapt,
+                                        target_accept, mu_offset=mu),
+        state, i0, length, n_warmup, eps0)
 
 
 def init_chains(logpost_y: Callable, y0: jnp.ndarray, keys: jax.Array,

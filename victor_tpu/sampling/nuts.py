@@ -39,8 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hmc import (HMCState, _adapt_and_pack, _diag_reset, _dense_reset,
-                  _freeze, _mv, init_state)
+from .hmc import (HMCState, _adapt_and_pack, _mv, init_state,
+                  staged_segment)
 
 _DIVERGENCE = 1000.0     # Stan's Delta_max energy-error cutoff
 
@@ -261,26 +261,16 @@ def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
     """Advance one NUTS chain `length` steps from global index i0, with the
     same staged warmup (eps -> diag metric -> dense metric -> freeze) and
     segmentation semantics as hmc.chain_segment."""
-    import math
     if not 1 <= max_depth <= 16:
         # _popcount/_trailing_ones index 16 bits; beyond that the U-turn
         # bookkeeping would silently corrupt (and 2^16 leapfrogs per step is
         # already far past any sane trajectory)
         from ..errors import InputError
         raise InputError(f'NUTS max_depth must be in [1, 16], got {max_depth}')
-    mu_offset = math.log(10.0 * eps0)
-    w1 = n_warmup // 3
-    w2 = n_warmup // 3
-
-    def body(st, i):
-        st = lax.cond(i == w1, _diag_reset, lambda s: s, st)
-        st = lax.cond(i == w1 + w2, _dense_reset, lambda s: s, st)
-        st = lax.cond(i == n_warmup, _freeze, lambda s: s, st)
-        st = _nuts_step(value_grad, st, max_depth, i < n_warmup,
-                        target_accept, mu_offset=mu_offset)
-        return st, (st.q, st.lnp, st.aux)
-
-    return lax.scan(body, state, i0 + jnp.arange(length))
+    return staged_segment(
+        lambda st, adapt, mu: _nuts_step(value_grad, st, max_depth, adapt,
+                                         target_accept, mu_offset=mu),
+        state, i0, length, n_warmup, eps0)
 
 
 def run_segment(logpost_y: Callable, states: HMCState, i0, length: int,

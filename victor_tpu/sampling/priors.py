@@ -44,6 +44,8 @@ class SampledParam:
     ref_dist: str = 'prior'
     ref_loc: float = 0.0
     ref_scale: float = 1.0
+    ref_lo: float = 0.0       # min/max for uniform/loguniform refs
+    ref_hi: float = 0.0
     proposal: Optional[float] = None
     latex: Optional[str] = None
 
@@ -121,8 +123,21 @@ class ParamSpace:
                 ref = {}
             if isinstance(ref, (int, float)):   # scalar ref, incl. `ref: 0`
                 ref = {'dist': 'norm', 'loc': float(ref), 'scale': 0.0}
+            # a ref block without an explicit dist means norm in cobaya
+            # ({loc, scale} shorthand); an empty/missing ref falls back to
+            # prior draws. Unsupported dists error loudly — silently
+            # scattering starts over the whole prior hid misconfiguration.
+            ref_dist = ref.get('dist', 'norm' if ref else 'prior')
+            if ref_dist not in ('prior', 'norm', 'uniform', 'loguniform',
+                                'halfnorm'):
+                raise InputError(
+                    f"Unsupported ref dist '{ref_dist}' for '{name}'")
+            ref_lo = ref_hi = 0.0
+            if ref_dist in ('uniform', 'loguniform'):
+                ref_lo = float(ref['min'] if 'min' in ref else ref['a'])
+                ref_hi = float(ref['max'] if 'max' in ref else ref['b'])
             ref_scale = float(ref.get('scale', 1.0))
-            if ref.get('dist') == 'norm' and ref_scale == 0.0:
+            if ref_dist in ('norm', 'halfnorm') and ref_scale == 0.0:
                 # zero start scatter would collapse the walker ensemble (see
                 # module docstring); proposal width, else 1% of prior scale
                 if spec.get('proposal'):
@@ -133,9 +148,10 @@ class ParamSpace:
                     ref_scale = 0.01 * hi
             self.sampled.append(SampledParam(
                 name=name, dist=dist, lo=lo, hi=hi,
-                ref_dist=ref.get('dist', 'prior'),
+                ref_dist=ref_dist,
                 ref_loc=float(ref.get('loc', 0.0)),
                 ref_scale=ref_scale,
+                ref_lo=ref_lo, ref_hi=ref_hi,
                 proposal=spec.get('proposal'),
                 latex=spec.get('latex'),
             ))
@@ -209,6 +225,16 @@ class ParamSpace:
         for i, p in enumerate(self.sampled):
             if p.ref_dist == 'norm':
                 col = p.ref_loc + p.ref_scale * jax.random.normal(keys[i], (n,))
+            elif p.ref_dist == 'uniform':
+                col = jax.random.uniform(keys[i], (n,),
+                                         minval=p.ref_lo, maxval=p.ref_hi)
+            elif p.ref_dist == 'loguniform':
+                col = jnp.exp(jax.random.uniform(
+                    keys[i], (n,), minval=math.log(p.ref_lo),
+                    maxval=math.log(p.ref_hi)))
+            elif p.ref_dist == 'halfnorm':
+                col = p.ref_loc \
+                    + p.ref_scale * jnp.abs(jax.random.normal(keys[i], (n,)))
             elif p.dist == 'uniform':
                 col = jax.random.uniform(keys[i], (n,), minval=p.lo, maxval=p.hi)
             elif p.dist == 'loguniform':
@@ -244,7 +270,10 @@ class ParamSpace:
                 u = jnp.clip(u, 1e-12, 1 - 1e-12)
                 cols.append(jnp.log(u) - jnp.log1p(-u))
             elif p.dist == 'halfnorm':
-                cols.append(jnp.log(jnp.maximum(x - p.lo, 1e-300)))
+                # dtype-safe floor: 1e-300 underflows to 0.0 in f32 (the TPU
+                # path), turning the guard into log(0) = -inf at x == p.lo
+                tiny = jnp.finfo(jnp.asarray(x).dtype).tiny
+                cols.append(jnp.log(jnp.maximum(x - p.lo, tiny)))
             else:
                 cols.append(x)
         return jnp.stack(cols, axis=-1)

@@ -259,10 +259,16 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
         i0 += length
         keep = length - max(min(n_warmup - (i0 - length), length), 0)
         if keep > 0:
+            q_keep = qs[:, length - keep:]
+            # record the THETA-space log-posterior: the sampler's lnp target
+            # includes the reparameterisation log-Jacobian (y-space), which
+            # would skew GetDist's -lnpost column against the physical
+            # coordinates and disagree with the SMC/ensemble exports
+            lnp_keep = lnps[:, length - keep:] \
+                - np.asarray(space.log_jacobian(q_keep))
             recs.append((
-                np.asarray(space.to_bounded(qs[:, length - keep:])
-                           ).transpose(1, 0, 2),
-                lnps[:, length - keep:].T,
+                np.asarray(space.to_bounded(q_keep)).transpose(1, 0, 2),
+                lnp_keep.T,
                 auxs[:, length - keep:].transpose(1, 0, 2)))
         if checkpoint:
             chain_io.save_hmc_checkpoint(

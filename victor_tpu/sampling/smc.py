@@ -67,7 +67,8 @@ class SMCResult:
                                 # observed seed-to-seed scatter
     logz_se_clt: float          # raw independent-weights CLT se (optimistic)
     betas: np.ndarray           # temperature ladder actually used (incl. 0, 1)
-    ess: np.ndarray             # pre-resampling ESS per stage
+    ess: np.ndarray             # pre-resampling ESS FRACTION (ESS/N, 0..1)
+                                # per stage — not an absolute sample count
     acceptance: np.ndarray      # mutation acceptance per stage
     elapsed_s: float
 
@@ -303,7 +304,7 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
         betas.append(beta_new)
         beta = beta_new
         _save_checkpoint()
-        log.info('SMC stage %d: beta=%.4f ESS=%.2f acc=%.2f logZ=%.3f',
+        log.info('SMC stage %d: beta=%.4f ESS/N=%.2f acc=%.2f logZ=%.3f',
                  len(betas) - 1, beta, ess, float(acc), logz)
         if beta >= 1.0:
             break
