@@ -365,6 +365,29 @@ class TestInputValidation:
         with pytest.raises(InputError, match='strictly increasing'):
             build_tables(cfg['model'], None)
 
+    def test_non_monotonic_dispersion_grid_raises(self, boss_config, tmp_path):
+        """The dispersion-template r grid gets the same guard as r: unsorted
+        grids otherwise feed np.interp (silent garbage) and the Bicubic2D
+        builder (raw scipy error)."""
+        import copy
+        import os
+        import h5py
+        from victor_tpu.io import build_tables
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = os.path.join(repo, boss_config['model']['input_model_data_file'])
+        with h5py.File(src) as f:
+            payload = {k: f[k][:] for k in f}
+        payload['rsv'] = payload['rsv'][::-1].copy()
+        fn = tmp_path / 'bad_disp.hdf5'
+        with h5py.File(fn, 'w') as f:
+            for k, v in payload.items():
+                f.create_dataset(k, data=v)
+        cfg = copy.deepcopy(boss_config)
+        cfg['model']['input_model_data_file'] = str(fn)
+        cfg['model']['dir'] = ''
+        with pytest.raises(InputError, match='strictly increasing'):
+            build_tables(cfg['model'], None)
+
 
 class TestBetaNoneParity:
     def test_beta_none_raises_like_reference(self, fit):

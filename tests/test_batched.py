@@ -55,3 +55,37 @@ def test_base_params_override(bundle):
                           base_params={'sigma_v': 380.0, 'epsilon': 1.0})
     lnl, chi2 = scalar(jnp.asarray([0.47, 0.37]))
     assert abs(float(chi2) - 65.01) < 0.01
+
+
+def test_missing_beta_raises_input_error(bundle):
+    """The reference raises 'Need to supply a valid value of beta' when the
+    data/covariance are beta-dependent (victor/ccf_fit.py:389); a silent
+    0.0 default would extrapolate far off the grid and return
+    garbage-but-finite likelihoods."""
+    from victor_tpu.errors import InputError
+    from victor_tpu.likelihood.core import log_likelihood
+    params = {'fsigma8': jnp.asarray(0.47), 'sigma_v': jnp.asarray(380.0),
+              'epsilon': jnp.asarray(1.0)}
+    with pytest.raises(InputError, match='beta'):
+        log_likelihood(bundle.tables, bundle.spec, bundle.theory_opts,
+                       bundle.fit_opts, params)
+
+
+def test_cov_interp_gradient_finite_outside_grid():
+    """Covariance interpolation clamps beta outside the grid; the clamp
+    must also have a clean (zero) gradient — the 0/0 at low == n-1 used
+    to poison reverse-mode with NaN while the primal stayed finite."""
+    from victor_tpu.likelihood.core import _interp_matrix_stack
+    grid = jnp.asarray([0.3, 0.4, 0.5])
+    stack = jnp.stack([i * jnp.eye(2) for i in (1.0, 2.0, 3.0)])
+
+    def f(b):
+        return _interp_matrix_stack(grid, stack, b).sum()
+
+    for beta, expect in [(0.55, 6.0), (0.25, 2.0), (0.5, 6.0), (0.45, None)]:
+        val, g = jax.value_and_grad(f)(jnp.asarray(beta))
+        assert np.isfinite(float(val)) and np.isfinite(float(g)), beta
+        if expect is not None:
+            np.testing.assert_allclose(float(val), expect, rtol=1e-12)
+        if beta in (0.55, 0.25):
+            assert float(g) == 0.0          # clamped outside the grid

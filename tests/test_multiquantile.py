@@ -53,6 +53,17 @@ def joint_cfg(boss_config, tmp_path_factory, single_bundle):
     }
 
 
+class TestJointValidation:
+    def test_quantile_without_data_block_raises(self, joint_cfg):
+        """A data-less quantile used to inflate D from the model r grid and
+        die later inside jit with an opaque NoneType error."""
+        from victor_tpu.errors import InputError
+        cfg = copy.deepcopy(joint_cfg)
+        del cfg['quantiles'][1]['data']
+        with pytest.raises(InputError, match='data'):
+            build_joint_tables(cfg)
+
+
 class TestJointFit:
     def test_blockdiag_equals_sum(self, joint_cfg, single_bundle):
         jb = build_joint_tables(joint_cfg)

@@ -389,11 +389,21 @@ def build_tables(model: dict, data: Optional[dict] = None,
                 raise InputError(f'Key {key} not found in input model data file')
         r_sv = np.asarray(input_data[template_keys[0]], dtype=np.float64)
         sv = np.asarray(input_data[template_keys[-1]], dtype=np.float64)
+        # same hazard as the r grid above: an unsorted grid from the input
+        # file feeds np.interp (silent garbage) and the Bicubic2D builder
+        # (raw scipy error) — validate with a named error instead
+        if r_sv.ndim != 1 or len(r_sv) < 2 or np.any(np.diff(r_sv) <= 0):
+            raise InputError('dispersion template radial grid must be a '
+                             'strictly increasing 1D vector')
         if len(template_keys) == 2:
             mu_sv = np.linspace(0, 1)
             sv = (np.ones((len(mu_sv), len(r_sv))) * sv).T
         else:
             mu_sv = np.asarray(input_data[template_keys[1]], dtype=np.float64)
+            if mu_sv.ndim != 1 or len(mu_sv) < 2 \
+                    or np.any(np.diff(mu_sv) <= 0):
+                raise InputError('dispersion template mu grid must be a '
+                                 'strictly increasing 1D vector')
         if sv.shape != (len(r_sv), len(mu_sv)):
             raise InputError(f'Dispersion template shape {sv.shape} does not match '
                              f'expected ({len(r_sv), len(mu_sv)})')

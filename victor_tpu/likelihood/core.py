@@ -47,7 +47,12 @@ def _interp_matrix_stack(grid, stack, beta):
     k = jnp.searchsorted(grid, beta, side='left', method='compare_all')  # first index with grid >= beta
     low = jnp.clip(k - 1, 0, n - 1)
     is_exact = grid[jnp.clip(k, 0, n - 1)] == beta
-    t = (beta - grid[low]) / (grid[n - 1] - grid[low])
+    # double-where the denominator: low == n-1 (beta above the grid) makes
+    # it zero, and although the where-clamps below fix the primal, the
+    # 0/0 -> 0*inf path poisons reverse-mode gradients with NaN (HMC
+    # momenta / MAP steps silently NaN while the likelihood stays finite)
+    denom = grid[n - 1] - grid[low]
+    t = (beta - grid[low]) / jnp.where(denom == 0, 1.0, denom)
     out = (1.0 - t) * stack[low] + t * stack[n - 1]
     out = jnp.where(is_exact, stack[jnp.clip(k, 0, n - 1)], out)
     out = jnp.where(beta < grid[0], stack[0], out)
@@ -70,6 +75,14 @@ def interpolated_precision(tables, spec: TableSpec, beta):
 def chi_squared(tables, spec: TableSpec, opts: TheoryOptions, params):
     """(theory - data)^T C^-1 (theory - data); also returns the covariance used
     (victor/ccf_fit.py:325-354)."""
+    if 'beta' not in params and not (spec.fixed_data and spec.fixed_covmat):
+        # trace-time check (params is a Python dict): the reference raises
+        # here too (ccf_fit.py:389 'Need to supply a valid value of beta');
+        # silently interpolating the beta-dependent data/covariance at the
+        # 0.0 default would extrapolate far off the grid and return
+        # garbage-but-finite likelihoods
+        raise InputError('Need to supply a value of beta to interpolate the '
+                         'beta-dependent data vector / covariance')
     tv = theory_vector(tables, spec, opts, params)
     beta = params.get('beta', jnp.asarray(0.0))
     dv = multipole_datavector(tables, spec, beta)

@@ -71,16 +71,20 @@ def build_joint_tables(joint: Dict, base_dir: str = '') -> JointBundle:
     if not quantiles:
         raise InputError('joint fit requires a non-empty quantiles: list')
     bundles = []
-    for q in quantiles:
+    for qi, q in enumerate(quantiles):
         model = dict(q['model'])
         data = dict(q.get('data') or {})
+        if not data:
+            # a data-less quantile would inflate D from the model r grid and
+            # die later inside jit with an opaque NoneType error
+            raise InputError(f'joint quantile {qi} needs a data: block '
+                             '(its slice of the stacked data vector)')
         model.setdefault('dir', base_dir)
-        if data:
-            data.setdefault('dir', base_dir)
+        data.setdefault('dir', base_dir)
         if 'covariance_matrix' in data:
             raise InputError('quantile data blocks must not carry their own '
                              'covariance_matrix; supply the joint one')
-        bundles.append(build_tables(model, data or None))
+        bundles.append(build_tables(model, data))
 
     D = sum(b.spec.n_s * len(b.spec.poles_s) for b in bundles)
 
@@ -154,6 +158,9 @@ def joint_datavector(jb: JointBundle, params: Dict) -> jnp.ndarray:
     parts = []
     for i, b in enumerate(jb.bundles):
         p = quantile_params(params, i)
+        if 'beta' not in p and not b.spec.fixed_data:
+            raise InputError(f'Quantile {i} has a beta-dependent data vector '
+                             f'but neither beta nor beta__q{i} was supplied')
         beta = p.get('beta', jnp.asarray(0.0))
         parts.append(multipole_datavector(b.tables, b.spec, beta))
     return jnp.concatenate(parts)
@@ -175,6 +182,12 @@ def joint_chi_squared(jb: JointBundle, params: Dict,
                       opts_kw: Optional[Dict] = None):
     tv = joint_theory_vector(jb, params, opts_kw)
     dv = joint_datavector(jb, params)
+    if 'beta' not in params and not jb.fixed_covmat:
+        # the joint covariance interpolates on the GLOBAL beta (per-quantile
+        # beta__q<i> overrides do not apply to the shared matrix); silently
+        # blending at the 0.0 default would be garbage-but-finite
+        raise InputError('Need a global beta to interpolate the '
+                         'beta-dependent joint covariance')
     beta = params.get('beta', jnp.asarray(0.0))
     cov = joint_covariance(jb, beta)
     icov = joint_precision(jb, beta)
@@ -217,16 +230,14 @@ def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
     bounds peak memory like batched.make_batched_loglike — a joint fit's
     per-eval working set is n_quantiles times the single-dataset one, so
     large unchunked batches would exhaust device memory."""
-    from .batched import chunked_vmap
+    from .batched import chunked_vmap, theta_to_params
 
     names = tuple(param_names)
     base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
 
     def fn(jb_arg, theta):
         def scalar(t):
-            params = dict(base)
-            for i, name in enumerate(names):
-                params[name] = t[..., i]
+            params = theta_to_params(t, names, base)
             return joint_log_likelihood(jb_arg, params, opts_kw, fit_kw)
         if chunk and theta.shape[0] > chunk:
             return chunked_vmap(scalar, chunk)(theta)
