@@ -399,3 +399,38 @@ class TestBetaNoneParity:
             fit.get_interpolated_redshift_multipoles(None)
         with pytest.raises(InputError):
             fit.multipole_datavector(None)
+        # beta-dependent covariance: same contract (ccf_fit.py:213-214);
+        # beta=0.0 would silently clamp to the boundary covmat
+        with pytest.raises(InputError):
+            fit.get_interpolated_covariance(None)
+        with pytest.raises(InputError):
+            fit.get_interpolated_precision(None)
+        with pytest.raises(InputError):
+            fit.correlation_matrix(None)
+
+    def test_delta_profiles_linear_bias_needs_beta(self, fit):
+        """linear_bias delta profiles interpolate the beta-grid multipoles;
+        a missing beta must raise, not silently extrapolate at 0.0."""
+        import jax.numpy as jnp
+        from victor_tpu.models.ccf_theory import delta_profiles
+        b = fit.bundle
+        opts = b.theory_opts.replace(matter_model='linear_bias')
+        with pytest.raises(InputError, match='beta'):
+            delta_profiles(b.tables, b.spec, opts,
+                           {'bias': jnp.asarray(1.9)})
+
+    def test_pdf_form_validated(self):
+        from victor_tpu.config import TheoryOptions
+        with pytest.raises(ValueError, match='pdf_form'):
+            TheoryOptions(pdf_form='exponential')
+
+    def test_jit_fn_cache_is_per_instance(self, fit):
+        """The jit-fn caches must live on the instance, not in a class-level
+        lru keyed on self (which pinned instances + their device tables)."""
+        import functools
+        fit.chi_squared({'fsigma8': 0.47, 'beta': 0.37,
+                         'sigma_v': 380.0, 'epsilon': 1.0})
+        assert '_jit_fns' in fit.__dict__
+        assert not any(isinstance(getattr(type(fit), n, None),
+                                  functools._lru_cache_wrapper)
+                       for n in ('_chi2_fn', '_loglike_fn', '_xi_grid_fn'))

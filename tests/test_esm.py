@@ -209,6 +209,27 @@ class TestESPClassWrapper:
         pk = esp.power(np.logspace(-3, 0, 10), Z_EFF)
         assert np.all(pk > 0)
 
+    def test_returned_profiles_are_snapshots(self):
+        """A profile handed out for one z must not change when the instance
+        is later queried at another z (the reference returns snapshot scipy
+        splines; aliasing mutable instance state silently rewrote earlier
+        profiles)."""
+        from victor_tpu import ExcursionSetProfile
+        esp = ExcursionSetProfile(h=0.675, omega_m=0.31, omega_b=0.048,
+                                  z=Z_EFF, use_eisenstein_hu=True)
+        esp.set_normalisation(0.81)
+        r = np.linspace(1.0, 100.0, 20)
+        args = (-1.544, -4.228, 7.973, 0.467)
+        p1 = esp.model_enclosed_density_profile(r, 0.5, *args)
+        v1 = p1(r)
+        evo1 = esp.density_evolution(0.5, *args, r_max=float(r.max()))
+        e1 = evo1(r)
+        # later calls at a different z / r_max must not back-react
+        esp.model_enclosed_density_profile(r, 0.9, *args)
+        esp.density_evolution(0.9, *args, r_max=50.0)
+        np.testing.assert_array_equal(p1(r), v1)
+        np.testing.assert_array_equal(evo1(r), e1)
+
 
 class TestESMGradients:
     def test_ad_matches_finite_differences(self, esm_bundle):

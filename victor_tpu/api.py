@@ -81,25 +81,38 @@ class CCFModel:
     # NOTE: the tables pytree is always a jit *argument*, never a closure
     # constant — constant-embedding makes MLIR lowering read every array back
     # from the device (minutes over a remote-device tunnel).
-    @functools.lru_cache(maxsize=64)
+    # Caches are PER-INSTANCE dicts, not functools.lru_cache on the methods:
+    # a class-level lru keyed on (self, opts) pins up to 64 instances — and
+    # their device-resident table pytrees — alive after the caller drops
+    # them (a per-mock CCFFit loop would leak HBM).
+    def _memo(self, key, build):
+        cache = self.__dict__.setdefault('_jit_fns', {})
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
     def _xi_points_fn(self, opts):
-        spec = self.bundle.spec
-        jfn = jax.jit(lambda t, S, Mu, p:
-                      _th.theory_xi_points(t, spec, opts, p, S, Mu))
-        return functools.partial(jfn, self.bundle.tables)
+        def build():
+            spec = self.bundle.spec
+            jfn = jax.jit(lambda t, S, Mu, p:
+                          _th.theory_xi_points(t, spec, opts, p, S, Mu))
+            return functools.partial(jfn, self.bundle.tables)
+        return self._memo(('xi_points', opts), build)
 
-    @functools.lru_cache(maxsize=64)
     def _xi_grid_fn(self, opts):
-        spec = self.bundle.spec
-        jfn = jax.jit(lambda t, s, mu, p:
-                      _th.theory_xi_grid(t, spec, opts, p, s=s, mu=mu))
-        return functools.partial(jfn, self.bundle.tables)
+        def build():
+            spec = self.bundle.spec
+            jfn = jax.jit(lambda t, s, mu, p:
+                          _th.theory_xi_grid(t, spec, opts, p, s=s, mu=mu))
+            return functools.partial(jfn, self.bundle.tables)
+        return self._memo(('xi_grid', opts), build)
 
-    @functools.lru_cache(maxsize=16)
     def _proj_matrix(self, poles: tuple):
-        mu = np.asarray(self.bundle.tables.mu_grid)
-        return jnp.asarray(ops.multipole_projection_matrix(
-            mu, list(poles), npts=200, even=True))
+        def build():
+            mu = np.asarray(self.bundle.tables.mu_grid)
+            return jnp.asarray(ops.multipole_projection_matrix(
+                mu, list(poles), npts=200, even=True))
+        return self._memo(('proj', poles), build)
 
     def _opts(self, kwargs) -> TheoryOptions:
         opts_kw, _ = _split_kwargs(kwargs)
@@ -260,17 +273,19 @@ class CCFFit(CCFModel):
         self.poles_s = list(bundle.spec.poles_s)
         self.fixed_data = bundle.spec.fixed_data
 
-    @functools.lru_cache(maxsize=64)
     def _loglike_fn(self, opts, fit):
-        spec = self.bundle.spec
-        jfn = jax.jit(lambda t, p: _lk.log_likelihood(t, spec, opts, fit, p))
-        return functools.partial(jfn, self.bundle.tables)
+        def build():
+            spec = self.bundle.spec
+            jfn = jax.jit(lambda t, p: _lk.log_likelihood(t, spec, opts, fit, p))
+            return functools.partial(jfn, self.bundle.tables)
+        return self._memo(('loglike', opts, fit), build)
 
-    @functools.lru_cache(maxsize=64)
     def _chi2_fn(self, opts):
-        spec = self.bundle.spec
-        jfn = jax.jit(lambda t, p: _lk.chi_squared(t, spec, opts, p))
-        return functools.partial(jfn, self.bundle.tables)
+        def build():
+            spec = self.bundle.spec
+            jfn = jax.jit(lambda t, p: _lk.chi_squared(t, spec, opts, p))
+            return functools.partial(jfn, self.bundle.tables)
+        return self._memo(('chi2', opts), build)
 
     # ------------------------------------------------------------------
     def get_interpolated_redshift_multipoles(self, beta=None) -> np.ndarray:
@@ -290,11 +305,17 @@ class CCFFit(CCFModel):
 
     def get_interpolated_covariance(self, beta=None) -> np.ndarray:
         t, spec = self.bundle.tables, self.bundle.spec
+        if beta is None and not spec.fixed_covmat:
+            # reference ccf_fit.py:213-214; beta=0.0 would silently clamp
+            # to the boundary covmat, giving wrong errors/correlations
+            raise InputError('Need to supply a valid value of beta for interpolation')
         b = jnp.asarray(0.0 if beta is None else beta)
         return np.asarray(_lk.interpolated_covariance(t, spec, b))
 
     def get_interpolated_precision(self, beta=None) -> np.ndarray:
         t, spec = self.bundle.tables, self.bundle.spec
+        if beta is None and not spec.fixed_covmat:
+            raise InputError('Need to supply a valid value of beta for interpolation')
         b = jnp.asarray(0.0 if beta is None else beta)
         return np.asarray(_lk.interpolated_precision(t, spec, b))
 

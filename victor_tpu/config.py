@@ -68,16 +68,18 @@ class TheoryOptions:
         for field, allowed in (
                 ('dispersion_interior', ('chebyshev', 'exact')),
                 ('dispersion_final', ('exact', 'fast', 'fused')),
-                ('streaming_eval', ('exact', 'fast'))):
+                ('streaming_eval', ('exact', 'fast')),
+                # the reference parses velocity_pdf.form but never reads it
+                # (ccf_model.py:94 is its only occurrence) — the gaussian
+                # PDF is hard-coded in both codebases, so any other value
+                # must raise rather than silently run gaussian
+                ('pdf_form', ('gaussian',))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(
                     f'{field}={v!r}: must be one of {allowed}')
 
     def replace(self, **kw):
-        # accept the reference's per-call kwarg vocabulary
-        mapping = {'velocity_independent_of_AP': 'velocity_independent_of_AP'}
-        kw = {mapping.get(k, k): v for k, v in kw.items()}
         return dataclasses.replace(self, **kw)
 
 

@@ -69,6 +69,12 @@ def delta_profiles(tables, spec: TableSpec, opts: TheoryOptions, params):
                 tables.delta_r100, tables.Delta_r100)
     if opts.matter_model == 'linear_bias':
         bias = params.get('bias', tables.bias_default)
+        if 'beta' not in params and not spec.fixed_real_input:
+            # reference raises through get_interpolated_real_multipoles
+            # (ccf_model.py:321-322); a 0.0 default would silently
+            # extrapolate the beta-interpolated multipoles off the grid
+            raise InputError('Need to supply a valid value of beta for '
+                             'interpolation')
         beta = params.get('beta', jnp.asarray(0.0))
         y0 = real_multipoles(tables, spec, beta)[0]
         return (_mm(tables.lb_delta_op, y0) / bias, _mm(tables.lb_Delta_op, y0) / bias,

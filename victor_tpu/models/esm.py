@@ -29,6 +29,7 @@ excursion_set_profile.py:460 and `eulerian_model_profiles` undefined at :408).
 
 from __future__ import annotations
 
+import types
 
 import jax
 import jax.numpy as jnp
@@ -270,8 +271,13 @@ def esm_velocity_terms(tables, spec, opts, params, growth_term, iaH_true,
     """Nonlinear mean velocity from the ESM evolution term
     (victor/ccf_model.py:460-482). `growth_term` is f (params['f'])."""
     r_v, r100 = tables.r_v, tables.rgrid100
-    ld_rv = density_evolution_at(tables, spec, params, r_v)
-    ld_100 = density_evolution_at(tables, spec, params, r100)
+    # one density_evolution_at call over the concatenated query points: the
+    # evolution term is pointwise in the queries, and a second call would
+    # re-trace the whole ESM state / 1-halo / cleanup pipeline (trace time
+    # dominates sampler wall-clock — CLAUDE.md)
+    ld = density_evolution_at(tables, spec, params,
+                              jnp.concatenate([r_v, r100]))
+    ld_rv, ld_100 = ld[:r_v.shape[0]], ld[r_v.shape[0]:]
     if not opts.empirical_corr:
         vr = -growth_term * r_v * ld_rv / (3.0 * iaH_true * (1.0 + delta_rv))
     else:
@@ -309,7 +315,6 @@ class ExcursionSetProfile:
     def __init__(self, h, omega_m, omega_b, z=0, ns=0.965, omega_k=0,
                  mnu=0.06, npts=200, use_eisenstein_hu=True, camb_accuracy=1,
                  pk_table=None):
-        import types
         import numpy as np
         from .. import ops as _ops
 
@@ -333,7 +338,16 @@ class ExcursionSetProfile:
                     k=3)(k))
             tbl['esm_s80'] = jnp.asarray(pk_table['sigma8_0'])
             tbl['esm_s8z'] = jnp.asarray(pk_table['sigma8_z'])
-        else:
+        elif not use_eh:
+            # the reference prints a fallback warning when camb is absent
+            # (excursion_set_profile.py:63-70); here the CAMB path is a
+            # precomputed pk_table (tools/make_camb_table.py) — falling back
+            # silently would hand out percent-level-different P(k)
+            from ..utils.logging import get_logger
+            get_logger('esm').warning(
+                'use_eisenstein_hu=False requires pk_table= (generate one '
+                'with tools/make_camb_table.py); falling back to the '
+                'Eisenstein-Hu fitting formula')
             use_eh = True
         self._tables = types.SimpleNamespace(**tbl)
         self._spec = types.SimpleNamespace(esm_use_eh=use_eh)
@@ -386,9 +400,14 @@ class ExcursionSetProfile:
     def model_enclosed_density_profile(self, r, z, b10, b01, Rp, Rx,
                                        delta_c=1.686):
         import numpy as np
-        self._tables.z_eff = jnp.asarray(float(z))
+        # snapshot the tables with this call's z: the returned callable must
+        # not alias mutable instance state (the reference returns snapshot
+        # scipy splines — a later call with a different z must not change
+        # profiles handed out earlier)
+        t = types.SimpleNamespace(**{**vars(self._tables),
+                                     'z_eff': jnp.asarray(float(z))})
         params = self._params(b10, b01, Rp, Rx, delta_c)
-        t, spec = self._tables, self._spec
+        spec = self._spec
         r = np.atleast_1d(np.asarray(r, dtype=float))
 
         class _Profile:
@@ -417,10 +436,14 @@ class ExcursionSetProfile:
     def density_evolution(self, z, b10, b01, Rp, Rx, delta_c=1.686,
                           r_max=120, pairwise=False):
         import numpy as np
-        self._tables.z_eff = jnp.asarray(float(z))
-        self._tables.esm_x50 = jnp.asarray(np.linspace(0.1, r_max, 50))
+        # snapshot (see model_enclosed_density_profile): the returned fn
+        # must keep THIS call's z and x-grid
+        t = types.SimpleNamespace(
+            **{**vars(self._tables),
+               'z_eff': jnp.asarray(float(z)),
+               'esm_x50': jnp.asarray(np.linspace(0.1, r_max, 50))})
         params = self._params(b10, b01, Rp, Rx, delta_c)
-        t, spec = self._tables, self._spec
+        spec = self._spec
 
         def fn(q):
             return np.asarray(density_evolution_at(

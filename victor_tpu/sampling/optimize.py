@@ -65,6 +65,22 @@ class MAPResult:
                 for name, val in self.params.items()}
 
 
+def _damped_newton_step(obj, y):
+    """One Levenberg-damped Newton step on scalar objective obj(y).
+
+    Rejects non-finite or non-improving steps (returns y unchanged). Shared
+    by find_map's polish and profile_scan's per-grid-point refinement so the
+    damping floor / acceptance rule cannot silently diverge between them."""
+    g = jax.grad(obj)(y)
+    H = jax.hessian(obj)(y)
+    # Levenberg damping keeps the step well-posed when H is not PD
+    lam = 1e-6 * jnp.maximum(jnp.trace(H) / y.shape[0], 1.0)
+    dy = jnp.linalg.solve(H + lam * jnp.eye(y.shape[0]), g)
+    y_new = y - dy
+    ok = jnp.isfinite(y_new).all() & (obj(y_new) < obj(y))
+    return jnp.where(ok, y_new, y)
+
+
 def _make_objectives(bundle, space: ParamSpace, opts_kw, fit_kw):
     """(tables_arg, lnpost(theta), neg-lnpost(y), (lnlike, chi2)(theta),
     cache_id) for a target `bundle` — CCFModelBundle, JointBundle, or a
@@ -142,18 +158,8 @@ def find_map(bundle, params_block: Dict,
 
         fns['adam'] = jax.jit(adam_run)
 
-        def newton_step(tbl, y):
-            g = jax.grad(lambda yy: neg_y(tbl, yy))(y)
-            H = jax.hessian(lambda yy: neg_y(tbl, yy))(y)
-            # Levenberg damping keeps the step well-posed when H is not PD
-            lam = 1e-6 * jnp.maximum(jnp.trace(H) / y.shape[0], 1.0)
-            dy = jnp.linalg.solve(H + lam * jnp.eye(y.shape[0]), g)
-            y_new = y - dy
-            better = neg_y(tbl, y_new) < neg_y(tbl, y)
-            ok = jnp.isfinite(y_new).all() & better
-            return jnp.where(ok, y_new, y)
-
-        fns['newton'] = jax.jit(newton_step)
+        fns['newton'] = jax.jit(
+            lambda tbl, y: _damped_newton_step(lambda yy: neg_y(tbl, yy), y))
         fns['laplace'] = jax.jit(lambda tbl, th: (
             jax.hessian(lambda t: -lnpost_theta(tbl, t))(th),
             jax.grad(lambda t: lnpost_theta(tbl, t))(th)))
@@ -462,16 +468,10 @@ def profile_scan(bundle, params_block: Dict, scan_names,
                                      None, length=adam_steps)
 
             if newton_steps:      # hessian trace is the compile hog: skip at 0
-                def newton(y, _):
-                    gr = jax.grad(lambda yy: neg_y(tbl, yy, g))(y)
-                    H = jax.hessian(lambda yy: neg_y(tbl, yy, g))(y)
-                    lam = 1e-6 * jnp.maximum(jnp.trace(H) / y.shape[0], 1.0)
-                    dy = jnp.linalg.solve(H + lam * jnp.eye(y.shape[0]), gr)
-                    y_new = y - dy
-                    ok = jnp.isfinite(y_new).all() & \
-                        (neg_y(tbl, y_new, g) < neg_y(tbl, y, g))
-                    return jnp.where(ok, y_new, y), None
-                y, _ = jax.lax.scan(newton, y, None, length=newton_steps)
+                y, _ = jax.lax.scan(
+                    lambda yc, _: (_damped_newton_step(
+                        lambda yy: neg_y(tbl, yy, g), yc), None),
+                    y, None, length=newton_steps)
 
             theta_free = fspace.to_bounded(y)
             lnl, aux = loglike(tbl, params_at(theta_free, g))
