@@ -22,6 +22,12 @@ sys.path.insert(0, REPO)
 
 REFERENCE_EVALS_PER_SEC = 11.8   # BASELINE.md, measured on this machine
 
+import threading                                             # noqa: E402
+_DONE = threading.Event()   # set once a terminal JSON line has been printed:
+                            # the watchdog must never re-exec after that (a
+                            # near-boundary fire would emit a SECOND line,
+                            # breaking the one-JSON-line contract)
+
 
 def main():
     import jax
@@ -58,8 +64,13 @@ def main():
     if chi2_err > 0.2:
         print(json.dumps({'metric': 'likelihood_evals_per_sec', 'value': 0.0,
                           'unit': 'evals/s', 'vs_baseline': 0.0,
-                          'error': f'chi2 parity failure: {float(chi2[0]):.4f}'}))
-        return
+                          'error': f'chi2 parity failure: {float(chi2[0]):.4f}'}),
+              flush=True)
+        _DONE.set()
+        # exit NONZERO: this is the regression this gate exists to catch
+        # (lost precision pins read chi2 ~66.3 — CLAUDE.md rule 6); exiting 0
+        # would let CI/automation treat the run as green
+        sys.exit(2)
 
     # batch of realistic parameter draws around the posterior
     rng = np.random.default_rng(0)
@@ -92,7 +103,8 @@ def main():
         'value': round(evals_per_sec, 1),
         'unit': 'evals/s',
         'vs_baseline': round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
-    }))
+    }), flush=True)
+    _DONE.set()
 
 
 def _arm_watchdog(seconds: int):
@@ -108,9 +120,11 @@ def _arm_watchdog(seconds: int):
     thread acts regardless of what the main thread is stuck in: it re-execs
     a fresh process until VICTOR_BENCH_ATTEMPTS is exhausted, then exits
     nonzero with a machine-readable error record."""
-    import threading
-
     def _on_stall():
+        if _DONE.is_set():
+            # main() completed between the timer firing and cancel():
+            # never re-exec (or exit) after the result line was printed
+            return
         attempt = int(os.environ.get('VICTOR_BENCH_ATTEMPT', 1))
         max_attempts = int(os.environ.get('VICTOR_BENCH_ATTEMPTS', 3))
         sys.stderr.write(f'bench.py: watchdog fired after {seconds}s with '

@@ -53,13 +53,22 @@ class CCFLikelihood(_CobayaLikelihood):
         self.ccf_fit = CCFFit(model, data)
 
     def get_can_provide_params(self):
-        return ['chi2_ccf_correct', 'fsigma8']
+        # advertise fsigma8 only when calculate() actually provides it
+        # (ESM runs): claiming it unconditionally passes cobaya's dependency
+        # resolution and then fails at the first sampled point for
+        # template/linear_bias configs
+        if self.ccf_fit.bundle.theory_opts.matter_model == 'excursion_set':
+            return ['chi2_ccf_correct', 'fsigma8']
+        return ['chi2_ccf_correct']
 
     def calculate(self, state, want_derived=True, **params_values):
         lnlike, chisq = self.ccf_fit.log_likelihood(params_values)
         state['logp'] = lnlike
         derived = {'chi2_ccf_correct': chisq}
-        if self.ccf_fit.bundle.theory_opts.matter_model == 'excursion_set':
+        if want_derived and \
+                self.ccf_fit.bundle.theory_opts.matter_model == 'excursion_set':
+            # skipped when cobaya does not want derived values: esm_s8z is
+            # an eager cosmology-state computation + host sync per call
             from ..models.esm import esm_s8z
             import jax.numpy as jnp
             s8z = float(esm_s8z(self.ccf_fit.bundle.tables,

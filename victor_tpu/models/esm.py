@@ -34,7 +34,7 @@ import types
 import jax
 import jax.numpy as jnp
 
-from ..ops.special import hyp2f1_growth
+from ..ops.special import growth_factor_lcdm
 from ..ops.splines import (cubic_coeffs_dynamic, gradient_nonuniform,
                            ppoly_eval_dynamic)
 from .eisenstein_hu import (eisenstein_hu_params, power_eh, sigma80,
@@ -53,12 +53,10 @@ from ..ops.splines import matmul_highest as _mm_hi  # noqa: E402
 # ---------------------------------------------------------------------------
 
 def esm_growth_factor(z, omega_m, omega_l):
-    """D(z)/D(0) closed form (excursion_set_profile.py:106-119)."""
-    az = 1.0 / (1.0 + z)
-    num = az ** 2.5 * jnp.sqrt(omega_l + omega_m * az ** -3.0) * \
-        hyp2f1_growth(-(omega_l * az ** 3.0) / omega_m)
-    den = hyp2f1_growth(-omega_l / omega_m)
-    return num / den
+    """D(z)/D(0) closed form (excursion_set_profile.py:106-119) —
+    identical to ops.special.growth_factor_lcdm, kept as an alias so the
+    closed form lives in exactly one place."""
+    return growth_factor_lcdm(z, omega_m, omega_l)
 
 
 def esm_state(tables, spec, params):

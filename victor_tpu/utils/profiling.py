@@ -1,8 +1,9 @@
 """Tracing / profiling hooks (SURVEY §5: absent in the reference).
 
-- `timed(name)`: wall-clock phase timer with `block_until_ready` semantics —
-  use around init/compile/eval/sample phases; results accumulate in
-  `phase_times()` and log at DEBUG.
+- `timed(name)`: wall-clock phase timer — use around init/compile/eval/
+  sample phases; register device outputs via the yielded handle to force
+  completion (see docstring); results accumulate in `phase_times()` and
+  log at DEBUG.
 - `trace(logdir)`: context manager around `jax.profiler.trace` for a full
   device trace viewable in TensorBoard/Perfetto.
 - `throughput(fn, args, reps)`: compile-excluded evals/sec measurement, the
@@ -28,17 +29,26 @@ _COUNTS: Dict[str, int] = defaultdict(int)
 
 
 @contextlib.contextmanager
-def timed(name: str, sync: bool = True):
-    """Accumulating wall-clock timer; `sync` blocks on all device work."""
+def timed(name: str):
+    """Accumulating wall-clock timer.
+
+    For host-synchronous work (table builds, api calls returning Python
+    floats) just wrap the block. For async-dispatched device work, register
+    the outputs so the timer can force completion before stopping the
+    clock — there is NO global barrier for pure jitted computations
+    (jax.effects_barrier only waits on effectful runtime tokens)::
+
+        with timed('eval') as watch:
+            out = fn(theta)
+            watch(out)        # device->host transfer barrier at exit
+    """
+    outs = []
     t0 = time.perf_counter()
     try:
-        yield
+        yield outs.append
     finally:
-        if sync:
-            try:
-                jax.effects_barrier()
-            except Exception:
-                pass
+        for o in outs:
+            _force_host_transfer(o)
         dt = time.perf_counter() - t0
         _PHASES[name] += dt
         _COUNTS[name] += 1
@@ -68,17 +78,32 @@ def trace(logdir: str):
         log.info('profiler trace written to %s', logdir)
 
 
+def _force_host_transfer(out):
+    """Pull one array of `out` to host: the per-rep completion barrier.
+
+    Through the axon remote-device tunnel jax.block_until_ready can resolve
+    BEFORE device execution finishes, inflating repeat-dispatch timings by
+    orders of magnitude (CLAUDE.md measurement trap); a device->host
+    transfer of an output is the reliable barrier, so every timed rep
+    forces one (as bench.py does)."""
+    import numpy as np
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(leaves[0])
+
+
 def throughput(fn, *args, reps: int = 5, warmup: int = 1):
     """(result, evals_per_sec_per_call) excluding compile: runs `fn(*args)`
-    `warmup` times, then times `reps` calls bracketed by block_until_ready."""
+    `warmup` times, then times `reps` calls, each rep synchronized by a
+    device->host transfer of an output (see _force_host_transfer)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force_host_transfer(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _force_host_transfer(out)
     dt = (time.perf_counter() - t0) / reps
     return out, 1.0 / dt
 
