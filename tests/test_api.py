@@ -280,12 +280,23 @@ class TestCobayaAdapter:
             lk.data = boss_config['data']
             lk.config_file = None
             lk.initialize()
-            assert lk.get_can_provide_params() == ['chi2_ccf_correct', 'fsigma8']
+            # fsigma8 is only advertised for excursion_set configs (where
+            # calculate() actually provides it); boss_config is template
+            assert lk.get_can_provide_params() == ['chi2_ccf_correct']
             state = {}
             lk.calculate(state, want_derived=True,
                          fsigma8=0.47, beta=0.37, sigma_v=380.0, epsilon=1.0)
             assert abs(state['logp'] - 284.76) < 0.01
             assert abs(state['derived']['chi2_ccf_correct'] - 65.01) < 0.01
+            # the ESM branch DOES advertise the derived fsigma8 (checked by
+            # flipping the static option; avoids building a full ESM bundle)
+            import dataclasses as _dc
+            lk.ccf_fit.bundle = _dc.replace(
+                lk.ccf_fit.bundle,
+                theory_opts=_dc.replace(lk.ccf_fit.bundle.theory_opts,
+                                        matter_model='excursion_set'))
+            assert lk.get_can_provide_params() == \
+                ['chi2_ccf_correct', 'fsigma8']
         finally:
             del sys.modules['cobaya']
             del sys.modules['cobaya.likelihood']
