@@ -160,6 +160,45 @@ def cmd_run(args):
                 bundle.fit_opts.nmocks), 4)
         print(json.dumps(_json_sanitize(out), indent=2))
         return
+    if kind == 'ns':
+        import os
+
+        import numpy as np
+
+        from .sampling import run_nested
+        n_live = int(sampler.get('n_live', args.live))
+        ckpt = sampler.get('checkpoint', args.checkpoint)
+        if args.resume and ckpt and os.path.isfile(ckpt):
+            # run_nested resumes the checkpoint's live-point count; the mesh
+            # must be sized for THAT count (same rule as the smc path)
+            with np.load(ckpt, allow_pickle=False) as z:
+                n_live = int(z['y'].shape[0])
+        result = run_nested(
+            bundle, params_block,
+            n_live=n_live,
+            mesh=_divisible_mesh('live', n_live),
+            n_steps=int(sampler.get('n_steps', args.ns_steps)),
+            dlogz=float(sampler.get('dlogz', args.dlogz)),
+            seed=seed,
+            checkpoint=ckpt,
+            resume=args.resume,
+            output=sampler.get('output', cfg.get('output', args.output)))
+        out = {'sampler': 'ns', 'n_live': result.n_live,
+               'n_iterations': result.n_iter,
+               'n_likelihood_evals': result.n_like,
+               'log_evidence': round(result.logz, 3),
+               'log_evidence_se': round(result.logz_se, 3),
+               'information_nats': round(result.h, 3),
+               'posterior_ess': round(result.ess, 1),
+               'elapsed_s': round(result.elapsed_s, 2),
+               'summary': result.summary()}
+        if hasattr(bundle, 'fit_opts'):
+            from .sampling.gof import posterior_predictive_pvalue
+            out['posterior_predictive_p'] = round(posterior_predictive_pvalue(
+                result.aux[:, 0], _ndata(bundle), bundle.fit_opts.form,
+                bundle.fit_opts.nmocks), 4)
+        print(json.dumps(_json_sanitize(out), indent=2))
+        return
     if kind in ('hmc', 'nuts'):
         import os
 
@@ -576,12 +615,19 @@ def main(argv=None):
     pr.add_argument('config')
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
-    pr.add_argument('--sampler', choices=['ensemble', 'hmc', 'nuts', 'smc'],
+    pr.add_argument('--sampler',
+                    choices=['ensemble', 'hmc', 'nuts', 'smc', 'ns'],
                     default=None)
     pr.add_argument('--particles', type=int, default=2048,
                     help='SMC particle count (sampler=smc)')
     pr.add_argument('--moves', type=int, default=5,
                     help='SMC mutation steps per stage (sampler=smc)')
+    pr.add_argument('--live', type=int, default=1024,
+                    help='nested-sampling live points (sampler=ns)')
+    pr.add_argument('--ns-steps', type=int, default=24,
+                    help='replacement-chain Metropolis moves (sampler=ns)')
+    pr.add_argument('--dlogz', type=float, default=0.01,
+                    help='evidence termination tolerance (sampler=ns)')
     pr.add_argument('--max-depth', type=int, default=8,
                     help='NUTS maximum tree depth (sampler=nuts)')
     pr.add_argument('--chains', type=int, default=8,

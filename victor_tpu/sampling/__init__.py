@@ -4,6 +4,7 @@ from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
 from .optimize import (find_map, MAPResult, profile_scan, ProfileResult,
                        fisher_forecast, FisherResult)
 from .smc import run_smc, SMCResult
+from .nested import run_nested, NestedResult
 from . import hmc
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
@@ -18,6 +19,7 @@ __all__ = [
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
     'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
     'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
+    'run_nested', 'NestedResult',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
