@@ -327,9 +327,14 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
         threshold = lnl_h[dead_idx[-1]]
 
         # host-side start-point draw, stateless in (seed, it) so a resumed
-        # run replays the identical choice
+        # run replays the identical choice; starts must lie strictly inside
+        # {L > L*} (a tied/-inf survivor is not a valid constrained-region
+        # seed — its chain could end recorded at L <= L*)
+        valid = survivors[lnl_h[survivors] > threshold]
+        if len(valid) == 0:
+            valid = survivors
         rng = np.random.default_rng((seed, 777, it))
-        start_idx = survivors[rng.integers(0, len(survivors), n_batch)]
+        start_idx = valid[rng.integers(0, len(valid), n_batch)]
 
         w = np.zeros(n_live)
         w[survivors] = 1.0 / len(survivors)
