@@ -220,6 +220,37 @@ def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
     return pulls, hit.mean(axis=0), names
 
 
+def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
+                    fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
+                    n_live=512, n_steps=24, chunk=64):
+    """Coverage of the nested-sampling posterior path (run_nested): per-mock
+    central 68% credible intervals from the equal-weight NS particles and
+    posterior-mean pulls — the same calibration run_coverage_smc performs
+    for SMC, for the methodologically independent estimator. Returns
+    (pulls, cover68, names) with the same shapes/convention."""
+    from victor_tpu.sampling.nested import run_nested
+
+    fit_kw = {'form': form}
+    names = [n for n in params_block]
+    fid = np.array([fiducial[n] for n in names])
+    tvec, dvec, L = _mock_setup(bundle, fiducial)
+
+    rng = np.random.default_rng(seed)
+    pulls = np.empty((n_mocks, len(names)))
+    hit = np.zeros((n_mocks, len(names)), dtype=bool)
+    for k in range(n_mocks):
+        mock = tvec + L @ rng.standard_normal(len(tvec))
+        mb = shift_datavector(bundle, mock - dvec)
+        res = run_nested(mb, params_block, n_live=n_live, n_steps=n_steps,
+                         seed=seed + k, fit_kw=fit_kw, chunk=chunk)
+        order = [res.space.names.index(n) for n in names]
+        p = res.particles[:, order]
+        lo, hi = np.quantile(p, [0.1585, 0.8415], axis=0)
+        hit[k] = (lo <= fid) & (fid <= hi)
+        pulls[k] = (p.mean(axis=0) - fid) / p.std(axis=0)
+    return pulls, hit.mean(axis=0), names
+
+
 # SBC parameter space: prior = generation distribution = the normals below
 # (SBC requires them IDENTICAL; the usual wide-uniform sampling block would
 # need generation draws from the full uniform, where beta leaves the data
@@ -342,14 +373,17 @@ def main():
                     help='also measure beta coverage with per-mock '
                          'delta-chi2=1 profile intervals (the remedy for '
                          'the grid-structure-broken Laplace sigma)')
-    ap.add_argument('--method', default='map', choices=['map', 'smc', 'sbc'],
+    ap.add_argument('--method', default='map',
+                    choices=['map', 'smc', 'sbc', 'ns'],
                     help='map = MAP + Laplace pulls/intervals; smc = '
                          'per-mock tempered-SMC posteriors with central '
                          '68%% credible-interval coverage (the calibration '
                          'of the recommended reporting path); sbc = '
                          'simulation-based calibration: prior-drawn truths, '
                          'posterior rank-uniformity (Talts et al. 2018) — '
-                         'the full-Bayes self-consistency test')
+                         'the full-Bayes self-consistency test; ns = the '
+                         'smc calibration for the nested-sampling posterior '
+                         'path (run_nested)')
     ap.add_argument('--particles', type=int, default=2048,
                     help='SMC particles per mock (method=smc)')
     ap.add_argument('--moves', type=int, default=6,
@@ -405,13 +439,18 @@ def main():
                   f'KS p = {ks.pvalue:.3f}   10-bin: {hist.tolist()}')
         return
 
-    if args.method == 'smc':
-        pulls, cover68, names = run_coverage_smc(
-            bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
-            fiducial=fiducial, params_block=block,
-            n_particles=args.particles, n_moves=args.moves)
+    if args.method in ('smc', 'ns'):
+        if args.method == 'ns':
+            pulls, cover68, names = run_coverage_ns(
+                bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+                fiducial=fiducial, params_block=block)
+        else:
+            pulls, cover68, names = run_coverage_smc(
+                bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+                fiducial=fiducial, params_block=block,
+                n_particles=args.particles, n_moves=args.moves)
         print(f'{args.mocks} mocks, likelihood form = {args.form}, '
-              f'method = smc (central 68% credible intervals)')
+              f'method = {args.method} (central 68% credible intervals)')
         bsig = 100 * np.sqrt(0.683 * 0.317 / len(pulls))
         for i, n in enumerate(names):
             p = pulls[:, i]
