@@ -72,6 +72,25 @@ class TestCoverage:
         assert np.all((cover68 >= 0.0) & (cover68 <= 1.0))
 
     @pytest.mark.slow
+    def test_ns_posterior_coverage_smoke(self, boss_config):
+        """--method ns plumbing: per-mock nested-sampling posteriors produce
+        finite posterior-mean pulls and sane central intervals — the same
+        smoke the SMC path has, for the methodologically independent
+        estimator. The real calibration runs on TPU (50 mocks,
+        BASELINE.md round 3)."""
+        from coverage_test import run_coverage_ns
+        from victor_tpu.io import build_tables
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        pulls, cover68, names = run_coverage_ns(
+            bundle, n_mocks=2, seed=5, form='gaussian',
+            n_live=48, n_batch=12, n_steps=3, chunk=16, dlogz=0.5)
+        assert pulls.shape == (2, 4)
+        assert np.all(np.isfinite(pulls))
+        assert np.abs(pulls).max() < 6.0
+        assert cover68.shape == (len(names),)
+        assert np.all((cover68 >= 0.0) & (cover68 <= 1.0))
+
+    @pytest.mark.slow
     def test_sbc_rank_smoke(self, boss_config):
         """--method sbc plumbing: prior-drawn truths, per-truth data vector
         and covariance, fractional posterior ranks in [0, 1]. The real

@@ -82,8 +82,7 @@ class TestFindMAP:
 
 
 class TestCacheKeyParamOrder:
-    def test_reordered_params_block_fits_correctly(self, boss_config,
-                                                   map_result):
+    def test_reordered_params_block_fits_correctly(self):
         """A params block and its alphabetised reordering (what a YAML
         round-trip produces) must BOTH fit correctly in one process: the
         jit-fn caches must key on parameter ORDER, because the cached
@@ -91,19 +90,45 @@ class TestCacheKeyParamOrder:
         compiled with. Regression for the sorted-cache-key collision that
         scrambled the analyze CLI's MAP (chi2 jumped to 3.8e7 with a nan
         gradient) whenever any find_map on the hand-ordered block ran
-        first in the process (found by the analyze GOF assertion)."""
-        from victor_tpu.io import build_tables
+        first in the process (found by the analyze GOF assertion).
+
+        Runs on an analytic callable target: the collision lives entirely
+        in find_map's cache_key construction, which is target-agnostic, and
+        the asymmetric bounds below make a layout scramble land parameter
+        'b' (optimum 12.0) inside 'a''s [-1, 1] box — unmissable. (The
+        original BOSS-bundle version of this test cost 353 s of CPU
+        compile for the second full-size fit; this one fails identically
+        under the bug, in seconds.)"""
+        import jax.numpy as jnp
+        from victor_tpu.sampling import optimize
         from victor_tpu.sampling.optimize import find_map
-        bundle = build_tables(boss_config['model'], boss_config['data'])
-        reordered = {k: BLOCK_4P[k] for k in sorted(BLOCK_4P)}
-        assert list(reordered) != list(BLOCK_4P)
-        # map_result already primed the cache with the hand-ordered block at
-        # these exact settings — this call collides under a sorted key
-        m2 = find_map(bundle, reordered, n_starts=4, adam_steps=120,
-                      newton_steps=6, seed=3)
-        assert m2.chi2 < 65.01, m2.chi2          # converged, not scrambled
-        assert np.isfinite(m2.grad_norm)
-        assert abs(m2.chi2 - map_result.chi2) < 1e-3
+
+        def loglike(params):
+            chi2 = ((params['a'] - 0.3) ** 2 / 0.01
+                    + (params['b'] - 12.0) ** 2 / 1.0)
+            return -0.5 * chi2, chi2
+
+        hand = {  # deliberately NOT alphabetical
+            'b': {'prior': {'dist': 'uniform', 'min': 5.0, 'max': 20.0},
+                  'ref': {'dist': 'norm', 'loc': 11.0, 'scale': 1.0}},
+            'a': {'prior': {'dist': 'uniform', 'min': -1.0, 'max': 1.0},
+                  'ref': {'dist': 'norm', 'loc': 0.0, 'scale': 0.2}},
+        }
+        reordered = {k: hand[k] for k in sorted(hand)}
+        assert list(reordered) != list(hand)
+
+        kw = dict(n_starts=4, adam_steps=150, newton_steps=6, seed=3)
+        m1 = find_map(loglike, hand, **kw)
+        keys_after_first = set(optimize._FIT_CACHE)
+        # identical settings — under a sorted key this call collides with
+        # m1's compiled closures and decodes a scrambled layout
+        m2 = find_map(loglike, reordered, **kw)
+        for m in (m1, m2):
+            assert abs(m.params['a'] - 0.3) < 1e-3, m.params
+            assert abs(m.params['b'] - 12.0) < 1e-3, m.params
+        # white-box: the reordering must occupy its OWN cache entry
+        new_keys = set(optimize._FIT_CACHE) - keys_after_first
+        assert len(new_keys) == 1, 'reordered block must not share a cache key'
 
 
 class TestProfileScan:

@@ -222,7 +222,8 @@ def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
 
 def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
                     fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
-                    n_live=512, n_steps=24, chunk=64):
+                    n_live=512, n_steps=24, chunk=64, dlogz=0.01,
+                    n_batch=None):
     """Coverage of the nested-sampling posterior path (run_nested): per-mock
     central 68% credible intervals from the equal-weight NS particles and
     posterior-mean pulls — the same calibration run_coverage_smc performs
@@ -242,7 +243,8 @@ def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
         mock = tvec + L @ rng.standard_normal(len(tvec))
         mb = shift_datavector(bundle, mock - dvec)
         res = run_nested(mb, params_block, n_live=n_live, n_steps=n_steps,
-                         seed=seed + k, fit_kw=fit_kw, chunk=chunk)
+                         seed=seed + k, fit_kw=fit_kw, chunk=chunk,
+                         dlogz=dlogz, n_batch=n_batch)
         order = [res.space.names.index(n) for n in names]
         p = res.particles[:, order]
         lo, hi = np.quantile(p, [0.1585, 0.8415], axis=0)
