@@ -561,6 +561,81 @@ def cmd_analyze(args):
     }, indent=2))
 
 
+def _apply_set(cfg, assignments):
+    """Apply --set dotted.key=value overrides (YAML-parsed values) to a
+    deep copy of the config dict."""
+    import copy
+
+    import yaml
+    cfg = copy.deepcopy(cfg)
+    for kv in assignments or []:
+        if '=' not in kv:
+            sys.exit(f"bad --set '{kv}': expected dotted.key=value")
+        path, val = kv.split('=', 1)
+        keys = path.split('.')
+        node = cfg
+        for k in keys[:-1]:
+            nxt = node.get(k)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[k] = nxt
+            node = nxt
+        node[keys[-1]] = yaml.safe_load(val)
+    return cfg
+
+
+def cmd_post(args):
+    """Importance-reweight stored chains under a modified config — the
+    `cobaya post` role, at batched-likelihood throughput (sampling/post.py)."""
+    import numpy as np
+
+    from .sampling.chains import read_getdist
+    from .sampling.post import reweight, _weighted_moments
+    from .sampling.priors import ParamSpace
+
+    cfg_old = _load(args.config)
+    if not _has_data(cfg_old):
+        sys.exit('post requires a data: block (data vector + covariance)')
+    if not args.new and not args.set:
+        sys.exit('post needs a modified target: --new <config.yaml> and/or '
+                 '--set dotted.key=value')
+    cfg_new = _apply_set(_load(args.new) if args.new else cfg_old, args.set)
+    if not _has_data(cfg_new):
+        sys.exit('the new config must keep a data: block')
+    params_old = cfg_old.get('params')
+    if not params_old:
+        sys.exit('config must contain a params: block')
+
+    space = ParamSpace(params_old)
+    names, w, _mlnp, samples = read_getdist(args.chains)
+    if names[:space.ndim] != space.names:
+        sys.exit(f'chain parameters {names[:space.ndim]} do not match the '
+                 f'config params block {space.names}')
+    theta = samples[:, :space.ndim]
+
+    t0 = time.time()
+    res = reweight(_build_bundle(cfg_old), _build_bundle(cfg_new),
+                   params_old, theta, weights=w,
+                   params_block_new=cfg_new.get('params'),
+                   chunk=args.chunk, output=args.output)
+    out = {
+        'n_particles': res.n,
+        'delta_logz': round(res.delta_logz, 4),
+        'delta_logz_se': round(res.delta_logz_se, 4),
+        'ess': round(res.ess, 1),
+        'efficiency': round(res.efficiency, 4),
+        'params_old': {k: {kk: round(vv, 6) for kk, vv in v.items()}
+                       for k, v in _weighted_moments(theta, np.asarray(w),
+                                                     space).items()},
+        'params_new': {k: {kk: round(vv, 6) for kk, vv in v.items()}
+                       for k, v in res.summary().items()},
+        'elapsed_s': round(time.time() - t0, 2),
+    }
+    if args.output:
+        out['output'] = args.output
+    print(json.dumps(_json_sanitize(out), indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -680,6 +755,22 @@ def main(argv=None):
                     help='SMC mutation moves per stage')
     pa.add_argument('--seed', type=int, default=0)
     pa.set_defaults(fn=cmd_analyze)
+
+    pp = sub.add_parser('post', help='importance-reweight stored chains '
+                        'under a modified config (cobaya-post equivalent)')
+    pp.add_argument('config', help='the config the chains were sampled with')
+    pp.add_argument('--chains', required=True,
+                    help='GetDist chain root written by run (e.g. chains/out)')
+    pp.add_argument('--new', default=None,
+                    help='replacement config for the new target')
+    pp.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='override applied on top of --new (or the original '
+                         'config), e.g. --set data.likelihood.form=gaussian')
+    pp.add_argument('--chunk', type=int, default=64)
+    pp.add_argument('--output', default=None,
+                    help='root for the reweighted GetDist chains '
+                         '(fractional weight column)')
+    pp.set_defaults(fn=cmd_post)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')

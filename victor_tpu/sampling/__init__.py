@@ -5,10 +5,11 @@ from .optimize import (find_map, MAPResult, profile_scan, ProfileResult,
                        fisher_forecast, FisherResult)
 from .smc import run_smc, SMCResult
 from .nested import run_nested, NestedResult
+from .post import reweight, PostResult
 from . import hmc
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
-                     save_hmc_checkpoint, load_hmc_checkpoint)
+                     read_getdist, save_hmc_checkpoint, load_hmc_checkpoint)
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
                           acceptance_fraction)
 from .gof import chi2_tail_probability, posterior_predictive_pvalue
@@ -20,8 +21,9 @@ __all__ = [
     'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
     'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
     'run_nested', 'NestedResult',
+    'reweight', 'PostResult',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
-    'save_hmc_checkpoint', 'load_hmc_checkpoint',
+    'read_getdist', 'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
     'acceptance_fraction',
     'chi2_tail_probability', 'posterior_predictive_pvalue',

@@ -67,11 +67,15 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
                    log_prob: np.ndarray, aux: Optional[np.ndarray] = None,
                    aux_names: Optional[List[str]] = None,
                    burn_in: int = 0, chain_index: int = 1,
-                   n_chain_files: Optional[int] = None) -> str:
+                   n_chain_files: Optional[int] = None,
+                   weights: Optional[np.ndarray] = None) -> str:
     """Write GetDist-compatible text chains.
 
     chain: (n_steps, n_walkers, ndim); log_prob: (n_steps, n_walkers);
-    aux: optional (n_steps, n_walkers, n_aux) derived columns (e.g. chi2).
+    aux: optional (n_steps, n_walkers, n_aux) derived columns (e.g. chi2);
+    weights: optional (n_steps, n_walkers) row weights (default 1 — MCMC
+    draws and the equal-weight SMC/NS particle exports; importance
+    reweighting in sampling/post.py writes fractional weights).
 
     `n_chain_files`: split the walker axis into that many contiguous groups
     and write one `<root>.<i>.txt` per group — cobaya/MPI's file layout
@@ -83,8 +87,11 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
     chain = np.asarray(chain)[burn_in:]
     log_prob = np.asarray(log_prob)[burn_in:]
     n_steps, n_walkers, ndim = chain.shape
+    wts = np.ones((n_steps, n_walkers)) if weights is None else \
+        np.broadcast_to(np.asarray(weights, dtype=np.float64)[burn_in:],
+                        (n_steps, n_walkers))
 
-    def _columns(flat, lnp, aux_flat):
+    def _columns(flat, lnp, aux_flat, w_flat):
         # derived columns: cobaya-style value-lambdas first, then aux outputs
         derived_cols, derived_names, derived_latex = [], [], []
         # one full_params evaluation covers every derived lambda (inside the
@@ -100,7 +107,7 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
                 derived_cols.append(aux_flat[:, j])
                 derived_names.append(name)
                 derived_latex.append(name.replace('_', r'\_'))
-        cols = [np.ones_like(lnp), -lnp] + \
+        cols = [w_flat, -lnp] + \
             [flat[:, i] for i in range(ndim)] + derived_cols
         return np.column_stack(cols), derived_names, derived_latex
 
@@ -117,13 +124,15 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
             lnp = log_prob[:, idx].reshape(-1)
             aux_flat = None if aux3 is None else \
                 aux3[:, idx].reshape(flat.shape[0], -1)
-            table, derived_names, derived_latex = _columns(flat, lnp, aux_flat)
+            table, derived_names, derived_latex = _columns(
+                flat, lnp, aux_flat, wts[:, idx].reshape(-1))
             np.savetxt(f'{root}.{gi}.txt', table, fmt='%.8e')
     else:
         flat = chain.reshape(-1, ndim)
         lnp = log_prob.reshape(-1)
         aux_flat = None if aux3 is None else aux3.reshape(flat.shape[0], -1)
-        table, derived_names, derived_latex = _columns(flat, lnp, aux_flat)
+        table, derived_names, derived_latex = _columns(flat, lnp, aux_flat,
+                                                       wts.reshape(-1))
         chain_file = f'{root}.{chain_index}.txt'
         np.savetxt(chain_file, table, fmt='%.8e')
 
@@ -177,3 +186,38 @@ def load_hmc_checkpoint(path: str):
         aux = z['chain_aux'] if 'chain_aux' in z else None
         i0 = int(z['i0']) if 'i0' in z else None
     return state, chain, lnp, aux, i0
+
+
+def read_getdist(root: str):
+    """Read GetDist-format chains written by export_getdist (or cobaya).
+
+    Returns (names, weights, minus_lnpost, samples) with every `<root>.N.txt`
+    concatenated in chain-index order: `names` lists every column after the
+    two leading ones (sampled params first, then derived/aux — derived names
+    had their GetDist `*` suffix stripped), `samples` is (n, len(names)).
+
+    This is the input side of sampling/post.py's importance reweighting; the
+    reference ecosystem's equivalent consumers are GetDist itself and
+    `cobaya post`.
+    """
+    import glob
+    import re
+
+    names = []
+    with open(f'{root}.paramnames') as f:
+        for line in f:
+            token = line.split()[0] if line.split() else ''
+            if token:
+                names.append(token.rstrip('*'))
+    files = [fn for fn in glob.glob(f'{root}.*.txt')
+             if re.fullmatch(r'\d+', fn[len(root) + 1:-4])]
+    if not files:
+        raise FileNotFoundError(f'no chain files match {root}.<N>.txt')
+    files.sort(key=lambda fn: int(fn[len(root) + 1:-4]))
+    data = np.vstack([np.loadtxt(fn, ndmin=2) for fn in files])
+    if data.shape[1] != 2 + len(names):
+        raise ValueError(
+            f'{root}: chain files have {data.shape[1]} columns but '
+            f'.paramnames lists {len(names)} parameters (expected '
+            f'{2 + len(names)} columns: weight, -lnpost, params...)')
+    return names, data[:, 0], data[:, 1], data[:, 2:]
