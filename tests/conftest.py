@@ -19,6 +19,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Opt-in: persist XLA:CPU compilations across suite runs. The suite's wall
+# clock is dominated by serial jit compiles (single host core); with the
+# cache warm, repeat runs are much faster. Off by default because a cache
+# dir shared across hosts with different CPU vector features can SIGILL
+# (see utils/profiling.enable_persistent_cache) — only set this when the
+# cache dir stays on one machine, e.g. local development:
+#   VICTOR_TEST_COMPILE_CACHE=1 python -m pytest tests/ -q
+if os.environ.get('VICTOR_TEST_COMPILE_CACHE'):
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache(
+        path=os.path.join(REPO, '.cache', 'test_xla'),
+        min_compile_secs=0.5, force=True)
 FIXTURES = os.path.join(REPO, 'tests', 'fixtures')
 
 
