@@ -119,6 +119,18 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(again.particles, full.particles)
         assert again.logz == full.logz
 
+        # the checkpoint's schedule WINS over conflicting arguments: a
+        # resume called with different n_live/n_batch/n_steps/seed (e.g.
+        # the defaults) must not splice a different shrinkage schedule onto
+        # the accumulated dead records — it inherits the stored one and
+        # stays bit-identical (the n_batch default/validation runs AFTER
+        # the checkpoint load, mirroring smc.py's load-first ordering)
+        other = run_nested(g._loglike, g.BLOCK, n_live=1024, n_batch=None,
+                           n_steps=24, seed=99, chunk=None,
+                           checkpoint=ckpt, resume=True)
+        np.testing.assert_array_equal(other.particles, full.particles)
+        assert other.logz == full.logz
+
 
 class TestShardedNested:
     def test_mesh_sharded_matches_gaussian(self):

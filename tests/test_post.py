@@ -114,6 +114,51 @@ class TestAnalytic:
                      _draws(MU, COV, 16), params_block_new=block_new)
 
 
+class TestChainIO:
+    def test_read_getdist_glob_metachar_root(self, tmp_path):
+        """A chain root containing glob metacharacters ([, ], *) must read
+        back literally — glob.escape in read_getdist (a run directory like
+        'run[2026]' is an ordinary filename)."""
+        from victor_tpu.sampling import read_getdist
+        from victor_tpu.sampling.chains import export_getdist
+        from victor_tpu.sampling.priors import ParamSpace
+
+        root = str(tmp_path / 'run[2026]' / 'ns')
+        space = ParamSpace(BLOCK)
+        draws = _draws(MU, COV, 32)
+        lnp = -0.5 * np.sum(draws ** 2, axis=1)
+        export_getdist(root, space, draws[:, None, :], lnp[:, None],
+                       np.zeros((32, 1, 1)), aux_names=['aux_0'],
+                       burn_in=0, n_chain_files=1)
+        names, w, mlnp, samples = read_getdist(root)
+        assert names[:2] == ['x', 'y']
+        np.testing.assert_allclose(samples[:, :2], draws, rtol=0, atol=2e-6)
+
+
+class TestApplySet:
+    def test_list_traversal_by_index(self):
+        """--set must traverse list nodes (a joint quantiles: block) by
+        integer index instead of clobbering the list with a dict."""
+        from victor_tpu.__main__ import _apply_set
+        cfg = {'quantiles': [{'model': {'a': 1}}, {'model': {'a': 2}}],
+               'top': 3}
+        out = _apply_set(cfg, ['quantiles.1.model.a=9', 'top=4'])
+        assert out['quantiles'][1]['model']['a'] == 9
+        assert out['quantiles'][0]['model']['a'] == 1   # untouched
+        assert out['top'] == 4
+        assert cfg['quantiles'][1]['model']['a'] == 2   # deep copy
+
+    def test_list_index_errors_are_clean(self):
+        from victor_tpu.__main__ import _apply_set
+        cfg = {'quantiles': [{'model': {}}]}
+        with pytest.raises(SystemExit, match='integer index'):
+            _apply_set(cfg, ['quantiles.model.a=1'])
+        with pytest.raises(SystemExit, match='out of range'):
+            _apply_set(cfg, ['quantiles.3.model.a=1'])
+        with pytest.raises(SystemExit, match='scalar'):
+            _apply_set(cfg, ['quantiles.0.model=5', 'quantiles.0.model.a=1'])
+
+
 class TestBOSSPostCLI:
     BLOCK = {
         'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5}},

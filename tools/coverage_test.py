@@ -182,6 +182,38 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
     return pulls, hit68, names, beta_iv
 
 
+def _run_coverage_posterior(bundle, sample_fn, n_mocks, seed, fiducial,
+                            params_block):
+    """Shared posterior-coverage loop for the particle samplers.
+
+    Mocks are drawn EXACTLY as in every other mode (one _mock_setup + one
+    rng stream — the calibrations are only comparable if the mock draws and
+    interval conventions are identical, which is why this loop exists
+    once). `sample_fn(mock_bundle, mock_seed)` returns any result with
+    `.space` and equal-weight `.particles`; central 68% credible intervals
+    are equal-weight particle quantiles, pulls are posterior-mean pulls in
+    posterior-std units.
+
+    Returns (pulls (n_mocks, ndim), cover68 (ndim,), names)."""
+    names = [n for n in params_block]
+    fid = np.array([fiducial[n] for n in names])
+    tvec, dvec, L = _mock_setup(bundle, fiducial)
+
+    rng = np.random.default_rng(seed)
+    pulls = np.empty((n_mocks, len(names)))
+    hit = np.zeros((n_mocks, len(names)), dtype=bool)
+    for k in range(n_mocks):
+        mock = tvec + L @ rng.standard_normal(len(tvec))
+        mb = shift_datavector(bundle, mock - dvec)
+        res = sample_fn(mb, seed + k)
+        order = [res.space.names.index(n) for n in names]
+        p = res.particles[:, order]
+        lo, hi = np.quantile(p, [0.1585, 0.8415], axis=0)
+        hit[k] = (lo <= fid) & (fid <= hi)
+        pulls[k] = (p.mean(axis=0) - fid) / p.std(axis=0)
+    return pulls, hit.mean(axis=0), names
+
+
 def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
                      fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
                      n_particles=2048, n_moves=6, chunk=64):
@@ -198,26 +230,12 @@ def run_coverage_smc(bundle, n_mocks=60, seed=0, form='gaussian',
     """
     from victor_tpu.sampling.smc import run_smc
 
-    fit_kw = {'form': form}
-    names = [n for n in params_block]
-    fid = np.array([fiducial[n] for n in names])
-    tvec, dvec, L = _mock_setup(bundle, fiducial)
-
-    rng = np.random.default_rng(seed)
-    pulls = np.empty((n_mocks, len(names)))
-    hit = np.zeros((n_mocks, len(names)), dtype=bool)
-    for k in range(n_mocks):
-        mock = tvec + L @ rng.standard_normal(len(tvec))
-        mb = shift_datavector(bundle, mock - dvec)
-        res = run_smc(mb, params_block, n_particles=n_particles,
-                      n_moves=n_moves, seed=seed + k, fit_kw=fit_kw,
-                      chunk=chunk)
-        order = [res.space.names.index(n) for n in names]
-        p = res.particles[:, order]
-        lo, hi = np.quantile(p, [0.1585, 0.8415], axis=0)
-        hit[k] = (lo <= fid) & (fid <= hi)
-        pulls[k] = (p.mean(axis=0) - fid) / p.std(axis=0)
-    return pulls, hit.mean(axis=0), names
+    def sample(mb, mock_seed):
+        return run_smc(mb, params_block, n_particles=n_particles,
+                       n_moves=n_moves, seed=mock_seed,
+                       fit_kw={'form': form}, chunk=chunk)
+    return _run_coverage_posterior(bundle, sample, n_mocks, seed,
+                                   fiducial, params_block)
 
 
 def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
@@ -231,26 +249,12 @@ def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
     (pulls, cover68, names) with the same shapes/convention."""
     from victor_tpu.sampling.nested import run_nested
 
-    fit_kw = {'form': form}
-    names = [n for n in params_block]
-    fid = np.array([fiducial[n] for n in names])
-    tvec, dvec, L = _mock_setup(bundle, fiducial)
-
-    rng = np.random.default_rng(seed)
-    pulls = np.empty((n_mocks, len(names)))
-    hit = np.zeros((n_mocks, len(names)), dtype=bool)
-    for k in range(n_mocks):
-        mock = tvec + L @ rng.standard_normal(len(tvec))
-        mb = shift_datavector(bundle, mock - dvec)
-        res = run_nested(mb, params_block, n_live=n_live, n_steps=n_steps,
-                         seed=seed + k, fit_kw=fit_kw, chunk=chunk,
-                         dlogz=dlogz, n_batch=n_batch)
-        order = [res.space.names.index(n) for n in names]
-        p = res.particles[:, order]
-        lo, hi = np.quantile(p, [0.1585, 0.8415], axis=0)
-        hit[k] = (lo <= fid) & (fid <= hi)
-        pulls[k] = (p.mean(axis=0) - fid) / p.std(axis=0)
-    return pulls, hit.mean(axis=0), names
+    def sample(mb, mock_seed):
+        return run_nested(mb, params_block, n_live=n_live, n_steps=n_steps,
+                          seed=mock_seed, fit_kw={'form': form}, chunk=chunk,
+                          dlogz=dlogz, n_batch=n_batch)
+    return _run_coverage_posterior(bundle, sample, n_mocks, seed,
+                                   fiducial, params_block)
 
 
 # SBC parameter space: prior = generation distribution = the normals below

@@ -563,10 +563,23 @@ def cmd_analyze(args):
 
 def _apply_set(cfg, assignments):
     """Apply --set dotted.key=value overrides (YAML-parsed values) to a
-    deep copy of the config dict."""
+    deep copy of the config dict. List nodes (e.g. a joint `quantiles:`
+    block) are traversed by integer index: `quantiles.0.model.opt=1`."""
     import copy
 
     import yaml
+
+    def _index(node, k, kv):
+        try:
+            i = int(k)
+        except ValueError:
+            sys.exit(f"bad --set '{kv}': '{k}' must be an integer index "
+                     f'into a list of {len(node)}')
+        if not -len(node) <= i < len(node):
+            sys.exit(f"bad --set '{kv}': index {i} out of range for a "
+                     f'list of {len(node)}')
+        return i
+
     cfg = copy.deepcopy(cfg)
     for kv in assignments or []:
         if '=' not in kv:
@@ -575,12 +588,28 @@ def _apply_set(cfg, assignments):
         keys = path.split('.')
         node = cfg
         for k in keys[:-1]:
-            nxt = node.get(k)
-            if not isinstance(nxt, dict):
-                nxt = {}
-                node[k] = nxt
-            node = nxt
-        node[keys[-1]] = yaml.safe_load(val)
+            if isinstance(node, list):
+                node = node[_index(node, k, kv)]
+            elif isinstance(node, dict):
+                if k not in node:
+                    node[k] = {}
+                elif not isinstance(node[k], (dict, list)):
+                    # an existing scalar is never silently clobbered by a
+                    # dict — that masks a typo'd path (missing keys DO
+                    # auto-vivify, so new nested options can be set)
+                    sys.exit(f"bad --set '{kv}': '{k}' traverses a scalar "
+                             'value')
+                node = node[k]
+            else:
+                sys.exit(f"bad --set '{kv}': '{k}' traverses a scalar "
+                         'value')
+        if isinstance(node, list):
+            node[_index(node, keys[-1], kv)] = yaml.safe_load(val)
+        elif isinstance(node, dict):
+            node[keys[-1]] = yaml.safe_load(val)
+        else:
+            sys.exit(f"bad --set '{kv}': '{keys[-1]}' traverses a scalar "
+                     'value')
     return cfg
 
 

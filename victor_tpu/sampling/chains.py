@@ -209,7 +209,10 @@ def read_getdist(root: str):
             token = line.split()[0] if line.split() else ''
             if token:
                 names.append(token.rstrip('*'))
-    files = [fn for fn in glob.glob(f'{root}.*.txt')
+    # glob.escape: a root containing [, ], ? or * (e.g. 'chains/run[2026]/ns')
+    # must match literally — the returned paths still carry the literal root
+    # prefix, so the index slicing below stays valid
+    files = [fn for fn in glob.glob(f'{glob.escape(root)}.*.txt')
              if re.fullmatch(r'\d+', fn[len(root) + 1:-4])]
     if not files:
         raise FileNotFoundError(f'no chain files match {root}.<N>.txt')

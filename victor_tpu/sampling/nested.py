@@ -119,13 +119,48 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
     uninterrupted one — the survivor ordering is deterministic in the
     restored likelihoods, and both the device PRNG key and the iteration
     counter (which seeds the host-side start-point draw) are part of the
-    state. Resuming requires the same n_batch / n_steps.
+    state. n_live, n_batch, n_steps and seed are stored in the checkpoint
+    and override the arguments on resume (with a log message), so a resumed
+    run can never splice a different shrinkage schedule onto the
+    accumulated dead records.
     """
-    from ..likelihood.batched import chunked_vmap
-    from .targets import resolve_target
+    from .targets import (guarded_cholesky, make_unbounded_wrappers,
+                          resolve_target, space_cache_key)
 
     space = ParamSpace(params_block)
     tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+
+    # The checkpoint is loaded BEFORE the n_batch default/validation so a
+    # resumed run inherits the checkpoint's shrinkage schedule (smc.py loads
+    # first for the same reason): n_live comes from the stored live set, and
+    # n_batch/n_steps/seed are stored explicitly — splicing a different
+    # n_batch onto the accumulated dead records would change the shrinkage
+    # schedule mid-stream, and a different seed/n_steps would break the
+    # bit-identical-resume guarantee.
+    state = None
+    if resume and checkpoint and os.path.isfile(checkpoint):
+        z = np.load(checkpoint, allow_pickle=False)
+        state = {k: z[k] for k in z.files}
+        if state['y'].shape[0] != n_live:
+            log.info('resume: checkpoint has %d live points; overriding the '
+                     'n_live=%d argument', state['y'].shape[0], n_live)
+            n_live = int(state['y'].shape[0])
+        for name, cur in (('n_batch', n_batch), ('n_steps', n_steps),
+                          ('seed', seed)):
+            if name in state:
+                val = int(state[name])
+                if cur is not None and val != int(cur):
+                    log.info('resume: checkpoint has %s=%d; overriding the '
+                             '%s=%s argument', name, val, name, cur)
+                if name == 'n_batch':
+                    n_batch = val
+                elif name == 'n_steps':
+                    n_steps = val
+                else:
+                    seed = val
+        log.info('resumed nested sampling from %s at iteration %d '
+                 '(ln X = %.2f)', checkpoint, int(state['it']),
+                 float(state['lnx']))
 
     if n_batch is None:
         n_batch = max(1, n_live // 4)
@@ -136,39 +171,10 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
     if n_steps < 1:
         raise ValueError('n_steps must be >= 1')
 
-    state = None
-    if resume and checkpoint and os.path.isfile(checkpoint):
-        z = np.load(checkpoint, allow_pickle=False)
-        state = {k: z[k] for k in z.files}
-        if state['y'].shape[0] != n_live:
-            log.info('resume: checkpoint has %d live points; overriding the '
-                     'n_live=%d argument', state['y'].shape[0], n_live)
-            n_live = int(state['y'].shape[0])
-        log.info('resumed nested sampling from %s at iteration %d '
-                 '(ln X = %.2f)', checkpoint, int(state['it']),
-                 float(state['lnx']))
+    _, lnprior_scalar, batched_lnlike = make_unbounded_wrappers(
+        space, loglike, chunk)
 
-    def lnlike_scalar(tbl, y):
-        theta = space.to_bounded(y)
-        lnl, aux = loglike(tbl, space.full_params(theta))
-        return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf), jnp.stack([aux])
-
-    def lnprior_scalar(y):
-        theta = space.to_bounded(y)
-        return space.log_prior(theta) + space.log_jacobian(y)
-
-    def batched_lnlike(tbl, ys):
-        fn = lambda y: lnlike_scalar(tbl, y)    # noqa: E731
-        if chunk and ys.shape[0] > chunk:
-            return chunked_vmap(fn, chunk)(ys)
-        return jax.vmap(fn)(ys)
-
-    # sampled tuple NOT sorted — parameter order is semantic (the cached
-    # closures bake in this space's theta layout; see find_map's cache key)
-    cache_key = (cache_id, tuple((p.name, p.dist, p.lo, p.hi)
-                                 for p in space.sampled),
-                 tuple(sorted(space.fixed.items())),
-                 tuple((d.name, d.argnames, d.src) for d in space.derived),
+    cache_key = (cache_id, space_cache_key(space),
                  n_live, n_batch, n_steps, chunk,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _NS_CACHE.setdefault(cache_key, {})
@@ -178,19 +184,8 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
 
         def step(tbl, y, lnl, lnpri, aux, w, key, start_idx, dead_idx,
                  threshold, scale):
-            n, d = y.shape
-            # survivor covariance (w = 1/(n-K) on survivors, 0 on the dead):
-            # same guarded Cholesky as smc.py's stage — the jitter scales
-            # with trace(C)/d and a diagonal fallback covers NaN factors
-            mu = jnp.einsum('i,ij->j', w, y, precision='highest')
-            yc = y - mu
-            C = jnp.einsum('i,ij,ik->jk', w, yc, yc, precision='highest')
-            jitter = jnp.maximum(1e-6 * jnp.trace(C) / d, 1e-30)
-            C = C + jitter * jnp.eye(d)
-            chol = jnp.linalg.cholesky(C)
-            chol = jnp.where(jnp.isfinite(chol).all(), chol,
-                             jnp.diag(jnp.sqrt(jnp.diag(C))))
-            chol = chol * (2.38 / jnp.sqrt(d)) * scale
+            # survivor covariance (w = 1/(n-K) on survivors, 0 on the dead)
+            chol = guarded_cholesky(w, y, scale)
 
             # dead records BEFORE the scatter overwrites them
             y_dead = y[dead_idx]
@@ -295,6 +290,7 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                  lnpri=np.asarray(lnpri), aux=np.asarray(aux),
                  key=np.asarray(key), it=it, lnx=lnx, logz=logz,
                  scale=scale, n_like=n_like,
+                 n_batch=n_batch, n_steps=n_steps, seed=seed,
                  dead_y=np.asarray(dead_y, dtype=np.float64),
                  dead_lnl=np.asarray(dead_lnl, dtype=np.float64),
                  dead_lnwt=np.asarray(dead_lnwt, dtype=np.float64),

@@ -72,14 +72,7 @@ class PostResult:
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         """Weighted posterior moments per sampled parameter (new target)."""
-        w = self.weights / self.weights.sum()
-        out = {}
-        for i, p in enumerate(self.space.sampled):
-            x = self.theta[:, i]
-            mean = float(np.sum(w * x))
-            out[p.name] = {'mean': mean,
-                           'std': float(np.sqrt(np.sum(w * (x - mean) ** 2)))}
-        return out
+        return _weighted_moments(self.theta, self.weights, self.space)
 
 
 def _weighted_moments(theta, w, space):
@@ -117,7 +110,7 @@ def reweight(bundle_old, bundle_new, params_block: Dict, theta: np.ndarray,
     (fractional weight column) that GetDist consumes directly.
     """
     from ..likelihood.batched import chunked_vmap
-    from .targets import resolve_target
+    from .targets import resolve_target, space_cache_key
 
     space_old = ParamSpace(params_block)
     space_new = ParamSpace(params_block_new) if params_block_new is not None \
@@ -146,6 +139,9 @@ def reweight(bundle_old, bundle_new, params_block: Dict, theta: np.ndarray,
     tbl_new, loglike_new, cid_new = resolve_target(bundle_new, opts_kw_new,
                                                    fit_kw_new)
 
+    # unlike the particle samplers' wrappers (targets.make_unbounded_wrappers)
+    # these evaluate at BOUNDED theta straight from the stored chains — no
+    # reparameterisation, no Jacobian term
     def _make(loglike, space):
         def scalar(tbl, th):
             lnl, aux = loglike(tbl, space.full_params(th))
@@ -159,15 +155,17 @@ def reweight(bundle_old, bundle_new, params_block: Dict, theta: np.ndarray,
             return jax.vmap(fn)(ths)
         return jax.jit(batched)
 
-    def _space_key(space):
-        return (tuple((p.name, p.dist, p.lo, p.hi) for p in space.sampled),
-                tuple(sorted(space.fixed.items())),
-                tuple((d.name, d.argnames, d.src) for d in space.derived))
-
-    key_old = ('old', cid_old, _space_key(space_old), chunk)
-    key_new = ('new', cid_new, _space_key(space_new), chunk)
-    fn_old = _POST_CACHE.setdefault(key_old, _make(loglike_old, space_old))
-    fn_new = _POST_CACHE.setdefault(key_new, _make(loglike_new, space_new))
+    # no old/new role tag in the key: the same target in either role reuses
+    # one compiled function (reweight(A, B) then reweight(B, C) must not
+    # recompile B), and the explicit guard keeps _make lazy on cache hits
+    key_old = (cid_old, space_cache_key(space_old), chunk)
+    key_new = (cid_new, space_cache_key(space_new), chunk)
+    if key_old not in _POST_CACHE:
+        _POST_CACHE[key_old] = _make(loglike_old, space_old)
+    fn_old = _POST_CACHE[key_old]
+    if key_new not in _POST_CACHE:
+        _POST_CACHE[key_new] = _make(loglike_new, space_new)
+    fn_new = _POST_CACHE[key_new]
 
     th_dev = jnp.asarray(theta)
     lnl_old, _ = fn_old(tbl_old, th_dev)

@@ -132,8 +132,8 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
     restored log-likelihoods and the PRNG key is part of the state, so a
     resumed run is bit-identical to an uninterrupted one.
     """
-    from ..likelihood.batched import chunked_vmap
-    from .targets import resolve_target
+    from .targets import (guarded_cholesky, make_unbounded_wrappers,
+                          resolve_target, space_cache_key)
 
     space = ParamSpace(params_block)
     tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
@@ -152,27 +152,10 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
         log.info('resumed SMC from %s at beta=%.4f (stage %d)',
                  checkpoint, float(state['beta']), len(state['betas']) - 1)
 
-    def lnlike_scalar(tbl, y):
-        theta = space.to_bounded(y)
-        lnl, aux = loglike(tbl, space.full_params(theta))
-        return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf), jnp.stack([aux])
+    _, lnprior_scalar, batched_lnlike = make_unbounded_wrappers(
+        space, loglike, chunk)
 
-    def lnprior_scalar(y):
-        theta = space.to_bounded(y)
-        return space.log_prior(theta) + space.log_jacobian(y)
-
-    def batched_lnlike(tbl, ys):
-        fn = lambda y: lnlike_scalar(tbl, y)    # noqa: E731
-        if chunk and n_particles > chunk:
-            return chunked_vmap(fn, chunk)(ys)
-        return jax.vmap(fn)(ys)
-
-    # sampled tuple NOT sorted — parameter order is semantic (the cached
-    # closures bake in this space's theta layout; see find_map's cache key)
-    cache_key = (cache_id, tuple((p.name, p.dist, p.lo, p.hi)
-                                 for p in space.sampled),
-                 tuple(sorted(space.fixed.items())),
-                 tuple((d.name, d.argnames, d.src) for d in space.derived),
+    cache_key = (cache_id, space_cache_key(space),
                  n_particles, n_moves, chunk,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _SMC_CACHE.setdefault(cache_key, {})
@@ -181,21 +164,9 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
         fns['init'] = jax.jit(batched_lnlike)
 
         def stage(tbl, y, lnl, lnpri, aux, key, w, beta_new):
-            n, d = y.shape
-            # proposal scale from the PRE-resampling weighted covariance;
-            # jitter scales with trace(C)/d (a fixed 1e-10 is below f32
-            # rounding on late-stage near-degenerate clouds, where the
-            # Cholesky can NaN and silently freeze every mutation), and a
-            # diagonal fallback guards the remaining failure modes
-            mu = jnp.einsum('i,ij->j', w, y, precision='highest')
-            yc = y - mu
-            C = jnp.einsum('i,ij,ik->jk', w, yc, yc, precision='highest')
-            jitter = jnp.maximum(1e-6 * jnp.trace(C) / d, 1e-30)
-            C = C + jitter * jnp.eye(d)
-            chol = jnp.linalg.cholesky(C)
-            chol = jnp.where(jnp.isfinite(chol).all(), chol,
-                             jnp.diag(jnp.sqrt(jnp.diag(C))))
-            chol = chol * (2.38 / jnp.sqrt(d))
+            n = y.shape[0]
+            # proposal from the PRE-resampling weighted covariance
+            chol = guarded_cholesky(w, y)
 
             key, k_res = jax.random.split(key)
             idx = _systematic_resample(k_res, w, n)

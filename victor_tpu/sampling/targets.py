@@ -6,12 +6,21 @@ callable params-dict -> (lnlike, aux). This helper is the single place that
 dispatches them (previously three near-identical copies, which had already
 diverged: the SMC JointBundle branch lost opts_kw/fit_kw from its jit-cache
 key, silently reusing functions compiled with the FIRST call's overrides).
+
+The same lesson applies to the pieces the particle samplers share, so they
+live here too: `make_unbounded_wrappers` (the scalar/batched likelihood and
+prior closures over the unbounded reparameterisation), `guarded_cholesky`
+(the jittered, NaN-fallback proposal factor), and `space_cache_key` (the
+ParamSpace part of every jit-fn cache key). smc.py and nested.py used to
+carry verbatim copies of all three — a fix to the -inf guard, the jitter
+floor, or the key fields had four places to miss.
 """
 
 from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,3 +62,62 @@ def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
     def loglike(tbl, params):
         return log_likelihood(tbl, spec, opts, fit, params)
     return bundle.tables, loglike, (spec, opts, fit)
+
+
+def space_cache_key(space) -> tuple:
+    """The ParamSpace component of a jit-fn cache key.
+
+    The sampled tuple is NOT sorted — parameter order is semantic (the
+    cached closures bake in the space's theta layout; see find_map's cache
+    key and the scrambled-theta regression test)."""
+    return (tuple((p.name, p.dist, p.lo, p.hi) for p in space.sampled),
+            tuple(sorted(space.fixed.items())),
+            tuple((d.name, d.argnames, d.src) for d in space.derived))
+
+
+def make_unbounded_wrappers(space, loglike, chunk: Optional[int]):
+    """(lnlike_scalar, lnprior_scalar, batched_lnlike) over the unbounded
+    reparameterisation y = space.to_unbounded(theta).
+
+    Shared by the particle samplers (smc.py, nested.py): non-finite lnL maps
+    to -inf (branchless guard), the prior picks up the reparameterisation
+    Jacobian, and the batched form chunks through likelihood/batched.py's
+    chunked_vmap to bound per-dispatch memory."""
+    from ..likelihood.batched import chunked_vmap
+
+    def lnlike_scalar(tbl, y):
+        theta = space.to_bounded(y)
+        lnl, aux = loglike(tbl, space.full_params(theta))
+        return jnp.where(jnp.isfinite(lnl), lnl, -jnp.inf), jnp.stack([aux])
+
+    def lnprior_scalar(y):
+        theta = space.to_bounded(y)
+        return space.log_prior(theta) + space.log_jacobian(y)
+
+    def batched_lnlike(tbl, ys):
+        fn = lambda y: lnlike_scalar(tbl, y)    # noqa: E731
+        if chunk and ys.shape[0] > chunk:
+            return chunked_vmap(fn, chunk)(ys)
+        return jax.vmap(fn)(ys)
+
+    return lnlike_scalar, lnprior_scalar, batched_lnlike
+
+
+def guarded_cholesky(w, y, scale=1.0):
+    """Proposal Cholesky of the w-weighted covariance of y, times the
+    Haario 2.38/sqrt(d) factor and `scale`.
+
+    The jitter scales with trace(C)/d (a fixed 1e-10 is below f32 rounding
+    on late-stage near-degenerate particle clouds, where the Cholesky can
+    NaN and silently freeze every mutation) and a diagonal fallback covers
+    the remaining non-finite factors."""
+    d = y.shape[1]
+    mu = jnp.einsum('i,ij->j', w, y, precision='highest')
+    yc = y - mu
+    C = jnp.einsum('i,ij,ik->jk', w, yc, yc, precision='highest')
+    jitter = jnp.maximum(1e-6 * jnp.trace(C) / d, 1e-30)
+    C = C + jitter * jnp.eye(d)
+    chol = jnp.linalg.cholesky(C)
+    chol = jnp.where(jnp.isfinite(chol).all(), chol,
+                     jnp.diag(jnp.sqrt(jnp.diag(C))))
+    return chol * (2.38 / jnp.sqrt(d)) * scale
