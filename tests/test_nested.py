@@ -82,6 +82,40 @@ class TestValidation:
         with pytest.raises(RuntimeError, match='did not terminate'):
             run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
                        n_steps=4, seed=3, chunk=None, max_iter=2)
+        with pytest.raises(ValueError, match='checkpoint_every'):
+            run_nested(g._loglike, g.BLOCK, n_live=64, n_batch=16,
+                       checkpoint_every=0)
+
+    def test_plateau_warns(self):
+        """A constant likelihood ties every survivor at the threshold: the
+        plateau fallback (replacement chains seeded AT L*) must be loud —
+        shrinkage-based logZ is biased on plateaus (Fowlie et al. 2021)."""
+        import logging
+
+        from victor_tpu.sampling import run_nested
+
+        def flat(params):
+            return jnp.asarray(0.0), jnp.asarray(0.0)
+
+        # the victor_tpu root logger has propagate=False, so capture with an
+        # explicit handler rather than caplog's root-based capture
+        records = []
+
+        class _Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        h = _Grab(level=logging.WARNING)
+        logging.getLogger('victor_tpu.nested').addHandler(h)
+        try:
+            res = run_nested(flat, TestGaussianEvidence.BLOCK, n_live=64,
+                             n_batch=16, n_steps=2, seed=0, chunk=None,
+                             dlogz=0.5)
+        finally:
+            logging.getLogger('victor_tpu.nested').removeHandler(h)
+        assert any('plateau' in r.getMessage() for r in records)
+        # flat L=1 over the prior: Z = 1 regardless of the biased shrinkage
+        assert abs(res.logz) < 0.2
 
 
 class TestCheckpointResume:
@@ -130,6 +164,28 @@ class TestCheckpointResume:
                            checkpoint=ckpt, resume=True)
         np.testing.assert_array_equal(other.particles, full.particles)
         assert other.logz == full.logz
+
+    def test_checkpoint_every_resumes_bit_identically(self, tmp_path):
+        """checkpoint_every=3 saves at iterations 3, 6, ...; a run killed at
+        iteration 4 resumes from the it=3 state, replays iteration 4, and
+        still finishes bit-identical (O(n_iter^2) I/O lever for long runs)."""
+        from victor_tpu.sampling import run_nested
+        g = TestGaussianEvidence()
+        ckpt = str(tmp_path / 'ns_ckpt3.npz')
+
+        full = run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
+                          n_steps=6, seed=7, chunk=None)
+        with pytest.raises(RuntimeError):
+            run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
+                       n_steps=6, seed=7, chunk=None, max_iter=4,
+                       checkpoint=ckpt, checkpoint_every=3)
+        assert int(np.load(ckpt)['it']) == 3
+        resumed = run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
+                             n_steps=6, seed=7, chunk=None,
+                             checkpoint=ckpt, resume=True,
+                             checkpoint_every=3)
+        np.testing.assert_array_equal(resumed.particles, full.particles)
+        assert resumed.logz == full.logz
 
 
 class TestShardedNested:
@@ -188,3 +244,32 @@ class TestBOSSNested:
         out = json.loads(capsys.readouterr().out)
         assert np.isfinite(out['log_evidence'])
         assert 0.0 <= out['posterior_predictive_p'] <= 1.0
+
+    @pytest.mark.slow
+    def test_cli_passes_n_batch(self, boss_config, tmp_path, monkeypatch,
+                                capsys):
+        """`--ns-batch` / sampler.n_batch reach run_nested (previously the
+        config key was silently ignored and the default n_live//4 used)."""
+        import json
+        import yaml
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+        real = sampling_mod.run_nested
+
+        def spy(bundle, params_block, **kw):
+            seen.update(kw)
+            return real(bundle, params_block, **kw)
+
+        monkeypatch.setattr(sampling_mod, 'run_nested', spy)
+        cfg = dict(boss_config)
+        cfg['params'] = self.BLOCK
+        cfg['sampler'] = {'kind': 'ns', 'n_live': 48, 'n_batch': 8,
+                          'n_steps': 3, 'dlogz': 0.5}
+        p = tmp_path / 'nsb.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--seed', '4'])
+        assert seen['n_batch'] == 8
+        out = json.loads(capsys.readouterr().out)
+        assert np.isfinite(out['log_evidence'])

@@ -148,6 +148,24 @@ class TestApplySet:
         assert out['top'] == 4
         assert cfg['quantiles'][1]['model']['a'] == 2   # deep copy
 
+    def test_new_key_creation_is_loud(self, capsys):
+        """Auto-vivification is deliberate (new nested options can be set)
+        but must warn on stderr — a typo'd key would otherwise silently
+        no-op the override (e.g. reweighting against an unchanged target)."""
+        from victor_tpu.__main__ import _apply_set
+        cfg = {'data': {'likelihood': {'form': 'sellentin'}}}
+
+        out = _apply_set(cfg, ['data.liklihood.form=gaussian'])
+        err = capsys.readouterr().err
+        assert 'data.liklihood' in err and 'created' in err
+        assert out['data']['likelihood']['form'] == 'sellentin'  # unchanged
+
+        _apply_set(cfg, ['data.likelihood.nmocks=500'])   # new LEAF key
+        assert 'nmocks' in capsys.readouterr().err
+
+        _apply_set(cfg, ['data.likelihood.form=gaussian'])  # existing path
+        assert capsys.readouterr().err == ''
+
     def test_list_index_errors_are_clean(self):
         from victor_tpu.__main__ import _apply_set
         cfg = {'quantiles': [{'model': {}}]}

@@ -177,6 +177,8 @@ def cmd_run(args):
             bundle, params_block,
             n_live=n_live,
             mesh=_divisible_mesh('live', n_live),
+            n_batch=(lambda v: None if v is None else int(v))(
+                sampler.get('n_batch', args.ns_batch)),
             n_steps=int(sampler.get('n_steps', args.ns_steps)),
             dlogz=float(sampler.get('dlogz', args.dlogz)),
             seed=seed,
@@ -569,6 +571,15 @@ def _apply_set(cfg, assignments):
 
     import yaml
 
+    def _warn_new(path_so_far, kv):
+        # auto-vivification is deliberate (new nested options can be set),
+        # but a typo'd key would otherwise silently no-op the override —
+        # e.g. `--set data.liklihood.form=gaussian` reweighting against an
+        # unchanged target. Make the creation loud.
+        print(f"--set '{kv}': note — '{path_so_far}' does not exist in the "
+              'config and was created (check for a typo if an existing '
+              'option was intended)', file=sys.stderr)
+
     def _index(node, k, kv):
         try:
             i = int(k)
@@ -587,11 +598,12 @@ def _apply_set(cfg, assignments):
         path, val = kv.split('=', 1)
         keys = path.split('.')
         node = cfg
-        for k in keys[:-1]:
+        for depth, k in enumerate(keys[:-1]):
             if isinstance(node, list):
                 node = node[_index(node, k, kv)]
             elif isinstance(node, dict):
                 if k not in node:
+                    _warn_new('.'.join(keys[:depth + 1]), kv)
                     node[k] = {}
                 elif not isinstance(node[k], (dict, list)):
                     # an existing scalar is never silently clobbered by a
@@ -606,6 +618,8 @@ def _apply_set(cfg, assignments):
         if isinstance(node, list):
             node[_index(node, keys[-1], kv)] = yaml.safe_load(val)
         elif isinstance(node, dict):
+            if keys[-1] not in node:
+                _warn_new(path, kv)
             node[keys[-1]] = yaml.safe_load(val)
         else:
             sys.exit(f"bad --set '{kv}': '{keys[-1]}' traverses a scalar "
@@ -730,6 +744,9 @@ def main(argv=None):
                     help='nested-sampling live points (sampler=ns)')
     pr.add_argument('--ns-steps', type=int, default=24,
                     help='replacement-chain Metropolis moves (sampler=ns)')
+    pr.add_argument('--ns-batch', type=int, default=None,
+                    help='dead points replaced per NS iteration '
+                         '(default n_live // 4; sampler=ns)')
     pr.add_argument('--dlogz', type=float, default=0.01,
                     help='evidence termination tolerance (sampler=ns)')
     pr.add_argument('--max-depth', type=int, default=8,

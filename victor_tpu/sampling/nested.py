@@ -52,6 +52,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.special import logsumexp
 
 from ..utils.logging import get_logger
 from .priors import ParamSpace
@@ -87,13 +88,6 @@ class NestedResult:
                 for i, p in enumerate(self.space.sampled)}
 
 
-def _logaddexp_many(lnw: np.ndarray) -> float:
-    m = float(np.max(lnw))
-    if not np.isfinite(m):
-        return m
-    return m + float(np.log(np.sum(np.exp(lnw - m))))
-
-
 def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                n_batch: Optional[int] = None, n_steps: int = 24,
                dlogz: float = 0.01, seed: int = 0,
@@ -102,6 +96,7 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                mesh: Optional[jax.sharding.Mesh] = None,
                mesh_axis=None, max_iter: int = 5000,
                checkpoint: Optional[str] = None, resume: bool = False,
+               checkpoint_every: int = 1,
                output: Optional[str] = None,
                aux_names: Optional[list] = None) -> NestedResult:
     """Estimate the evidence and sample the posterior by nested sampling.
@@ -122,7 +117,11 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
     state. n_live, n_batch, n_steps and seed are stored in the checkpoint
     and override the arguments on resume (with a log message), so a resumed
     run can never splice a different shrinkage schedule onto the
-    accumulated dead records.
+    accumulated dead records. Each save rewrites the FULL accumulated
+    dead-point history (O(n_iter**2) total I/O over a run); the default
+    schedules finish in ~50-100 iterations where that is a few MB, but a
+    long run with small n_batch should raise `checkpoint_every` (resume
+    then replays at most that many iterations, still bit-identically).
     """
     from .targets import (guarded_cholesky, make_unbounded_wrappers,
                           resolve_target, space_cache_key)
@@ -170,6 +169,8 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                          'must survive to define the constrained region')
     if n_steps < 1:
         raise ValueError('n_steps must be >= 1')
+    if checkpoint_every < 1:
+        raise ValueError('checkpoint_every must be >= 1')
 
     _, lnprior_scalar, batched_lnlike = make_unbounded_wrappers(
         space, loglike, chunk)
@@ -328,6 +329,16 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
         # seed — its chain could end recorded at L <= L*)
         valid = survivors[lnl_h[survivors] > threshold]
         if len(valid) == 0:
+            # every survivor ties at L* (a likelihood plateau): chains must
+            # start AT the threshold, and any that fail to move leave their
+            # replacement recorded at L <= L* — exactly the tied-likelihood
+            # shrinkage bias of the module docstring's plateau caveat
+            log.warning('iteration %d: all %d survivors tie at the '
+                        'threshold lnL=%.3g (likelihood plateau) — '
+                        'replacement chains start AT L* and the shrinkage '
+                        'estimate (hence logZ) is biased on plateaus',
+                        it, len(survivors),
+                        threshold if threshold > _NEG else float('-inf'))
             valid = survivors
         rng = np.random.default_rng((seed, 777, it))
         start_idx = valid[rng.integers(0, len(valid), n_batch)]
@@ -347,7 +358,7 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
         # evidence bookkeeping (host f64): dead_idx is ascending in L
         lnx_prev = lnx + np.concatenate([[0.0], -np.cumsum(dln[:-1])])
         lnwt = lnl_h[dead_idx] + lnx_prev + ln_shrink
-        logz = np.logaddexp(logz, _logaddexp_many(lnwt))
+        logz = np.logaddexp(logz, float(logsumexp(lnwt)))
         lnx -= float(np.sum(dln))
 
         dead_y.extend(np.asarray(y_dead, dtype=np.float64))
@@ -369,7 +380,8 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                         'shrinkage statistics; raise n_steps', it,
                         100 * moved, acc)
         it += 1
-        _save_checkpoint()
+        if it % checkpoint_every == 0:
+            _save_checkpoint()
         if it % 10 == 0 or it == 1:
             log.info('NS iteration %d: ln X=%.2f threshold lnL=%.2f '
                      'acc=%.2f scale=%.2f logZ>=%.3f', it, lnx,
@@ -380,7 +392,7 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
     lnwt_live = lnl_h + lnx - np.log(n_live)
     theta_live = np.asarray(space.to_bounded(y), dtype=np.float64)
     aux_live = np.asarray(aux, dtype=np.float64)
-    logz = np.logaddexp(logz, _logaddexp_many(lnwt_live))
+    logz = np.logaddexp(logz, float(logsumexp(lnwt_live)))
 
     all_y_or_theta = (np.asarray(dead_y, dtype=np.float64)
                       .reshape(len(dead_y), space.ndim)
