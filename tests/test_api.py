@@ -199,6 +199,21 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert abs(out['chi2'] - 65.01) < 0.01
 
+    def test_eval_set_override(self, boss_config, tmp_path, capsys):
+        """--set (available on every config-taking subcommand, the cobaya
+        command-line-override role) reaches the model options: switching
+        rsd_model to kaiser must land on the kaiser cell-22 golden."""
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg_path = tmp_path / 'cfg.yaml'
+        with open(cfg_path, 'w') as f:
+            yaml.safe_dump(boss_config, f)
+        main(['eval', str(cfg_path), '--set', 'model.rsd_model=kaiser',
+              '--param', 'fsigma8=0.47', '--param', 'beta=0.37',
+              '--param', 'sigma_v=380', '--param', 'epsilon=1.0'])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert abs(out['chi2'] - 103.90) < 0.01
+
     def test_bench(self, boss_config, tmp_path, capsys):
         import yaml
         from victor_tpu.__main__ import main

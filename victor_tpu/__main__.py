@@ -98,7 +98,7 @@ def cmd_run(args):
     from .parallel import make_mesh
     from .sampling import run_hmc_mcmc, run_mcmc
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('run requires a data: block (data vector + covariance)')
     bundle = _build_bundle(cfg)
@@ -269,7 +269,7 @@ def cmd_eval(args):
 
     from .likelihood.core import log_likelihood
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     bundle = _build_bundle(cfg)
     # default evaluation point from the full ParamSpace vocabulary (fixed
     # values, {value: x}, scalar refs, prior-only params — the hand-rolled
@@ -368,7 +368,7 @@ def _map_report_stats(bundle, mres):
 def cmd_fit(args):
     from .sampling.optimize import find_map
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('fit requires a data: block (data vector + covariance)')
     bundle = _build_bundle(cfg)
@@ -404,7 +404,7 @@ def cmd_scan(args):
 
     from .sampling.optimize import profile_scan
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('scan requires a data: block (data vector + covariance)')
     if not args.param:
@@ -452,7 +452,7 @@ def cmd_analyze(args):
     from .sampling import run_smc
     from .sampling.optimize import find_map
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('analyze requires a data: block (data vector + covariance)')
     params_block = cfg.get('params')
@@ -687,7 +687,7 @@ def cmd_bench(args):
     from .likelihood.batched import make_batched_loglike
     from .sampling.priors import ParamSpace
 
-    cfg = _load(args.config)
+    cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('bench requires a data: block (data vector + covariance)')
     bundle = _build_bundle(cfg)
@@ -731,6 +731,9 @@ def main(argv=None):
 
     pr = sub.add_parser('run', help='sample the posterior (cobaya-run equivalent)')
     pr.add_argument('config')
+    pr.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
     pr.add_argument('--sampler',
@@ -765,12 +768,18 @@ def main(argv=None):
 
     pe = sub.add_parser('eval', help='one likelihood evaluation')
     pe.add_argument('config')
+    pe.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     pe.add_argument('--param', action='append',
                     help='override, e.g. --param fsigma8=0.47')
     pe.set_defaults(fn=cmd_eval)
 
     pf = sub.add_parser('fit', help='best fit (MAP) + Laplace errors')
     pf.add_argument('config')
+    pf.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     pf.add_argument('--starts', type=int, default=32,
                     help='multi-start count (one vmapped Adam dispatch)')
     pf.add_argument('--adam-steps', type=int, default=250)
@@ -779,6 +788,9 @@ def main(argv=None):
 
     ps = sub.add_parser('scan', help='profile-likelihood scan (1D or 2D)')
     ps.add_argument('config')
+    ps.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     ps.add_argument('--param', action='append',
                     help='parameter to scan (repeat for a 2D scan)')
     ps.add_argument('--ngrid', type=int, default=21)
@@ -790,6 +802,9 @@ def main(argv=None):
     pa = sub.add_parser('analyze', help='full analysis in one command: '
                         'MAP + Laplace, SMC posterior + evidence, report')
     pa.add_argument('config')
+    pa.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     pa.add_argument('--output', default=None,
                     help='output directory (default <config>_analysis/)')
     pa.add_argument('--starts', type=int, default=16,
@@ -820,6 +835,9 @@ def main(argv=None):
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')
+    pb.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override, e.g. --set model.rsd_model='
+                         'dispersion (list nodes by index: quantiles.0...)')
     pb.add_argument('--batch', type=int, default=8192)
     pb.add_argument('--reps', type=int, default=5)
     pb.add_argument('--chunk', type=int, default=128)
