@@ -273,6 +273,12 @@ class TestAnalyzeCLI:
         assert 'central 68%' in report and 'log Z' in report
         assert 'Goodness of fit' in report
         assert os.path.isfile(os.path.join(outdir, 'chains.1.txt'))
+        # figures: corner + data-vs-MAP multipoles, referenced from report.md
+        assert sorted(os.path.basename(f) for f in out['figures']) == \
+            ['corner.png', 'multipoles.png']
+        for f in out['figures']:
+            assert os.path.getsize(f) > 1000
+        assert '![' in report and 'corner.png' in report
         for n in ('fsigma8', 'beta', 'sigma_v', 'epsilon'):
             lo, hi = out['posterior'][n]['central_68']
             assert lo < out['posterior'][n]['mean'] < hi

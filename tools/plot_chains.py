@@ -10,15 +10,20 @@ Reads GetDist-format chain files written by the samplers
   * per-parameter mean/std and cross-chain R-hat printed to stdout.
 
 GetDist itself remains the recommended tool for publication plots (our
-files are exactly its format); this is the zero-dependency quick look.
+files are exactly its format); this is the GetDist-free quick look (the
+corner drawing itself delegates to victor_tpu.plottools.corner_plot).
 
 Usage:  python tools/plot_chains.py chains/boss [--burn 0.3] [--params a b]
 """
 
 import argparse
 import glob
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def _chain_index(path):
@@ -51,7 +56,7 @@ def cross_chain_rhat(chains, k):
     Computed unweighted: exact for this project's writers (weight = 1 per
     row); for externally-produced weighted chains treat it as approximate
     and use GetDist for the formal statistic. Deliberately local (this tool
-    is zero-dependency); the package's formal statistic is the split-R-hat
+    stays import-light); the package's formal statistic is the split-R-hat
     in victor_tpu.sampling.diagnostics / parallel.mesh.cross_chain_rhat."""
     cols = [c[:, 2 + k] for c in chains]
     n = min(len(c) for c in cols)
@@ -66,57 +71,15 @@ def cross_chain_rhat(chains, k):
 
 
 def corner_plot(chains, names, out_path, params=None, bins=40):
-    import matplotlib
-    matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
+    """Weighted corner plot of the stacked chain files — delegates to the
+    package's array-based victor_tpu.plottools.corner_plot (one
+    implementation to maintain; the GetDist weight column carries cobaya MH
+    accept multiplicities, our writers emit 1s)."""
+    from victor_tpu.plottools import corner_plot as _corner
 
     stacked = np.concatenate(chains)
-    w = stacked[:, 0]          # GetDist weight column (our writers emit 1s;
-    data = stacked[:, 2:]      # cobaya MH chains carry accept multiplicities)
-    if params:
-        idx = [names.index(p) for p in params]
-    else:
-        idx = list(range(min(len(names), 6)))    # cap for readability
-    labels = [names[i] for i in idx]
-    d = len(idx)
-
-    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
-    axes = np.atleast_2d(axes)
-    for r in range(d):
-        for c in range(d):
-            ax = axes[r, c]
-            if c > r:
-                ax.set_visible(False)
-                continue
-            x = data[:, idx[c]]
-            if r == c:
-                ax.hist(x, bins=bins, weights=w, histtype='step',
-                        density=True)
-                ax.set_yticks([])
-            else:
-                y = data[:, idx[r]]
-                H, xe, ye = np.histogram2d(x, y, bins=bins, weights=w)
-                Hs = H.T
-                # contour levels enclosing 68/95% of samples
-                flat = np.sort(Hs.ravel())[::-1]
-                cum = np.cumsum(flat) / flat.sum()
-                levels = sorted({flat[np.searchsorted(cum, q)]
-                                 for q in (0.95, 0.68)})
-                xc = 0.5 * (xe[:-1] + xe[1:])
-                yc = 0.5 * (ye[:-1] + ye[1:])
-                ax.contour(xc, yc, Hs, levels=levels)
-            if r == d - 1:
-                ax.set_xlabel(labels[c])
-            else:
-                ax.set_xticklabels([])
-            if c == 0 and r > 0:
-                ax.set_ylabel(labels[r])
-            elif c > 0:
-                ax.set_yticklabels([])
-    fig.tight_layout()
-    fig.savefig(out_path, dpi=120)
-    plt.close(fig)
-    return out_path
+    return _corner(stacked[:, 2:], names, out_path, weights=stacked[:, 0],
+                   params=params, bins=bins)
 
 
 def main():

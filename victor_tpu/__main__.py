@@ -70,11 +70,27 @@ def _has_data(cfg):
 def _divisible_mesh(axis_name, count):
     """One-axis mesh over all devices when `count` shards evenly; None
     otherwise (hmc/nuts/smc/analyze previously never received a mesh from
-    the CLI, silently running single-device on multi-chip hosts)."""
+    the CLI, silently running single-device on multi-chip hosts).
+
+    Virtual CPU devices in excess of the physical cores
+    (xla_force_host_platform_device_count, the sharding test backend) never
+    get an auto-mesh: partitioned programs whose plan contains a
+    cross-module collective can HARD-DEADLOCK there — XLA:CPU's rendezvous
+    blocks the executor pool threads, and with fewer runnable threads than
+    participants the stragglers never arrive, so the process aborts after
+    the 40 s rendezvous timeout (observed with the 4-parameter BOSS SMC
+    stage on the 1-core CI box; raising
+    --xla_cpu_collective_call_terminate_timeout_seconds only converts the
+    abort into a hang). Tests that want sharded execution pass an explicit
+    mesh to programs whose plans are known collective-safe."""
+    import os
+
     import jax
 
     from .parallel import make_mesh
     n_dev = len(jax.devices())
+    if jax.default_backend() == 'cpu' and (os.cpu_count() or 1) < n_dev:
+        return None
     if n_dev > 1 and count % n_dev == 0:
         return make_mesh((axis_name,))
     return None
@@ -436,6 +452,32 @@ def cmd_scan(args):
     print(json.dumps(out, indent=2))
 
 
+def _plot_map_multipoles(cfg, mres, out_path):
+    """Data-with-errors vs best-fit-model multipole panels at the MAP
+    (api.CCFFit.plot_multipole_comparison per measured pole) — the
+    reference notebooks' model-vs-data figure, emitted by `analyze`."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from .api import CCFFit
+
+    fit = CCFFit(cfg['model'], cfg['data'])
+    full = {k: float(v) for k, v in
+            mres.space.full_params(mres.theta).items()}
+    poles = fit.poles_s
+    fig, axes = plt.subplots(1, len(poles), figsize=(4.8 * len(poles), 3.9),
+                             squeeze=False)
+    for ax, ell in zip(axes[0], poles):
+        fit.plot_multipole_comparison({**full, 'label': 'best fit'},
+                                      ell=ell, ax=ax, chi2=(ell == poles[0]))
+        ax.set_title(rf'$\ell = {ell}$')
+        ax.legend(fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def cmd_analyze(args):
     """One-command full analysis: MAP + Laplace errors, then a tempered-SMC
     posterior (GetDist chains + log-evidence), written up as a report.
@@ -490,6 +532,19 @@ def cmd_analyze(args):
     lo68, med, hi68 = np.quantile(part, [0.1585, 0.5, 0.8415], axis=0)
     mean, std = part.mean(axis=0), part.std(axis=0)
 
+    figures = []
+    if not args.no_plots:
+        from .plottools import corner_plot
+        corner_plot(part, names, os.path.join(outdir, 'corner.png'))
+        figures.append(('corner.png',
+                        'posterior corner plot (68/95% contours)'))
+        if 'quantiles' not in cfg:
+            # data-vs-MAP multipoles need the single-dataset CCFFit surface
+            _plot_map_multipoles(cfg, mres,
+                                 os.path.join(outdir, 'multipoles.png'))
+            figures.append(('multipoles.png',
+                            'data vs best-fit model multipoles'))
+
     lines = [
         f'# victor_tpu analysis: {os.path.basename(args.config)}',
         '',
@@ -532,6 +587,9 @@ def cmd_analyze(args):
     if derived:
         lines += ['', '## Derived parameters (at the MAP)', '']
         lines += [f'- {k} = {v:.6g}' for k, v in derived.items()]
+    if figures:
+        lines += ['', '## Figures', '']
+        lines += [f'![{caption}]({fname})' for fname, caption in figures]
     lines += [
         '',
         '## Notes',
@@ -550,6 +608,7 @@ def cmd_analyze(args):
 
     print(json.dumps({
         'report': report,
+        'figures': [os.path.join(outdir, f) for f, _ in figures],
         'chi2': round(mres.chi2, 4), 'ndof': ndof, 'p_value': round(p_val, 4),
         'posterior_predictive_p': round(ppp, 4),
         'log_evidence': round(sres.logz, 3),
@@ -815,6 +874,8 @@ def main(argv=None):
     pa.add_argument('--moves', type=int, default=8,
                     help='SMC mutation moves per stage')
     pa.add_argument('--seed', type=int, default=0)
+    pa.add_argument('--no-plots', action='store_true',
+                    help='skip the corner / model-vs-data figures')
     pa.set_defaults(fn=cmd_analyze)
 
     pp = sub.add_parser('post', help='importance-reweight stored chains '

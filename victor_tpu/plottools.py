@@ -112,3 +112,71 @@ def plot_2D_ccf(xi_sp, rs, rp=None, even=True, cmap=None, vmin=-1, vmax=0.2,
     ax.set_ylim(-y[-1] if not even else y[0], y[-1])
     ax.set_yticks(ax.get_xticks()[np.abs(ax.get_xticks()) <= y[-1]])
     return ax
+
+
+def corner_plot(samples, names, out_path=None, weights=None, params=None,
+                bins=40, max_default=6):
+    """Corner plot of posterior samples: 1D marginals on the diagonal, 2D
+    68/95% sample-mass contours below.
+
+    Beyond the reference surface (its notebooks hand chains to GetDist):
+    this is the in-package quick look used by `analyze` and
+    tools/plot_chains.py; GetDist remains the recommendation for
+    publication plots (the samplers' chain files are exactly its format).
+
+    `samples` is (n, d) in the order of `names`; `weights` defaults to
+    equal; `params` selects/orders a subset (default: first `max_default`
+    for readability). Saves to `out_path` when given and returns the
+    Figure otherwise.
+    """
+    import matplotlib
+    if out_path is not None:
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    samples = np.asarray(samples)
+    w = np.ones(len(samples)) if weights is None else np.asarray(weights)
+    idx = ([names.index(p) for p in params] if params
+           else list(range(min(len(names), max_default))))
+    labels = [names[i] for i in idx]
+    d = len(idx)
+
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
+    axes = np.atleast_2d(axes)
+    for r in range(d):
+        for c in range(d):
+            ax = axes[r, c]
+            if c > r:
+                ax.set_visible(False)
+                continue
+            x = samples[:, idx[c]]
+            if r == c:
+                ax.hist(x, bins=bins, weights=w, histtype='step',
+                        density=True)
+                ax.set_yticks([])
+            else:
+                y = samples[:, idx[r]]
+                H, xe, ye = np.histogram2d(x, y, bins=bins, weights=w)
+                Hs = H.T
+                # contour levels enclosing 68/95% of the sample mass
+                flat = np.sort(Hs.ravel())[::-1]
+                cum = np.cumsum(flat) / flat.sum()
+                levels = sorted({flat[np.searchsorted(cum, q)]
+                                 for q in (0.95, 0.68)})
+                xc = 0.5 * (xe[:-1] + xe[1:])
+                yc = 0.5 * (ye[:-1] + ye[1:])
+                ax.contour(xc, yc, Hs, levels=levels)
+            if r == d - 1:
+                ax.set_xlabel(labels[c])
+            else:
+                ax.set_xticklabels([])
+            if c == 0 and r > 0:
+                ax.set_ylabel(labels[r])
+            elif c > 0:
+                ax.set_yticklabels([])
+    fig.tight_layout()
+    if out_path is not None:
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+        return out_path
+    return fig
