@@ -738,6 +738,51 @@ def cmd_post(args):
     print(json.dumps(_json_sanitize(out), indent=2))
 
 
+def cmd_tension(args):
+    """Concordance/tension between two datasets: evidence ratio ln R (three
+    tempered-SMC evidences: A, B, independent product AB at shared params)
+    and the Gaussian parameter-shift n-sigma (sampling/tension.py)."""
+    from .sampling.tension import run_tension
+
+    cfg_a = _apply_set(_load(args.config), args.set)
+    cfg_b = _apply_set(_load(args.config_b), args.set)
+    for label, cfg in (('first', cfg_a), ('second', cfg_b)):
+        if not _has_data(cfg):
+            sys.exit(f'tension requires a data: block in the {label} config')
+    params_block = cfg_a.get('params')
+    if not params_block:
+        sys.exit('the first config must contain a params: block '
+                 '(the shared prior of all three evidences)')
+    if cfg_b.get('params') not in (None, params_block):
+        sys.exit('the two configs must share ONE params: block — the '
+                 'evidence ratio is only meaningful under a common prior. '
+                 'Drop params: from the second config or make them '
+                 'identical.')
+
+    res = run_tension(_build_bundle(cfg_a), _build_bundle(cfg_b),
+                      params_block, n_particles=args.particles,
+                      n_moves=args.moves, seed=args.seed)
+    print(json.dumps(_json_sanitize({
+        'log_evidence_ratio': round(res.logr, 3),
+        'log_evidence_ratio_se': round(res.logr_se, 3),
+        'verdict': 'concordance' if res.logr > 0 else 'tension',
+        'log_evidence': {'a': round(res.logz_a, 3),
+                         'b': round(res.logz_b, 3),
+                         'joint': round(res.logz_ab, 3)},
+        'parameter_shift': {'chi2': round(res.shift_chi2, 3),
+                            'ndof': res.shift_ndof,
+                            'p_value': round(res.shift_p, 5),
+                            'n_sigma': round(res.shift_nsigma, 2)},
+        'shared_params': res.names,
+        'posterior_a': res.summary_a,
+        'posterior_b': res.summary_b,
+        'posterior_joint': res.summary_ab,
+        'elapsed_s': round(res.elapsed_s, 2),
+        'note': 'ln R is prior-volume dependent (quote the shared prior); '
+                'the parameter shift assumes near-Gaussian posteriors',
+    }), indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -893,6 +938,21 @@ def main(argv=None):
                     help='root for the reweighted GetDist chains '
                          '(fractional weight column)')
     pp.set_defaults(fn=cmd_post)
+
+    pt = sub.add_parser('tension', help='concordance/tension between two '
+                        'datasets: evidence ratio ln R + parameter shift')
+    pt.add_argument('config', help='first dataset (its params: block is '
+                    'the shared prior)')
+    pt.add_argument('config_b', help='second dataset')
+    pt.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='config override applied to BOTH configs (shared '
+                         'analysis choices, e.g. data.likelihood.form)')
+    pt.add_argument('--particles', type=int, default=4096,
+                    help='SMC particle count per run')
+    pt.add_argument('--moves', type=int, default=8,
+                    help='SMC mutation moves per stage')
+    pt.add_argument('--seed', type=int, default=0)
+    pt.set_defaults(fn=cmd_tension)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')

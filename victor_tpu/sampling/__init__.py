@@ -6,6 +6,8 @@ from .optimize import (find_map, MAPResult, profile_scan, ProfileResult,
 from .smc import run_smc, SMCResult
 from .nested import run_nested, NestedResult
 from .post import reweight, PostResult
+from .tension import run_tension, parameter_shift, TensionResult
+from .targets import ProductTarget
 from . import hmc
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
@@ -22,6 +24,7 @@ __all__ = [
     'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
     'run_nested', 'NestedResult',
     'reweight', 'PostResult',
+    'run_tension', 'parameter_shift', 'TensionResult', 'ProductTarget',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
     'read_getdist', 'save_hmc_checkpoint', 'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',

@@ -18,10 +18,25 @@ floor, or the key fields had four places to miss.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ProductTarget:
+    """Product of INDEPENDENT dataset likelihoods at shared parameters:
+    lnL(params) = sum over members (block-diagonal joint covariance, no
+    cross-terms — for correlated datasets build a JointBundle with the full
+    cross-covariance instead). Members are any target kind resolve_target
+    accepts (CCFModelBundle, JointBundle, callable), resolved recursively;
+    the member tables travel as a tuple pytree through the jit argument.
+    This is the target behind the tension statistics (sampling/tension.py):
+    the evidence ratio needs Z of the combined dataset under one shared
+    parameter vector."""
+    members: tuple
 
 
 def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
@@ -37,6 +52,18 @@ def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
 
     kw_id = (repr(sorted((opts_kw or {}).items())),
              repr(sorted((fit_kw or {}).items())))
+
+    if isinstance(bundle, ProductTarget):
+        parts = [resolve_target(m, opts_kw, fit_kw) for m in bundle.members]
+        tables = tuple(p[0] for p in parts)
+        fns = tuple(p[1] for p in parts)
+
+        def loglike(tbl, params):
+            vals = [fn(t, params) for fn, t in zip(fns, tbl)]
+            lnl = sum(v[0] for v in vals)
+            aux = sum(v[1] for v in vals)      # summed chi2 across members
+            return lnl, aux
+        return tables, loglike, ('product', tuple(p[2] for p in parts))
 
     if callable(bundle) and not hasattr(bundle, 'tables') \
             and not isinstance(bundle, JointBundle):
