@@ -119,6 +119,32 @@ class TestBOSSTensionCLI:
         assert out['parameter_shift']['n_sigma'] < 3.0
         assert set(out['posterior_joint']) == {'fsigma8', 'beta'}
 
+    @pytest.mark.slow
+    def test_cli_compare_streaming_vs_kaiser(self, boss_config, tmp_path,
+                                             capsys):
+        """`compare cfg cfg --set-b model.rsd_model=kaiser`: same data, two
+        models — streaming must be decisively favored (the kaiser best fit
+        is chi2 ~104 vs ~65 on the BOSS data)."""
+        import json
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg = dict(boss_config)
+        cfg['params'] = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05,
+                                  'max': 1.5}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'sigma_v': 380.0,
+            'epsilon': 1.0,
+        }
+        p = tmp_path / 'm.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['compare', str(p), str(p), '--set-b', 'model.rsd_model=kaiser',
+              '--particles', '48', '--moves', '2', '--seed', '5'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['favored'] == str(p)
+        assert out['delta_log_evidence'] > 5
+        assert out['jeffreys'].startswith('decisive')
+
     def test_cli_rejects_mismatched_params(self, boss_config, tmp_path):
         import yaml
         from victor_tpu.__main__ import main

@@ -783,6 +783,49 @@ def cmd_tension(args):
     }), indent=2))
 
 
+def cmd_compare(args):
+    """Evidence-based model comparison on the SAME data: one tempered-SMC
+    evidence per config, Delta ln Z with quadrature-summed errors and the
+    Jeffreys-scale reading (the two configs should differ in the model:
+    block / options; comparing different datasets is `tension`'s job)."""
+    import numpy as np
+
+    from .sampling import run_smc
+
+    results = []
+    for i, (path, sets) in enumerate(((args.config, args.set),
+                                      (args.config_b, args.set_b))):
+        cfg = _apply_set(_load(path), sets)
+        if not _has_data(cfg):
+            sys.exit(f'compare requires a data: block in {path}')
+        params_block = cfg.get('params')
+        if not params_block:
+            sys.exit(f'{path} must contain a params: block')
+        res = run_smc(_build_bundle(cfg), params_block,
+                      n_particles=args.particles, n_moves=args.moves,
+                      seed=args.seed + i)
+        results.append((path, res))
+
+    (pa, ra), (pb, rb) = results
+    dlnz = ra.logz - rb.logz
+    se = float(np.sqrt(ra.logz_se ** 2 + rb.logz_se ** 2))
+    favored = pa if dlnz > 0 else pb
+    a = abs(dlnz)
+    scale = ('inconclusive (|Delta ln Z| < 1)' if a < 1 else
+             'positive (1 <= |Delta ln Z| < 2.5)' if a < 2.5 else
+             'strong (2.5 <= |Delta ln Z| < 5)' if a < 5 else
+             'decisive (|Delta ln Z| >= 5)')
+    print(json.dumps(_json_sanitize({
+        'delta_log_evidence': round(dlnz, 3),
+        'delta_log_evidence_se': round(se, 3),
+        'favored': favored,
+        'jeffreys': scale,
+        'log_evidence': {pa: round(ra.logz, 3), pb: round(rb.logz, 3)},
+        'posterior': {pa: ra.summary(), pb: rb.summary()},
+        'elapsed_s': round(ra.elapsed_s + rb.elapsed_s, 2),
+    }), indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -953,6 +996,24 @@ def main(argv=None):
                     help='SMC mutation moves per stage')
     pt.add_argument('--seed', type=int, default=0)
     pt.set_defaults(fn=cmd_tension)
+
+    pc = sub.add_parser('compare', help='evidence-based model comparison on '
+                        'the same data: Delta ln Z between two configs')
+    pc.add_argument('config', help='first model config')
+    pc.add_argument('config_b', help='second model config (same data)')
+    pc.add_argument('--set', action='append', metavar='dotted.key=value',
+                    help='override applied to the FIRST config')
+    pc.add_argument('--set-b', action='append', metavar='dotted.key=value',
+                    help='override applied to the SECOND config (so one '
+                         'base config can be compared against a variant: '
+                         'compare cfg.yaml cfg.yaml --set-b '
+                         'model.rsd_model=kaiser)')
+    pc.add_argument('--particles', type=int, default=4096,
+                    help='SMC particle count per run')
+    pc.add_argument('--moves', type=int, default=8,
+                    help='SMC mutation moves per stage')
+    pc.add_argument('--seed', type=int, default=0)
+    pc.set_defaults(fn=cmd_compare)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')
