@@ -166,9 +166,10 @@ class TestCheckpointResume:
         assert other.logz == full.logz
 
     def test_checkpoint_every_resumes_bit_identically(self, tmp_path):
-        """checkpoint_every=3 saves at iterations 3, 6, ...; a run killed at
-        iteration 4 resumes from the it=3 state, replays iteration 4, and
-        still finishes bit-identical (O(n_iter^2) I/O lever for long runs)."""
+        """checkpoint_every=3 saves at iterations 3, 6, ... and ALSO on the
+        max_iter error path (so the error message's 'state saved' is true
+        for any cadence); the resumed run continues from the saved state and
+        finishes bit-identical (O(n_iter^2) I/O lever for long runs)."""
         from victor_tpu.sampling import run_nested
         g = TestGaussianEvidence()
         ckpt = str(tmp_path / 'ns_ckpt3.npz')
@@ -179,7 +180,7 @@ class TestCheckpointResume:
             run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
                        n_steps=6, seed=7, chunk=None, max_iter=4,
                        checkpoint=ckpt, checkpoint_every=3)
-        assert int(np.load(ckpt)['it']) == 3
+        assert int(np.load(ckpt)['it']) == 4     # the max_iter-path save
         resumed = run_nested(g._loglike, g.BLOCK, n_live=128, n_batch=32,
                              n_steps=6, seed=7, chunk=None,
                              checkpoint=ckpt, resume=True,

@@ -92,6 +92,29 @@ class TestAnalyticTension:
         assert ndof == 2
         assert 0 < p < 1 and nsigma < 1.5
 
+    def test_parameter_shift_single_parameter(self):
+        """np.cov of an (N, 1) cloud is 0-d — the shift must still work for
+        a single shared sampled parameter (atleast_2d guard)."""
+        from victor_tpu.sampling import parameter_shift
+        rng = np.random.default_rng(0)
+        pa = rng.standard_normal((400, 1)) * 0.1
+        pb = rng.standard_normal((400, 1)) * 0.1 + 0.3
+        chi2, ndof, p, nsigma = parameter_shift(
+            pa.mean(axis=0), np.cov(pa, rowvar=False),
+            pb.mean(axis=0), np.cov(pb, rowvar=False))
+        assert ndof == 1
+        # 0.3 shift over sqrt(2)*0.1 combined sigma ~ 2.1 sigma
+        assert 1.3 < nsigma < 3.2
+
+    def test_parameter_shift_rank_deficient(self):
+        """A rank-deficient combined covariance (perfectly correlated pair)
+        must count only the surviving directions as dof."""
+        from victor_tpu.sampling import parameter_shift
+        c = np.array([[0.04, 0.04], [0.04, 0.04]])      # rank 1
+        chi2, ndof, p, nsigma = parameter_shift([0.2, 0.2], c,
+                                                [0.0, 0.0], c)
+        assert ndof == 1
+
 
 class TestBOSSTensionCLI:
     @pytest.mark.slow
@@ -141,9 +164,14 @@ class TestBOSSTensionCLI:
         main(['compare', str(p), str(p), '--set-b', 'model.rsd_model=kaiser',
               '--particles', '48', '--moves', '2', '--seed', '5'])
         out = json.loads(capsys.readouterr().out)
-        assert out['favored'] == str(p)
+        # label-keyed output: the same path appears twice, so path-keyed
+        # dicts would collapse and 'favored' could not identify the winner
+        assert out['favored'] == 'a'
         assert out['delta_log_evidence'] > 5
         assert out['jeffreys'].startswith('decisive')
+        assert out['a']['set'] == []
+        assert out['b']['set'] == ['model.rsd_model=kaiser']
+        assert out['a']['log_evidence'] > out['b']['log_evidence']
 
     def test_cli_rejects_mismatched_params(self, boss_config, tmp_path):
         import yaml

@@ -89,7 +89,13 @@ def _divisible_mesh(axis_name, count):
 
     from .parallel import make_mesh
     n_dev = len(jax.devices())
-    if jax.default_backend() == 'cpu' and (os.cpu_count() or 1) < n_dev:
+    try:
+        # cores available to THIS process (cgroup/affinity-limited
+        # containers report the full host count through os.cpu_count())
+        n_cores = len(os.sched_getaffinity(0))
+    except AttributeError:                       # non-Linux
+        n_cores = os.cpu_count() or 1
+    if jax.default_backend() == 'cpu' and n_cores < n_dev:
         return None
     if n_dev > 1 and count % n_dev == 0:
         return make_mesh((axis_name,))
@@ -452,25 +458,31 @@ def cmd_scan(args):
     print(json.dumps(out, indent=2))
 
 
-def _plot_map_multipoles(cfg, mres, out_path):
+def _plot_map_multipoles(cfg, bundle, mres, out_path):
     """Data-with-errors vs best-fit-model multipole panels at the MAP
     (api.CCFFit.plot_multipole_comparison per measured pole) — the
-    reference notebooks' model-vs-data figure, emitted by `analyze`."""
+    reference notebooks' model-vs-data figure, emitted by `analyze`.
+
+    Adopts the already-built bundle (no second table ingestion) and labels
+    with mres.chi2 directly (the chi2=True path would jit-compile a second
+    likelihood graph just for the legend)."""
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
     from .api import CCFFit
 
-    fit = CCFFit(cfg['model'], cfg['data'])
+    fit = CCFFit(cfg['model'], cfg['data'], _bundle=bundle)
     full = {k: float(v) for k, v in
             mres.space.full_params(mres.theta).items()}
     poles = fit.poles_s
     fig, axes = plt.subplots(1, len(poles), figsize=(4.8 * len(poles), 3.9),
                              squeeze=False)
     for ax, ell in zip(axes[0], poles):
-        fit.plot_multipole_comparison({**full, 'label': 'best fit'},
-                                      ell=ell, ax=ax, chi2=(ell == poles[0]))
+        label = (f'best fit $\\chi^2={mres.chi2:.2f}$'
+                 if ell == poles[0] else 'best fit')
+        fit.plot_multipole_comparison({**full, 'label': label},
+                                      ell=ell, ax=ax)
         ax.set_title(rf'$\ell = {ell}$')
         ax.legend(fontsize=9)
     fig.tight_layout()
@@ -540,7 +552,7 @@ def cmd_analyze(args):
                         'posterior corner plot (68/95% contours)'))
         if 'quantiles' not in cfg:
             # data-vs-MAP multipoles need the single-dataset CCFFit surface
-            _plot_map_multipoles(cfg, mres,
+            _plot_map_multipoles(cfg, bundle, mres,
                                  os.path.join(outdir, 'multipoles.png'))
             figures.append(('multipoles.png',
                             'data vs best-fit model multipoles'))
@@ -761,7 +773,8 @@ def cmd_tension(args):
 
     res = run_tension(_build_bundle(cfg_a), _build_bundle(cfg_b),
                       params_block, n_particles=args.particles,
-                      n_moves=args.moves, seed=args.seed)
+                      n_moves=args.moves, seed=args.seed,
+                      mesh=_divisible_mesh('particles', args.particles))
     print(json.dumps(_json_sanitize({
         'log_evidence_ratio': round(res.logr, 3),
         'log_evidence_ratio_se': round(res.logr_se, 3),
@@ -787,15 +800,24 @@ def cmd_compare(args):
     """Evidence-based model comparison on the SAME data: one tempered-SMC
     evidence per config, Delta ln Z with quadrature-summed errors and the
     Jeffreys-scale reading (the two configs should differ in the model:
-    block / options; comparing different datasets is `tension`'s job)."""
+    block / options; comparing different datasets is `tension`'s job).
+
+    JSON keys the two runs 'a'/'b' (each with its config path and applied
+    overrides): the documented headline usage passes the SAME path twice
+    (`compare cfg cfg --set-b model.rsd_model=kaiser`), so path-keyed
+    output would collapse the entries and 'favored' could not identify
+    the winner."""
     import numpy as np
 
     from .sampling import run_smc
 
     results = []
-    for i, (path, sets) in enumerate(((args.config, args.set),
-                                      (args.config_b, args.set_b))):
-        cfg = _apply_set(_load(path), sets)
+    # --set applies to BOTH runs (shared analysis choices, matching
+    # tension's semantics); --set-a/--set-b are per-run variants
+    for i, (label, path, sets) in enumerate(
+            (('a', args.config, args.set_a), ('b', args.config_b,
+                                              args.set_b))):
+        cfg = _apply_set(_apply_set(_load(path), args.set), sets)
         if not _has_data(cfg):
             sys.exit(f'compare requires a data: block in {path}')
         params_block = cfg.get('params')
@@ -803,13 +825,13 @@ def cmd_compare(args):
             sys.exit(f'{path} must contain a params: block')
         res = run_smc(_build_bundle(cfg), params_block,
                       n_particles=args.particles, n_moves=args.moves,
-                      seed=args.seed + i)
-        results.append((path, res))
+                      seed=args.seed + i,
+                      mesh=_divisible_mesh('particles', args.particles))
+        results.append((label, path, sets, res))
 
-    (pa, ra), (pb, rb) = results
+    (_, pa, sa, ra), (_, pb, sb, rb) = results
     dlnz = ra.logz - rb.logz
     se = float(np.sqrt(ra.logz_se ** 2 + rb.logz_se ** 2))
-    favored = pa if dlnz > 0 else pb
     a = abs(dlnz)
     scale = ('inconclusive (|Delta ln Z| < 1)' if a < 1 else
              'positive (1 <= |Delta ln Z| < 2.5)' if a < 2.5 else
@@ -818,10 +840,12 @@ def cmd_compare(args):
     print(json.dumps(_json_sanitize({
         'delta_log_evidence': round(dlnz, 3),
         'delta_log_evidence_se': round(se, 3),
-        'favored': favored,
+        'favored': 'a' if dlnz > 0 else 'b',
         'jeffreys': scale,
-        'log_evidence': {pa: round(ra.logz, 3), pb: round(rb.logz, 3)},
-        'posterior': {pa: ra.summary(), pb: rb.summary()},
+        'a': {'config': pa, 'set': (args.set or []) + (sa or []),
+              'log_evidence': round(ra.logz, 3), 'posterior': ra.summary()},
+        'b': {'config': pb, 'set': (args.set or []) + (sb or []),
+              'log_evidence': round(rb.logz, 3), 'posterior': rb.summary()},
         'elapsed_s': round(ra.elapsed_s + rb.elapsed_s, 2),
     }), indent=2))
 
@@ -1002,11 +1026,14 @@ def main(argv=None):
     pc.add_argument('config', help='first model config')
     pc.add_argument('config_b', help='second model config (same data)')
     pc.add_argument('--set', action='append', metavar='dotted.key=value',
-                    help='override applied to the FIRST config')
+                    help='override applied to BOTH configs (shared analysis '
+                         'choices — same semantics as tension --set)')
+    pc.add_argument('--set-a', action='append', metavar='dotted.key=value',
+                    help='override applied to the FIRST config only')
     pc.add_argument('--set-b', action='append', metavar='dotted.key=value',
-                    help='override applied to the SECOND config (so one '
-                         'base config can be compared against a variant: '
-                         'compare cfg.yaml cfg.yaml --set-b '
+                    help='override applied to the SECOND config only (so '
+                         'one base config can be compared against a '
+                         'variant: compare cfg.yaml cfg.yaml --set-b '
                          'model.rsd_model=kaiser)')
     pc.add_argument('--particles', type=int, default=4096,
                     help='SMC particle count per run')

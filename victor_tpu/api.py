@@ -264,8 +264,12 @@ class CCFModel:
 class CCFFit(CCFModel):
     """Likelihood layer with the reference class surface (victor/ccf_fit.py:10)."""
 
-    def __init__(self, model: Dict, data: Dict):
-        bundle = build_tables(model, data)
+    def __init__(self, model: Dict, data: Dict,
+                 _bundle: Optional[CCFModelBundle] = None):
+        # _bundle: adopt an already-built table set instead of re-running
+        # the host-side ingestion (same contract as CCFModel's _bundle —
+        # the CLI's analyze figure path holds one already)
+        bundle = _bundle if _bundle is not None else build_tables(model, data)
         super().__init__(model, _bundle=bundle)
         self.data_config = data
         t = bundle.tables

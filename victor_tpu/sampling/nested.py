@@ -313,6 +313,10 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
         if np.logaddexp(logz, logz_live) - logz < dlogz:
             break
         if it >= max_iter:
+            # the cadence may not have saved THIS iteration's state; write
+            # it now so the error message below is true for any
+            # checkpoint_every
+            _save_checkpoint()
             raise RuntimeError(
                 f'nested sampling did not terminate in {max_iter} iterations '
                 '(state saved to the checkpoint if one was given; '
@@ -387,6 +391,13 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                      'acc=%.2f scale=%.2f logZ>=%.3f', it, lnx,
                      threshold if threshold > _NEG else float('-inf'),
                      acc, scale, logz)
+
+    if it % checkpoint_every != 0:
+        # termination between cadence points: persist the terminal state
+        # (identical to what an every-iteration save would have written —
+        # the loop breaks before any mutation) so a resume of a FINISHED
+        # run replays it instead of restarting from a stale iteration
+        _save_checkpoint()
 
     # live points enter with width X/N each (their lnl_h is current)
     lnwt_live = lnl_h + lnx - np.log(n_live)

@@ -25,9 +25,10 @@ the two standard quantitative statistics run on device in one command
 
        chi2_shift = (m_A - m_B)^T (C_A + C_B)^{-1} (m_A - m_B)
 
-   is chi2-distributed with ndim dof under concordance (the Raveri & Hu
-   2019 "parameter difference" statistic in its Gaussian limit); reported
-   as a tail probability and the equivalent two-sided n-sigma.
+   is chi2-distributed with rank(C_A + C_B) dof under concordance (the
+   Raveri & Hu 2019 "parameter difference" statistic in its Gaussian
+   limit); reported as a tail probability and the equivalent two-sided
+   n-sigma.
 
 The two statistics are complementary: ln R integrates over the full
 posterior mass (sensitive to volume effects), the parameter shift is
@@ -67,15 +68,20 @@ class TensionResult:
 
 
 def parameter_shift(mean_a, cov_a, mean_b, cov_b):
-    """(chi2, ndof, p, nsigma) of the Gaussian parameter-difference test."""
-    d = np.asarray(mean_a, dtype=np.float64) - np.asarray(mean_b,
-                                                          dtype=np.float64)
-    c = np.asarray(cov_a, dtype=np.float64) + np.asarray(cov_b,
-                                                         dtype=np.float64)
+    """(chi2, ndof, p, nsigma) of the Gaussian parameter-difference test.
+
+    `ndof` is the RANK of C_A + C_B, not the raw dimension: pinv zeroes
+    rank-deficient directions out of chi2, so counting them as dof would
+    bias p high and under-report a real tension."""
+    d = np.atleast_1d(np.asarray(mean_a, dtype=np.float64)
+                      - np.asarray(mean_b, dtype=np.float64))
+    # atleast_2d: np.cov of a single-parameter cloud is 0-d
+    c = np.atleast_2d(np.asarray(cov_a, dtype=np.float64)
+                      + np.asarray(cov_b, dtype=np.float64))
     # pinv guards near-degenerate directions (prior-pinned parameters have
     # matching clouds in both fits, contributing ~0 to the shift)
     chi2 = float(d @ np.linalg.pinv(c) @ d)
-    ndof = len(d)
+    ndof = int(np.linalg.matrix_rank(c))
     p = float(stats.chi2.sf(chi2, ndof))
     # two-sided Gaussian equivalent; isf keeps precision where sf(p/2)
     # underflows
@@ -86,11 +92,12 @@ def parameter_shift(mean_a, cov_a, mean_b, cov_b):
 def run_tension(bundle_a, bundle_b, params_block: Dict,
                 n_particles: int = 4096, n_moves: int = 8, seed: int = 0,
                 opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
-                chunk: Optional[int] = 64) -> TensionResult:
+                chunk: Optional[int] = 64, mesh=None) -> TensionResult:
     """Three tempered-SMC runs (A, B, product AB at shared params) -> the
     evidence ratio ln R and the Gaussian parameter-shift n-sigma.
 
-    `bundle_a`/`bundle_b` are any run_smc target kind; `params_block` is
+    `bundle_a`/`bundle_b` are any run_smc target kind (`mesh` shards each
+    run's particle axis exactly as run_smc does); `params_block` is
     the SHARED cobaya-style block (identical prior for all three runs —
     the ratio is meaningless otherwise). Distinct seeds per run keep the
     three evidence errors independent so they add in quadrature.
@@ -101,7 +108,7 @@ def run_tension(bundle_a, bundle_b, params_block: Dict,
 
     t0 = time.time()
     kw = dict(n_particles=n_particles, n_moves=n_moves, chunk=chunk,
-              opts_kw=opts_kw, fit_kw=fit_kw)
+              opts_kw=opts_kw, fit_kw=fit_kw, mesh=mesh)
     res_a = run_smc(bundle_a, params_block, seed=seed, **kw)
     res_b = run_smc(bundle_b, params_block, seed=seed + 1, **kw)
     res_ab = run_smc(ProductTarget((bundle_a, bundle_b)), params_block,
