@@ -116,6 +116,21 @@ class TestAnalyticTension:
         assert ndof == 1
 
 
+class TestShardedTension:
+    def test_mesh_sharded_matches_analytic(self):
+        """run_tension with the particle axis sharded over the 8-device CPU
+        mesh: the ProductTarget's tuple-of-tables pytree must replicate and
+        the sharded evidences must still reproduce the closed-form ln R."""
+        from victor_tpu.parallel import make_mesh
+        from victor_tpu.sampling import run_tension
+        res = run_tension(_gauss_like([0.5, -0.3]), _gauss_like([0.5, -0.3]),
+                          BLOCK, n_particles=2048, n_moves=6, seed=0,
+                          chunk=None, mesh=make_mesh(('particles',)))
+        truth = _analytic_logr([0.5, -0.3], [0.5, -0.3])
+        assert abs(res.logr - truth) < max(4 * res.logr_se, 0.5)
+        assert res.shift_nsigma < 3.0
+
+
 class TestBOSSTensionCLI:
     @pytest.mark.slow
     def test_cli_boss_vs_itself(self, boss_config, tmp_path, capsys):
