@@ -214,6 +214,18 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert abs(out['chi2'] - 103.90) < 0.01
 
+    def test_corner_plot(self, tmp_path):
+        """plottools.corner_plot (the analyze/plot_chains corner): weighted
+        samples, subset selection, saved artifact."""
+        from victor_tpu.plottools import corner_plot
+        rng = np.random.default_rng(3)
+        samples = rng.standard_normal((500, 3))
+        out = corner_plot(samples, ['a', 'b', 'c'],
+                          str(tmp_path / 'corner.png'),
+                          weights=rng.random(500), params=['c', 'a'])
+        import os
+        assert os.path.getsize(out) > 1000
+
     def test_bench(self, boss_config, tmp_path, capsys):
         import yaml
         from victor_tpu.__main__ import main

@@ -35,6 +35,30 @@ class TestTailProbability:
             p_g = chi2_tail_probability(chi2, ndof, form='gaussian')
             assert p_f > p_g, (chi2, p_f, p_g)
 
+    def test_form_is_case_insensitive(self):
+        """'Sellentin' must get the Hotelling correction exactly like
+        'sellentin' — likelihood/core lowercases at its point of use, and a
+        silent chi2-tail fallback is the optimistic error this module
+        exists to correct."""
+        from victor_tpu.sampling.gof import chi2_tail_probability
+        a = chi2_tail_probability(70.0, 56, form='sellentin', nmocks=1000)
+        b = chi2_tail_probability(70.0, 56, form='Sellentin', nmocks=1000)
+        c = chi2_tail_probability(70.0, 56, form='gaussian')
+        assert a == b
+        assert a != c
+
+    def test_form_is_case_insensitive(self):
+        """'Sellentin' must get the Hotelling correction exactly like
+        'sellentin' — likelihood/core lowercases at its point of use, and a
+        silent chi2-tail fallback is the optimistic error this module
+        exists to correct."""
+        from victor_tpu.sampling.gof import chi2_tail_probability
+        a = chi2_tail_probability(70.0, 56, form='sellentin', nmocks=1000)
+        b = chi2_tail_probability(70.0, 56, form='Sellentin', nmocks=1000)
+        c = chi2_tail_probability(70.0, 56, form='gaussian')
+        assert a == b
+        assert a != c
+
     def test_gaussian_and_fallbacks(self):
         """gaussian form and nmocks <= ndof+1 both use the chi2 tail; arrays
         pass through elementwise."""

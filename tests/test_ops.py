@@ -150,6 +150,44 @@ class TestLegendre:
         np.testing.assert_allclose(ops.legendre_p(ell, mu), legendre(ell)(mu),
                                    atol=1e-12)
 
+    @pytest.mark.parametrize('ell', [5, 7, 8, 11, 12])
+    def test_recurrence_orders_match_scipy(self, ell):
+        """The reference accepts ANY order through scipy.special.legendre
+        (victor/utils.py:53); the Bonnet-recurrence fallback must too —
+        odd dipole/octupole analyses are valid reference workflows."""
+        from scipy.special import eval_legendre
+        mu = np.linspace(-1, 1, 101)
+        np.testing.assert_allclose(ops.legendre_p(ell, mu),
+                                   eval_legendre(ell, mu), atol=1e-12)
+        with pytest.raises(ValueError):
+            ops.legendre_p(-1, mu)
+
+    def test_odd_multipole_transform(self):
+        """multipoles_from_fn / fn_from_multipoles with odd ells (the
+        previously-NotImplementedError path): mu^3 decomposes exactly as
+        (3 P_1 + 2 P_3)/5, so a cubic-in-mu function has known odd
+        multipoles and zero P_5 content."""
+        from victor_tpu.utils.multipoles import (fn_from_multipoles,
+                                                 multipoles_from_fn)
+        r = np.linspace(10.0, 120.0, 30)
+        g = np.exp(-r / 60.0)
+
+        def f(rj, mu):
+            return np.exp(-rj / 60.0) * (1.0 + 0.5 * mu + 0.2 * mu ** 3)
+
+        mults = multipoles_from_fn(f, r, ell=[1, 3, 5], even=False,
+                                   npts=4001)
+        np.testing.assert_allclose(mults['1'], (0.5 + 0.12) * g, rtol=1e-6)
+        np.testing.assert_allclose(mults['3'], 0.08 * g, rtol=1e-5)
+        np.testing.assert_allclose(mults['5'], 0.0, atol=1e-5)  # trapz O(h^2)
+
+        rec = fn_from_multipoles(r, [1, 3],
+                                 np.stack([mults['1'], mults['3']]))
+        mu = np.linspace(-0.9, 0.9, 21)
+        got = np.asarray(rec(r, mu))               # (len(mu), len(r))
+        want = (0.5 * mu[:, None] + 0.2 * mu[:, None] ** 3) * g[None, :]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
 
 class TestProjection:
     def test_multipole_projection_matches_reference_pipeline(self):

@@ -34,6 +34,14 @@ class TestMesh:
     def test_distributed_init_noop(self):
         distributed_init()                      # single-host: must be a no-op
         distributed_init(num_processes=1)
+        # a coordinator with no process count is a misconfigured multi-host
+        # launch: fail fast instead of silently running single-host
+        with pytest.raises(ValueError, match='num_processes'):
+            distributed_init(coordinator_address='host0:1234')
+        # a coordinator with no process count is a misconfigured multi-host
+        # launch: fail fast instead of silently running single-host
+        with pytest.raises(ValueError, match='num_processes'):
+            distributed_init(coordinator_address='host0:1234')
 
     def test_cross_chain_rhat_converged_vs_not(self):
         rng = np.random.default_rng(0)
@@ -43,6 +51,28 @@ class TestMesh:
         bad = good + np.arange(8)[:, None, None]     # separated chains
         r2 = np.asarray(cross_chain_rhat(jnp.asarray(bad)))
         assert np.all(r2 > 1.5)
+
+    def test_cross_chain_rhat_stuck_chains_is_inf(self):
+        """Every chain constant (a stuck sampler, W = 0) must read as
+        'not converged' (+inf) rather than NaN — NaN fails the
+        rhat - 1 < stop convergence test silently with no diagnostic."""
+        stuck = np.ones((4, 100, 2))
+        r = np.asarray(cross_chain_rhat(jnp.asarray(stuck)))
+        assert np.all(np.isinf(r))
+        short = np.random.default_rng(0).normal(size=(4, 1, 2))
+        r1 = np.asarray(cross_chain_rhat(jnp.asarray(short)))
+        assert not np.any(np.isnan(r1))
+
+    def test_cross_chain_rhat_stuck_chains_is_inf(self):
+        """Every chain constant (a stuck sampler, W = 0) must read as
+        'not converged' (+inf) rather than NaN — NaN fails the
+        `rhat - 1 < stop` convergence test silently with no diagnostic."""
+        stuck = np.ones((4, 100, 2))
+        r = np.asarray(cross_chain_rhat(jnp.asarray(stuck)))
+        assert np.all(np.isinf(r))
+        short = np.random.default_rng(0).normal(size=(4, 1, 2))
+        r1 = np.asarray(cross_chain_rhat(jnp.asarray(short)))
+        assert not np.any(np.isnan(r1))
 
 
 class TestProfiling:

@@ -29,6 +29,14 @@ def distributed_init(coordinator_address: Optional[str] = None,
     code scales across hosts.
     """
     if num_processes is None or num_processes <= 1:
+        if coordinator_address is not None and num_processes is None:
+            # a coordinator with no process count is a misconfigured
+            # multi-host launch — failing fast beats N hosts silently
+            # running independent single-host programs with wrong results
+            raise ValueError(
+                'distributed_init: coordinator_address was given but '
+                'num_processes is None — pass the process count (and '
+                'process_id) for a multi-host launch')
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
@@ -61,7 +69,20 @@ def make_mesh(axis_names: Sequence[str] = ('chains', 'walkers'),
             if len(axis_names) > 1 else (n,)
     if int(np.prod(shape)) != n:
         raise ValueError(f'mesh shape {shape} does not cover {n} devices')
-    dev_array = np.asarray(devices).reshape(shape)
+    if devices == list(jax.devices()):
+        # topology-aware assignment: mesh-axis neighbors should be physical
+        # ICI neighbors on real multi-chip slices (a naive enumeration-order
+        # reshape makes the cross-chain all-reduces hop across the fabric);
+        # on CPU/single-chip this reduces to the plain reshape
+        from jax.experimental import mesh_utils
+        try:
+            dev_array = mesh_utils.create_device_mesh(tuple(shape),
+                                                      devices=devices)
+        except Exception:
+            dev_array = np.asarray(devices).reshape(shape)
+    else:
+        # an explicit device subset keeps the caller's ordering
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 
@@ -85,12 +106,20 @@ def cross_chain_rhat(chains_by_param):
     x = chains_by_param
     m, n = x.shape[0], x.shape[1]
     half = n // 2
+    if half < 2:
+        # fewer than 2 draws per split half: R-hat is undefined — report
+        # "not converged" rather than dividing by n = 0
+        return jnp.full(x.shape[2:], jnp.inf)
     x = jnp.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)  # split chains
     m, n = 2 * m, half
     chain_mean = jnp.mean(x, axis=1)                    # (m, P)
     chain_var = jnp.var(x, axis=1, ddof=1)              # (m, P)
-    grand_mean = jnp.mean(chain_mean, axis=0)           # (P,)
     B = n * jnp.var(chain_mean, axis=0, ddof=1)
     W = jnp.mean(chain_var, axis=0)
     var_post = (n - 1) / n * W + B / n
-    return jnp.sqrt(var_post / W)
+    # W == 0 (every chain constant — a stuck sampler) would give NaN, which
+    # fails every `rhat - 1 < stop` test SILENTLY; +inf fails them too but
+    # says "not converged" instead of "undefined"
+    bad = W <= 0
+    return jnp.where(bad, jnp.inf, jnp.sqrt(var_post / jnp.where(bad, 1.0,
+                                                                 W)))

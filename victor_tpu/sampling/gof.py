@@ -45,6 +45,10 @@ def chi2_tail_probability(chi2, ndof: int, form: str = 'gaussian',
     """
     from scipy import stats
     c = np.asarray(chi2, dtype=np.float64)
+    # lowercase like likelihood/core does at ITS point of use — a
+    # capitalized 'Sellentin' must not silently fall back to the
+    # optimistic chi2 tail this module exists to correct
+    form = (form or '').lower()
     if form in _ESTIMATED_COV_FORMS and nmocks and nmocks > ndof + 1:
         m = float(nmocks)
         scale = (m - ndof) / (ndof * (m - 1.0))

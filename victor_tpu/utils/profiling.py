@@ -79,17 +79,20 @@ def trace(logdir: str):
 
 
 def _force_host_transfer(out):
-    """Pull one array of `out` to host: the per-rep completion barrier.
+    """Pull EVERY device array of `out` to host: the per-rep completion
+    barrier.
 
     Through the axon remote-device tunnel jax.block_until_ready can resolve
     BEFORE device execution finishes, inflating repeat-dispatch timings by
     orders of magnitude (CLAUDE.md measurement trap); a device->host
     transfer of an output is the reliable barrier, so every timed rep
-    forces one (as bench.py does)."""
+    forces one (as bench.py does). All leaves are transferred, not just the
+    first: a host-scalar first leaf would be a no-op barrier, and outputs
+    assembled from several dispatches need each dispatch synchronized."""
     import numpy as np
-    leaves = jax.tree_util.tree_leaves(out)
-    if leaves:
-        np.asarray(leaves[0])
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            np.asarray(leaf)
 
 
 def throughput(fn, *args, reps: int = 5, warmup: int = 1):
