@@ -228,6 +228,100 @@ class TestFisherForecast:
         i, j = names.index('fsigma8'), names.index('sigma_v')
         assert corr_f[i, j] > 0.4
 
+    def test_derived_params_chain_through(self, boss_config, map_result):
+        """Derived lambdas (the cobaya params-block vocabulary) must chain
+        through the forecast derivative: sampling svx with derived
+        sigma_v = svx gives exactly the Fisher of sampling sigma_v
+        directly — without the chain rule the derived parameter would be
+        absent from the residual entirely."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import fisher_forecast
+        from victor_tpu.sampling.priors import ParamSpace
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        names = ('fsigma8', 'beta', 'sigma_v', 'epsilon')
+        direct = fisher_forecast(bundle, map_result.params, names)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05,
+                                  'max': 1.5}},
+            'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'svx': {'prior': {'dist': 'uniform', 'min': 150.0,
+                              'max': 700.0}},
+            'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8,
+                                  'max': 1.2}},
+            'sigma_v': {'value': 'lambda svx: svx'},
+        }
+        space = ParamSpace(block)
+        fid = dict(map_result.params)
+        fid['svx'] = fid.pop('sigma_v')
+        res = fisher_forecast(bundle, fid, space.names,
+                              derived=space.derived)
+        assert res.names == ('fsigma8', 'beta', 'svx', 'epsilon')
+        np.testing.assert_allclose(
+            [res.std[n] for n in res.names],
+            [direct.std[n] for n in names], rtol=1e-6)
+
+
+class TestLaplaceEvidence:
+    def test_gaussian_laplace_evidence_is_exact(self):
+        """For a Gaussian likelihood under a wide uniform box prior the
+        Laplace evidence IS the evidence: lnZ = lnL_max - ln V +
+        (d/2) ln 2pi + (1/2) ln det Sigma."""
+        import jax.numpy as jnp
+        from victor_tpu.sampling.optimize import find_map
+        MU = np.array([0.5, -0.3])
+        COV = np.array([[1.0, 0.6], [0.6, 0.8]])
+        ICOV = np.linalg.inv(COV)
+
+        def loglike(params):
+            d = jnp.stack([params['x'] - MU[0], params['y'] - MU[1]])
+            chi2 = d @ jnp.asarray(ICOV) @ d
+            return -0.5 * chi2, chi2
+
+        block = {'x': {'prior': {'dist': 'uniform', 'min': -20.0,
+                                 'max': 20.0}},
+                 'y': {'prior': {'dist': 'uniform', 'min': -20.0,
+                                 'max': 20.0}}}
+        m = find_map(loglike, block, n_starts=4, adam_steps=300,
+                     newton_steps=6, seed=0)
+        want = (-np.log(40.0 * 40.0) + np.log(2.0 * np.pi)
+                + 0.5 * np.linalg.slogdet(COV)[1])
+        assert abs(m.log_evidence_laplace - want) < 1e-3
+
+    def test_boss_laplace_evidence_tracks_quadrature(self, map_result):
+        """On the BOSS posterior the Laplace evidence must land within a
+        fraction of a nat of the ground truth: grid-quadrature logZ =
+        278.967 on the boss_sampling_config priors, whose box differs from
+        BLOCK_4P only in the sigma_v range (400 vs 550 wide) -> expected
+        278.967 + ln(400/550) = 278.65 here (the ~3% of posterior sigma_v
+        mass above 500 shifts this by +0.03, well inside the tolerance)."""
+        lz = map_result.log_evidence_laplace
+        assert np.isfinite(lz)
+        assert abs(lz - 278.65) < 0.8, lz
+
+
+class TestForecastCLI:
+    def test_cli_forecast_matches_library(self, capsys, tmp_path,
+                                          boss_config):
+        import json
+
+        import yaml
+
+        from victor_tpu.__main__ import main
+        p = tmp_path / 'fc.yaml'
+        cfg = dict(boss_config)
+        cfg['params'] = BLOCK_4P
+        p.write_text(yaml.safe_dump(cfg))
+        main(['forecast', str(p), '--param', 'fsigma8=0.47'])
+        out = json.loads(capsys.readouterr().out)
+        assert set(out['sigma_fisher']) == set(BLOCK_4P)
+        assert out['fiducial']['fsigma8'] == 0.47
+        for sig in out['sigma_fisher'].values():
+            assert np.isfinite(sig) and sig > 0
+        # the fiducial sits at the ref locations, near the MAP, so the
+        # forecast sigmas carry the known posterior scales and degeneracy
+        assert 0.02 < out['sigma_fisher']['fsigma8'] < 0.15
+        assert out['correlation']['fsigma8']['sigma_v'] > 0.4
+
 
 class TestFitCLI:
     @pytest.mark.slow

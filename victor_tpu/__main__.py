@@ -284,6 +284,24 @@ def cmd_run(args):
          'summary': result.summary()}), indent=2))
 
 
+def _reference_point(space):
+    """Fiducial point from a params block: fixed values plus each sampled
+    parameter's ref location (falling back to the prior midpoint / edge) —
+    the full ParamSpace vocabulary (fixed values, {value: x}, scalar refs,
+    prior-only params). Shared by eval (default evaluation point) and
+    forecast (Fisher fiducial)."""
+    point = {k: float(v) for k, v in space.fixed.items()}
+    for p in space.sampled:
+        if p.ref_dist == 'norm':
+            loc = p.ref_loc
+        elif p.dist in ('uniform', 'loguniform'):
+            loc = 0.5 * (p.lo + p.hi)
+        else:
+            loc = p.lo
+        point[p.name] = float(loc)
+    return point
+
+
 def cmd_eval(args):
     import numpy as np
     import jax
@@ -293,20 +311,10 @@ def cmd_eval(args):
 
     cfg = _apply_set(_load(args.config), args.set)
     bundle = _build_bundle(cfg)
-    # default evaluation point from the full ParamSpace vocabulary (fixed
-    # values, {value: x}, scalar refs, prior-only params — the hand-rolled
-    # loop this replaces silently dropped several supported spec forms)
     from .sampling.priors import ParamSpace
     space = ParamSpace(cfg.get('params') or {})
-    params = {k: jnp.asarray(v) for k, v in space.fixed.items()}
-    for p in space.sampled:
-        if p.ref_dist == 'norm':
-            loc = p.ref_loc
-        elif p.dist in ('uniform', 'loguniform'):
-            loc = 0.5 * (p.lo + p.hi)
-        else:
-            loc = p.lo
-        params[p.name] = jnp.asarray(float(loc))
+    params = {k: jnp.asarray(v)
+              for k, v in _reference_point(space).items()}
     for kv in args.param or []:
         if '=' not in kv:
             sys.exit(f"bad --param '{kv}': expected name=value")
@@ -415,10 +423,14 @@ def cmd_fit(args):
         'best_fit': {k: round(v, 6) for k, v in result.params.items()},
         'std_laplace': {k: round(v, 6) for k, v in result.std.items()},
         'n_converged': result.n_converged,
+        # Laplace (saddle-point) evidence from quantities the fit already
+        # has — a free near-Gaussian cross-check of `run --sampler smc/ns`
+        # (null when the Laplace covariance is not positive definite)
+        'log_evidence_laplace': round(result.log_evidence_laplace, 3),
         'elapsed_s': round(time.time() - t0, 2)}
     if derived:
         out['derived'] = derived
-    print(json.dumps(out, indent=2))
+    print(json.dumps(_json_sanitize(out), indent=2))
 
 
 def cmd_scan(args):
@@ -585,7 +597,8 @@ def cmd_analyze(args):
         '',
         f'log-evidence: **log Z = {sres.logz:.3f} +/- {sres.logz_se:.3f}** '
         '(se covers the measured seed-to-seed scatter; CLT se '
-        f'{sres.logz_se_clt:.3f})',
+        f'{sres.logz_se_clt:.3f}; Laplace cross-check at the MAP: '
+        f'{mres.log_evidence_laplace:.3f})',
         '',
         '| parameter | MAP | sigma(Laplace) | posterior mean +/- std '
         '| median | central 68% |',
@@ -618,20 +631,21 @@ def cmd_analyze(args):
     with open(report, 'w') as f:
         f.write('\n'.join(lines) + '\n')
 
-    print(json.dumps({
+    print(json.dumps(_json_sanitize({
         'report': report,
         'figures': [os.path.join(outdir, f) for f, _ in figures],
         'chi2': round(mres.chi2, 4), 'ndof': ndof, 'p_value': round(p_val, 4),
         'posterior_predictive_p': round(ppp, 4),
         'log_evidence': round(sres.logz, 3),
         'log_evidence_se': round(sres.logz_se, 3),
+        'log_evidence_laplace': round(mres.log_evidence_laplace, 3),
         'posterior': {n: {'mean': round(float(mean[i]), 6),
                           'std': round(float(std[i]), 6),
                           'central_68': [round(float(lo68[i]), 6),
                                          round(float(hi68[i]), 6)]}
                       for i, n in enumerate(names)},
         'elapsed_s': {'map': round(t_map, 2), 'smc': round(t_smc, 2)},
-    }, indent=2))
+    }), indent=2))
 
 
 def _apply_set(cfg, assignments):
@@ -850,6 +864,59 @@ def cmd_compare(args):
     }), indent=2))
 
 
+def cmd_forecast(args):
+    """Gaussian Fisher-matrix forecast of the expected parameter
+    constraints at a fiducial point: sigmas and correlations from the exact
+    residual Jacobian (sampling/optimize.fisher_forecast) — no sampling,
+    one jitted jacfwd dispatch. The fiducial defaults to the params block's
+    ref locations (override with --param name=value)."""
+    import numpy as np
+
+    from .sampling.optimize import fisher_forecast
+    from .sampling.priors import ParamSpace
+
+    cfg = _apply_set(_load(args.config), args.set)
+    if not _has_data(cfg):
+        sys.exit('forecast requires a data: block (data vector + covariance)')
+    if 'quantiles' in cfg:
+        sys.exit('forecast supports single-dataset configs (the Fisher '
+                 'residual is defined per data vector); forecast each '
+                 'quantile separately')
+    params_block = cfg.get('params')
+    if not params_block:
+        sys.exit('config must contain a params: block')
+    space = ParamSpace(params_block)
+    if not space.ndim:
+        sys.exit('forecast needs sampled parameters in the params: block')
+    bundle = _build_bundle(cfg)
+    fiducial = _reference_point(space)
+    for kv in args.param or []:
+        if '=' not in kv:
+            sys.exit(f"bad --param '{kv}': expected name=value")
+        k, v = kv.split('=', 1)
+        try:
+            fiducial[k] = float(v)
+        except ValueError:
+            sys.exit(f"bad --param '{kv}': value must be numeric")
+    t0 = time.time()
+    res = fisher_forecast(bundle, fiducial, space.names,
+                          derived=space.derived)
+    names = list(res.names)
+    corr = np.round(res.correlation, 4)
+    print(json.dumps(_json_sanitize({
+        'fiducial': {k: round(float(fiducial[k]), 6) for k in names},
+        'sigma_fisher': {k: round(v, 6) for k, v in res.std.items()},
+        'correlation': {names[i]: {names[j]: float(corr[i, j])
+                                   for j in range(len(names)) if j != i}
+                        for i in range(len(names))},
+        'elapsed_s': round(time.time() - t0, 2),
+        'note': 'expected constraints from the local response at the '
+                'fiducial (residual Jacobian + fiducial-beta precision); '
+                'agrees with the Laplace errors in expectation for a '
+                'Gaussian likelihood with parameter-independent covariance',
+    }), indent=2))
+
+
 def cmd_bench(args):
     import numpy as np
     import jax
@@ -1041,6 +1108,17 @@ def main(argv=None):
                     help='SMC mutation moves per stage')
     pc.add_argument('--seed', type=int, default=0)
     pc.set_defaults(fn=cmd_compare)
+
+    pfc = sub.add_parser('forecast', help='Fisher forecast of expected '
+                         'constraints at a fiducial point (no sampling)')
+    pfc.add_argument('config')
+    pfc.add_argument('--set', action='append', metavar='dotted.key=value',
+                     help='config override, e.g. --set model.rsd_model='
+                          'dispersion (list nodes by index: quantiles.0...)')
+    pfc.add_argument('--param', action='append',
+                     help='fiducial override, e.g. --param fsigma8=0.47 '
+                          '(default: the params block ref locations)')
+    pfc.set_defaults(fn=cmd_forecast)
 
     pb = sub.add_parser('bench', help='batched likelihood throughput')
     pb.add_argument('config')

@@ -59,6 +59,22 @@ class MAPResult:
         sd = np.sqrt(np.clip(np.diag(self.cov), 1e-300, np.inf))
         return self.cov / np.outer(sd, sd)
 
+    @property
+    def log_evidence_laplace(self) -> float:
+        """Laplace (saddle-point) approximation to the log-evidence:
+        ln Z ~= ln post(MAP) + (d/2) ln 2pi + 1/2 ln det Sigma, with Sigma
+        the Laplace covariance — the Occam factor evaluated from quantities
+        the fit already has. A free cross-check of the SMC/NS estimates for
+        near-Gaussian posteriors with an interior MAP; NaN when the
+        covariance is not positive definite (quote the sampler evidence
+        then)."""
+        sign, logdet = np.linalg.slogdet(self.cov)
+        if sign <= 0 or not np.isfinite(logdet):
+            return float('nan')
+        d = self.cov.shape[0]
+        return float(self.lnpost + 0.5 * d * np.log(2.0 * np.pi)
+                     + 0.5 * logdet)
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         sd = self.std
         return {name: {'value': val, 'std': sd[name]}
@@ -259,8 +275,14 @@ class FisherResult:
 
 def fisher_forecast(bundle, fiducial: Dict, names,
                     opts_kw: Optional[Dict] = None,
-                    fit_kw: Optional[Dict] = None) -> FisherResult:
+                    fit_kw: Optional[Dict] = None,
+                    derived=()) -> FisherResult:
     """Gaussian Fisher-matrix forecast at a fiducial parameter point.
+
+    `derived` takes DerivedParam-like entries (``.name``, ``.argnames``,
+    ``.fn``, ``.src``) — the cobaya-style derived lambdas of a params block
+    (e.g. aperp/apar from alpha, epsilon) — applied after the forecast
+    parameters are assembled, so the derivative chains through them.
 
     F_ij = (d r / d theta_i)^T C^-1 (d r / d theta_j), with r = t - d the
     residual of the theory multipole vector against the (beta-interpolated)
@@ -285,7 +307,10 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     spec = bundle.spec
 
-    fixed = {k: jnp.asarray(v) for k, v in fiducial.items() if k not in names}
+    derived = tuple(derived)
+    derived_names = {d.name for d in derived}
+    fixed = {k: jnp.asarray(v) for k, v in fiducial.items()
+             if k not in names and k not in derived_names}
     th0 = jnp.asarray([float(fiducial[n]) for n in names])
     # ONE fiducial beta for both the data-vector default and the covariance
     # (they previously used different fallbacks, mixing interpolation points)
@@ -294,14 +319,17 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     # the fixed fiducial values are closure constants of the jitted residual,
     # so they must be part of the cache key
     cache_key = ('fisher', spec, opts, fit, names, beta_fid,
+                 tuple((d.name, d.argnames, d.src) for d in derived),
                  tuple(sorted((k, float(v)) for k, v in fiducial.items()
-                              if k not in names)))
+                              if k not in names and k not in derived_names)))
     fns = _FIT_CACHE.setdefault(cache_key, {})
     if 'jac' not in fns:
         def residual(tbl, th):
             params = dict(fixed)
             for i, n in enumerate(names):
                 params[n] = th[i]
+            for d in derived:
+                params[d.name] = d.fn(*[params[a] for a in d.argnames])
             beta = params.get('beta', jnp.asarray(beta_fid))
             return theory_vector(tbl, spec, opts, params) - \
                 multipole_datavector(tbl, spec, beta)
