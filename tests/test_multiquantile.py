@@ -193,6 +193,24 @@ class TestJointSampling:
                                    single.std['fsigma8'] / np.sqrt(2),
                                    rtol=0.1)
 
+    def test_fisher_forecast_on_joint_bundle(self, joint_cfg, single_bundle):
+        """Fisher forecast accepts a JointBundle: the duplicated block-
+        diagonal dataset doubles the Fisher information, so every sigma
+        scales by 1/sqrt(2) relative to the single dataset (up to the
+        reference's lerp-the-precision quirk, which makes the single-path
+        icov differ from inv(lerped C) at the few-1e-3 level)."""
+        from victor_tpu.sampling.optimize import fisher_forecast
+        jb = build_joint_tables(joint_cfg)
+        fid = dict(PARAMS)
+        names = ('fsigma8', 'epsilon')
+        joint = fisher_forecast(jb, fid, names)
+        single = fisher_forecast(single_bundle, fid, names)
+        for n in names:
+            assert np.isfinite(joint.std[n]) and joint.std[n] > 0
+            np.testing.assert_allclose(joint.std[n],
+                                       single.std[n] / np.sqrt(2.0),
+                                       rtol=0.05)
+
     @pytest.mark.slow
     def test_run_smc_on_joint_bundle(self, joint_cfg):
         from victor_tpu.sampling import run_smc
@@ -248,3 +266,15 @@ class TestJointCLI:
         out = json.loads(capsys.readouterr().out)
         assert out['n_steps'] >= 4
         assert set(out['summary']) == {'fsigma8', 'beta'}
+
+    def test_forecast(self, joint_yaml, capsys):
+        import json
+        from victor_tpu.__main__ import main
+        main(['forecast', joint_yaml, '--param', 'fsigma8=0.47',
+              '--param', 'beta=0.37'])
+        out = json.loads(capsys.readouterr().out)
+        assert set(out['sigma_fisher']) == {'fsigma8', 'beta'}
+        for sig in out['sigma_fisher'].values():
+            assert np.isfinite(sig) and sig > 0
+        # duplicated data: expected sigma(fsigma8) ~ single/sqrt(2) ~ 0.04
+        assert 0.01 < out['sigma_fisher']['fsigma8'] < 0.1

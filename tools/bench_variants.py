@@ -66,9 +66,37 @@ def main():
     ]))
     names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
 
+    # 'esm' variant: the 9-parameter excursion-set pipeline (streaming RSD +
+    # excursion_set matter model, configs/esm_sampling_config.yaml) — ranges
+    # track the params-block ref scales so profiles stay in the regular
+    # (no-shell-crossing) regime, like the sampler sees them
+    esm_theta = jnp.asarray(np.column_stack([
+        rng.uniform(0.6, 0.9, n),       # f
+        rng.uniform(0.7, 0.9, n),       # sigma_8_0
+        rng.uniform(-1.8, -1.2, n),     # b10
+        rng.uniform(-5.0, -3.5, n),     # b01
+        rng.uniform(7.0, 9.0, n),       # Rp
+        rng.uniform(0.4, 0.55, n),      # Rx
+        rng.uniform(0.3, 0.5, n),       # beta
+        rng.uniform(300.0, 450.0, n),   # sigma_v
+        rng.uniform(0.95, 1.05, n),     # epsilon
+    ]))
+    esm_names = ['f', 'sigma_8_0', 'b10', 'b01', 'Rp', 'Rx',
+                 'beta', 'sigma_v', 'epsilon']
+
     for variant in variants:
-        vcfg = {'model': dict(cfg['model']), 'data': cfg['data']}
-        vcfg['model']['rsd_model'] = variant
+        if variant == 'esm':
+            with open(os.path.join(REPO, 'configs',
+                                   'esm_sampling_config.yaml')) as f:
+                ecfg = yaml.safe_load(f)
+            ecfg['model']['dir'] = REPO
+            ecfg['data']['dir'] = REPO
+            vcfg = {'model': ecfg['model'], 'data': ecfg['data']}
+            names_v, theta_v = esm_names, esm_theta
+        else:
+            vcfg = {'model': dict(cfg['model']), 'data': cfg['data']}
+            vcfg['model']['rsd_model'] = variant
+            names_v, theta_v = names, theta
         # optional dispersion-path knobs for profiling (see BASELINE.md
         # "Dispersion anatomy")
         if os.environ.get('VICTOR_BENCH_NITER'):

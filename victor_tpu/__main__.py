@@ -878,10 +878,6 @@ def cmd_forecast(args):
     cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('forecast requires a data: block (data vector + covariance)')
-    if 'quantiles' in cfg:
-        sys.exit('forecast supports single-dataset configs (the Fisher '
-                 'residual is defined per data vector); forecast each '
-                 'quantile separately')
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block')

@@ -298,15 +298,18 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     posterior at the MAP), the Fisher forecast uses only the model, the
     data-template response, and the covariance; for a Gaussian likelihood
     with parameter-independent C the two agree in expectation.
+
+    Accepts a single-dataset CCFModelBundle or a multi-quantile JointBundle
+    (stacked residual against the joint cross-covariance), like find_map.
     """
+    from ..errors import InputError
     from ..likelihood.core import interpolated_precision, multipole_datavector
+    from ..likelihood.multiquantile import (JointBundle, joint_datavector,
+                                            joint_precision,
+                                            joint_theory_vector)
     from ..models.ccf_theory import theory_vector
 
     names = tuple(names)
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
-    fit = bundle.fit_opts.replace(**(fit_kw or {}))
-    spec = bundle.spec
-
     derived = tuple(derived)
     derived_names = {d.name for d in derived}
     fixed = {k: jnp.asarray(v) for k, v in fiducial.items()
@@ -316,28 +319,61 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     # (they previously used different fallbacks, mixing interpolation points)
     beta_fid = float(fiducial.get('beta', 0.4))
 
+    def assemble(th):
+        params = dict(fixed)
+        for i, n in enumerate(names):
+            params[n] = th[i]
+        for d in derived:
+            params[d.name] = d.fn(*[params[a] for a in d.argnames])
+        return params
+
     # the fixed fiducial values are closure constants of the jitted residual,
     # so they must be part of the cache key
-    cache_key = ('fisher', spec, opts, fit, names, beta_fid,
-                 tuple((d.name, d.argnames, d.src) for d in derived),
-                 tuple(sorted((k, float(v)) for k, v in fiducial.items()
-                              if k not in names and k not in derived_names)))
-    fns = _FIT_CACHE.setdefault(cache_key, {})
-    if 'jac' not in fns:
-        def residual(tbl, th):
-            params = dict(fixed)
-            for i, n in enumerate(names):
-                params[n] = th[i]
-            for d in derived:
-                params[d.name] = d.fn(*[params[a] for a in d.argnames])
-            beta = params.get('beta', jnp.asarray(beta_fid))
-            return theory_vector(tbl, spec, opts, params) - \
-                multipole_datavector(tbl, spec, beta)
+    derived_key = tuple((d.name, d.argnames, d.src) for d in derived)
+    fixed_key = tuple(sorted((k, float(v)) for k, v in fiducial.items()
+                             if k not in names and k not in derived_names))
 
-        fns['jac'] = jax.jit(lambda tbl, th: (
-            jax.jacfwd(lambda t: residual(tbl, t))(th),
-            interpolated_precision(tbl, spec, jnp.asarray(beta_fid))))
-    J, icov = fns['jac'](bundle.tables, th0)
+    if isinstance(bundle, JointBundle):
+        if not bundle.fixed_covmat and 'beta' not in fiducial:
+            # same semantics as joint_chi_squared: the joint covariance
+            # interpolates on the GLOBAL beta — silently forecasting at the
+            # 0.4 fallback would be garbage-but-finite
+            raise InputError('Need a fiducial beta to interpolate the '
+                             'beta-dependent joint covariance')
+        cache_key = ('fisher-joint',
+                     tuple((b.spec, b.theory_opts) for b in bundle.bundles),
+                     bundle.fixed_covmat, bundle.ndata,
+                     repr(sorted((opts_kw or {}).items())),
+                     names, beta_fid, derived_key, fixed_key)
+        fns = _FIT_CACHE.setdefault(cache_key, {})
+        if 'jac' not in fns:
+            def residual(jb, th):
+                params = assemble(th)
+                return joint_theory_vector(jb, params, opts_kw) - \
+                    joint_datavector(jb, params)
+
+            fns['jac'] = jax.jit(lambda jb, th: (
+                jax.jacfwd(lambda t: residual(jb, t))(th),
+                joint_precision(jb, jnp.asarray(beta_fid))))
+        J, icov = fns['jac'](bundle, th0)
+    else:
+        opts = bundle.theory_opts.replace(**(opts_kw or {}))
+        fit = bundle.fit_opts.replace(**(fit_kw or {}))
+        spec = bundle.spec
+        cache_key = ('fisher', spec, opts, fit, names, beta_fid,
+                     derived_key, fixed_key)
+        fns = _FIT_CACHE.setdefault(cache_key, {})
+        if 'jac' not in fns:
+            def residual(tbl, th):
+                params = assemble(th)
+                beta = params.get('beta', jnp.asarray(beta_fid))
+                return theory_vector(tbl, spec, opts, params) - \
+                    multipole_datavector(tbl, spec, beta)
+
+            fns['jac'] = jax.jit(lambda tbl, th: (
+                jax.jacfwd(lambda t: residual(tbl, t))(th),
+                interpolated_precision(tbl, spec, jnp.asarray(beta_fid))))
+        J, icov = fns['jac'](bundle.tables, th0)
     J = np.asarray(J, dtype=np.float64)            # (ndata, ndim)
     icov = np.asarray(icov, dtype=np.float64)
     F = J.T @ icov @ J
