@@ -111,22 +111,28 @@ def main():
             vcfg['model']['streaming_eval'] = \
                 os.environ['VICTOR_BENCH_STREAMING']
         bundle = build_tables(vcfg['model'], vcfg['data'])
-        batched = make_batched_loglike(bundle, names, chunk=chunk)
+        batched = make_batched_loglike(bundle, names_v, chunk=chunk)
 
-        np.asarray(batched(theta)[0])          # warm-up / compile
+        np.asarray(batched(theta_v)[0])        # warm-up / compile
         t0 = time.perf_counter()
         for _ in range(reps):
-            np.asarray(batched(theta)[0])      # forced per-rep transfer
+            np.asarray(batched(theta_v)[0])    # forced per-rep transfer
         dt = time.perf_counter() - t0
 
         # chi2 parity gate at the notebook golden point (cell-22 values;
         # catches lost matmul-precision pins — bf16 costs ~1.3 on chi2 —
         # and any accuracy regression from the dispersion fast/fused knobs)
         golden_chi2 = {'streaming': 65.0118, 'dispersion': 65.0299,
-                       'kaiser': 103.9033, 'euclid_special': 4880.2898}
+                       'kaiser': 103.9033, 'euclid_special': 4880.2898,
+                       # f64 CPU value at the esm_sampling_config ref
+                       # fiducial {f .78, s8 .81, b10 -1.544, b01 -4.228,
+                       # Rp 7.973, Rx .467, beta .4, sv 380, eps 1.0}
+                       'esm': 85.0288}
         gate = None
         if variant in golden_chi2:
-            gp = jnp.asarray([[0.47, 0.37, 380.0, 1.0]])
+            gp = jnp.asarray([[0.78, 0.81, -1.544, -4.228, 7.973, 0.467,
+                               0.4, 380.0, 1.0]]) if variant == 'esm' \
+                else jnp.asarray([[0.47, 0.37, 380.0, 1.0]])
             chi2 = float(np.asarray(batched(gp)[1])[0])
             gate = {'chi2': round(chi2, 4),
                     'ok': bool(abs(chi2 - golden_chi2[variant]) < 0.05)}

@@ -12,7 +12,13 @@ through the TPU compiler, and
      asserting bit-parity and recording the sharded dispatch latency vs the
      unsharded floor (the input to BASELINE.md's multi-chip scaling bounds);
   2. runs a sharded HMC segment (chains axis on the mesh) vs the unsharded
-     runner — asserting trajectory parity.
+     runner — asserting trajectory parity;
+  3. runs the sharded BOSS tempered-SMC stage (particle axis on the mesh)
+     vs the unsharded run at the same seed — the partitioned program whose
+     plan carries the cross-module collective that hard-deadlocks the
+     virtual CPU mesh on a 1-core box (CLAUDE.md rule 8); the REAL backend
+     lowering is the one that matters for multi-chip, and this is the only
+     place it can be exercised.
 
 Prints one JSON line per check; exits non-zero if any check fails.
 Run it alone (one TPU process at a time through the axon tunnel).
@@ -118,6 +124,47 @@ def main():
         'acceptance_mesh': round(r_mesh.acceptance, 3),
         'acceptance_unsharded': round(r_none.acceptance, 3),
         'sharded_s': round(dt_mesh, 1), 'unsharded_s': round(dt_none, 1),
+    }), flush=True)
+
+    # ---- 3. sharded tempered SMC (collective-bearing program) ------------
+    from victor_tpu.sampling import run_smc
+    smc_block = {
+        'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5}},
+        'beta': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+        'sigma_v': {'prior': {'dist': 'uniform', 'min': 150.0, 'max': 550.0}},
+        'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8, 'max': 1.2}},
+    }
+    pmesh = make_mesh(('particles',))
+    t0 = time.perf_counter()
+    s_mesh = run_smc(bundle, smc_block, n_particles=4096, n_moves=8,
+                     seed=0, chunk=64, mesh=pmesh)
+    dt_smesh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_none = run_smc(bundle, smc_block, n_particles=4096, n_moves=8,
+                     seed=0, chunk=64)
+    dt_snone = time.perf_counter() - t0
+    dlz = abs(s_mesh.logz - s_none.logz)
+    selz = float(np.hypot(s_mesh.logz_se, s_none.logz_se))
+    mm, mn = s_mesh.summary(), s_none.summary()
+    max_shift = max(abs(mm[k]['mean'] - mn[k]['mean']) / mn[k]['std']
+                    for k in mn)
+    # reduction order may differ under the partitioned program, so the
+    # adaptive ladder can diverge at f32 rounding — compare statistically
+    ok3 = bool(dlz < max(3 * selz, 0.3) and max_shift < 0.2
+               and s_mesh.betas[-1] == 1.0)
+    failures += 0 if ok3 else 1
+    print(json.dumps({
+        'check': 'sharded_smc_evidence',
+        'mesh': f"{dict(zip(pmesh.axis_names, pmesh.devices.shape))}",
+        'particles': 4096, 'ok': ok3,
+        'ladder_identical': bool(len(s_mesh.betas) == len(s_none.betas)
+                                 and np.array_equal(s_mesh.betas,
+                                                    s_none.betas)),
+        'logz_mesh': round(s_mesh.logz, 3),
+        'logz_unsharded': round(s_none.logz, 3),
+        'delta_logz': round(dlz, 4), 'combined_se': round(selz, 3),
+        'max_mean_shift_sigma': round(max_shift, 4),
+        'sharded_s': round(dt_smesh, 1), 'unsharded_s': round(dt_snone, 1),
     }), flush=True)
 
     sys.exit(1 if failures else 0)

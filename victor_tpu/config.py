@@ -45,9 +45,11 @@ class TheoryOptions:
     # mu-independent sigma_v template — the technique validated for the
     # dispersion final stage; bounds + posterior validation in BASELINE.md).
     # 'fast' is a FORWARD-path optimization (batched likelihood / SMC /
-    # quadrature: 1.36x): under reverse-mode AD the Clenshaw recurrence's
-    # sequential transpose makes HMC 1.55x SLOWER than exact (measured,
-    # BASELINE.md round 3) — keep 'exact' for HMC/NUTS
+    # quadrature: 1.36x template, 1.29x ESM — also posterior-validated
+    # composed with the excursion-set matter model, BASELINE.md round 3):
+    # under reverse-mode AD the Clenshaw recurrence's sequential transpose
+    # makes HMC 1.55x SLOWER than exact (measured, BASELINE.md round 3) —
+    # keep 'exact' for HMC/NUTS
     streaming_eval: str = 'exact'
     # final stage of the dispersion solve (the last Picard update and the
     # jacobian's v_r/dv_r evaluations): 'exact' (default — three exact
