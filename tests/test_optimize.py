@@ -260,6 +260,37 @@ class TestFisherForecast:
             [res.std[n] for n in res.names],
             [direct.std[n] for n in names], rtol=1e-6)
 
+    def test_derived_beta_resolves_fiducial_covariance(self, boss_config,
+                                                       map_result):
+        """When beta itself is derived (beta: {value: lambda bx: bx}), the
+        fiducial-beta covariance must be interpolated at the DERIVED value,
+        not the 0.4 fallback: sampling bx with derived beta must reproduce
+        the direct-beta Fisher exactly."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import fisher_forecast
+        from victor_tpu.sampling.priors import ParamSpace
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        names = ('fsigma8', 'beta', 'sigma_v', 'epsilon')
+        direct = fisher_forecast(bundle, map_result.params, names)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05,
+                                  'max': 1.5}},
+            'bx': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'sigma_v': {'prior': {'dist': 'uniform', 'min': 150.0,
+                                  'max': 700.0}},
+            'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8,
+                                  'max': 1.2}},
+            'beta': {'value': 'lambda bx: bx'},
+        }
+        space = ParamSpace(block)
+        fid = dict(map_result.params)
+        fid['bx'] = fid.pop('beta')
+        res = fisher_forecast(bundle, fid, space.names,
+                              derived=space.derived)
+        np.testing.assert_allclose(
+            [res.std[n] for n in ('fsigma8', 'bx', 'sigma_v', 'epsilon')],
+            [direct.std[n] for n in names], rtol=1e-6)
+
 
 class TestLaplaceEvidence:
     def test_gaussian_laplace_evidence_is_exact(self):
@@ -286,6 +317,29 @@ class TestLaplaceEvidence:
         want = (-np.log(40.0 * 40.0) + np.log(2.0 * np.pi)
                 + 0.5 * np.linalg.slogdet(COV)[1])
         assert abs(m.log_evidence_laplace - want) < 1e-3
+
+    def test_degenerate_hessian_gives_nan_evidence(self):
+        """A likelihood flat in one direction has a singular Hessian at the
+        optimum; the eigenvalue-clipped Laplace covariance is PD by
+        construction, so without the hessian_pd flag the saddle/degenerate
+        case would silently quote a grossly inflated finite lnZ."""
+        import jax.numpy as jnp
+        from victor_tpu.sampling.optimize import find_map
+
+        def loglike(params):
+            chi2 = (params['x'] - 0.3) ** 2           # y unconstrained
+            return -0.5 * chi2, chi2
+
+        block = {'x': {'prior': {'dist': 'uniform', 'min': -5.0,
+                                 'max': 5.0}},
+                 'y': {'prior': {'dist': 'uniform', 'min': -5.0,
+                                 'max': 5.0}}}
+        m = find_map(loglike, block, n_starts=4, adam_steps=200,
+                     newton_steps=4, seed=0)
+        assert not m.hessian_pd
+        assert np.isnan(m.log_evidence_laplace)
+        # the sigmas themselves stay finite (indicative large values)
+        assert all(np.isfinite(v) for v in m.std.values())
 
     def test_boss_laplace_evidence_tracks_quadrature(self, map_result):
         """On the BOSS posterior the Laplace evidence must land within a
@@ -321,6 +375,22 @@ class TestForecastCLI:
         # forecast sigmas carry the known posterior scales and degeneracy
         assert 0.02 < out['sigma_fisher']['fsigma8'] < 0.15
         assert out['correlation']['fsigma8']['sigma_v'] > 0.4
+        # every override is echoed (incl. names outside the params block,
+        # where a typo would otherwise vanish silently)
+        assert out['overrides'] == {'fsigma8': 0.47}
+
+    def test_cli_forecast_rejects_derived_override(self, tmp_path,
+                                                   boss_config):
+        import yaml
+
+        from victor_tpu.__main__ import main
+        cfg = dict(boss_config)
+        cfg['params'] = dict(BLOCK_4P)
+        cfg['params']['fs8x'] = {'value': 'lambda fsigma8: 2 * fsigma8'}
+        p = tmp_path / 'fc2.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(SystemExit, match='derived'):
+            main(['forecast', str(p), '--param', 'fs8x=0.9'])
 
 
 class TestFitCLI:

@@ -5,7 +5,12 @@ Measures batched likelihood evals/s for each rsd_model variant of the BOSS
 CMASS config on the default backend. Prints one JSON line per variant.
 
 Usage:
-    python tools/bench_variants.py [streaming dispersion kaiser euclid_special]
+    python tools/bench_variants.py [streaming dispersion kaiser euclid_special esm]
+
+'esm' benches the 9-parameter excursion-set pipeline
+(configs/esm_sampling_config.yaml) instead of a boss_config rsd_model; it
+is not in the no-args default list (its compile is the longest) — request
+it explicitly. VICTOR_BENCH_STREAMING=fast composes with it.
 
 Environment: VICTOR_BENCH_BATCH (default 16384), VICTOR_BENCH_CHUNK (64),
 VICTOR_BENCH_REPS (5). Measurement honesty: every timed repetition forces a

@@ -302,6 +302,32 @@ def _reference_point(space):
     return point
 
 
+def _parse_param_overrides(pairs, space=None):
+    """--param name=value pairs -> {name: float}.
+
+    With a ParamSpace, overriding a DERIVED parameter is rejected loudly:
+    the estimation layer recomputes derived lambdas from their inputs, so
+    the override would be silently discarded (override the inputs instead).
+    Names outside the params block are allowed — the theory layer takes an
+    open parameter vocabulary (e.g. M/Q kaiser nuisances, Av), matching the
+    reference's kwargs ergonomics — but they are echoed back to the caller
+    so typos are visible in the output."""
+    out = {}
+    for kv in pairs or []:
+        if '=' not in kv:
+            sys.exit(f"bad --param '{kv}': expected name=value")
+        k, v = kv.split('=', 1)
+        if space is not None and any(d.name == k for d in space.derived):
+            sys.exit(f"--param {k}: {k} is a derived parameter (value: "
+                     "lambda in the params block); override its inputs "
+                     "instead")
+        try:
+            out[k] = float(v)
+        except ValueError:
+            sys.exit(f"bad --param '{kv}': value must be numeric")
+    return out
+
+
 def cmd_eval(args):
     import numpy as np
     import jax
@@ -315,14 +341,10 @@ def cmd_eval(args):
     space = ParamSpace(cfg.get('params') or {})
     params = {k: jnp.asarray(v)
               for k, v in _reference_point(space).items()}
-    for kv in args.param or []:
-        if '=' not in kv:
-            sys.exit(f"bad --param '{kv}': expected name=value")
-        k, v = kv.split('=', 1)
-        try:
-            params[k] = jnp.asarray(float(v))
-        except ValueError:
-            sys.exit(f"bad --param '{kv}': value must be numeric")
+    # no `space` passed: eval honors an explicit derived-name override (the
+    # derived loop below skips names already present), unlike forecast
+    for k, v in _parse_param_overrides(args.param).items():
+        params[k] = jnp.asarray(v)
     # cobaya-style derived lambdas (e.g. aperp/apar from alpha, epsilon)
     for d in space.derived:
         if d.name not in params and all(a in params for a in d.argnames):
@@ -886,14 +908,8 @@ def cmd_forecast(args):
         sys.exit('forecast needs sampled parameters in the params: block')
     bundle = _build_bundle(cfg)
     fiducial = _reference_point(space)
-    for kv in args.param or []:
-        if '=' not in kv:
-            sys.exit(f"bad --param '{kv}': expected name=value")
-        k, v = kv.split('=', 1)
-        try:
-            fiducial[k] = float(v)
-        except ValueError:
-            sys.exit(f"bad --param '{kv}': value must be numeric")
+    overrides = _parse_param_overrides(args.param, space=space)
+    fiducial.update(overrides)
     t0 = time.time()
     res = fisher_forecast(bundle, fiducial, space.names,
                           derived=space.derived)
@@ -901,6 +917,11 @@ def cmd_forecast(args):
     corr = np.round(res.correlation, 4)
     print(json.dumps(_json_sanitize({
         'fiducial': {k: round(float(fiducial[k]), 6) for k in names},
+        # every --param override echoed back, including names outside the
+        # params block (legitimate extra model params — but also where a
+        # typo'd name would otherwise vanish silently)
+        **({'overrides': {k: round(v, 6) for k, v in overrides.items()}}
+           if overrides else {}),
         'sigma_fisher': {k: round(v, 6) for k, v in res.std.items()},
         'correlation': {names[i]: {names[j]: float(corr[i, j])
                                    for j in range(len(names)) if j != i}

@@ -43,6 +43,11 @@ class MAPResult:
     grad_norm: float               # |d lnpost / d theta| at the optimum
     n_starts: int
     n_converged: int               # starts that ended at a finite objective
+    # whether the (pre-regularisation) Hessian at the optimum was positive
+    # definite: find_map's |eigenvalue|-clipped inversion makes `cov` PD by
+    # construction, so this flag is the ONLY record of indefiniteness —
+    # log_evidence_laplace must not quote a saddle point as an evidence
+    hessian_pd: bool = True
 
     @property
     def params(self) -> Dict[str, float]:
@@ -65,9 +70,12 @@ class MAPResult:
         ln Z ~= ln post(MAP) + (d/2) ln 2pi + 1/2 ln det Sigma, with Sigma
         the Laplace covariance — the Occam factor evaluated from quantities
         the fit already has. A free cross-check of the SMC/NS estimates for
-        near-Gaussian posteriors with an interior MAP; NaN when the
-        covariance is not positive definite (quote the sampler evidence
-        then)."""
+        near-Gaussian posteriors with an interior MAP; NaN when the Hessian
+        at the optimum was not positive definite (the eigenvalue-clipped
+        `cov` is PD by construction, so the slogdet alone cannot tell a
+        saddle from a maximum — quote the sampler evidence then)."""
+        if not self.hessian_pd:
+            return float('nan')
         sign, logdet = np.linalg.slogdet(self.cov)
         if sign <= 0 or not np.isfinite(logdet):
             return float('nan')
@@ -230,9 +238,11 @@ def find_map(bundle, params_block: Dict,
     # f32 finite-difference Hessian) H can be indefinite at the noise level;
     # clipping to a tiny positive floor yields large-but-finite sigmas for
     # the unconstrained directions instead of zeros/NaNs
+    hessian_pd = False
     try:
         w, V = np.linalg.eigh(0.5 * (H + H.T))
-        if w.min() <= 0:
+        hessian_pd = bool(w.min() > 0)
+        if not hessian_pd:
             log.info('Laplace Hessian not positive definite (min eig '
                      '%.2e); using |eigenvalue| regularisation — sigmas '
                      'along the indefinite directions are indicative only '
@@ -248,7 +258,8 @@ def find_map(bundle, params_block: Dict,
         space=space, theta=np.asarray(theta, dtype=np.float64),
         lnpost=lnpost, lnlike=float(lnl), chi2=float(chi2),
         cov=cov, grad_norm=float(np.linalg.norm(np.asarray(g))),
-        n_starts=n_starts, n_converged=int(finite.sum()))
+        n_starts=n_starts, n_converged=int(finite.sum()),
+        hessian_pd=hessian_pd)
     log.info('MAP: chi2=%.4f lnpost=%.4f |grad|=%.2e (%d/%d starts finite)',
              result.chi2, result.lnpost, result.grad_norm,
              result.n_converged, n_starts)
@@ -316,8 +327,19 @@ def fisher_forecast(bundle, fiducial: Dict, names,
              if k not in names and k not in derived_names}
     th0 = jnp.asarray([float(fiducial[n]) for n in names])
     # ONE fiducial beta for both the data-vector default and the covariance
-    # (they previously used different fallbacks, mixing interpolation points)
-    beta_fid = float(fiducial.get('beta', 0.4))
+    # (they previously used different fallbacks, mixing interpolation
+    # points). A derived beta (params-block `beta: {value: lambda ...}`) is
+    # excluded from `fixed`, so it must be resolved here by evaluating the
+    # lambda at the fiducial — otherwise the covariance would silently
+    # interpolate at the 0.4 fallback while the residual uses the true
+    # derived beta.
+    beta_fid = fiducial.get('beta')
+    if beta_fid is None:
+        d_beta = next((d for d in derived if d.name == 'beta'), None)
+        if d_beta is not None and all(a in fiducial for a in d_beta.argnames):
+            beta_fid = d_beta.fn(*[jnp.asarray(float(fiducial[a]))
+                                   for a in d_beta.argnames])
+    beta_fid = 0.4 if beta_fid is None else float(beta_fid)
 
     def assemble(th):
         params = dict(fixed)
@@ -333,13 +355,15 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     fixed_key = tuple(sorted((k, float(v)) for k, v in fiducial.items()
                              if k not in names and k not in derived_names))
 
+    beta_known = 'beta' in fiducial or any(d.name == 'beta' for d in derived)
     if isinstance(bundle, JointBundle):
-        if not bundle.fixed_covmat and 'beta' not in fiducial:
+        if not bundle.fixed_covmat and not beta_known:
             # same semantics as joint_chi_squared: the joint covariance
             # interpolates on the GLOBAL beta — silently forecasting at the
             # 0.4 fallback would be garbage-but-finite
-            raise InputError('Need a fiducial beta to interpolate the '
-                             'beta-dependent joint covariance')
+            raise InputError('Need a fiducial beta (given or derived) to '
+                             'interpolate the beta-dependent joint '
+                             'covariance')
         cache_key = ('fisher-joint',
                      tuple((b.spec, b.theory_opts) for b in bundle.bundles),
                      bundle.fixed_covmat, bundle.ndata,
