@@ -18,7 +18,10 @@ through the TPU compiler, and
      plan carries the cross-module collective that hard-deadlocks the
      virtual CPU mesh on a 1-core box (CLAUDE.md rule 8); the REAL backend
      lowering is the one that matters for multi-chip, and this is the only
-     place it can be exercised.
+     place it can be exercised;
+  4. the same for nested sampling (live-point axis on the mesh; its
+     constrained-replacement scatter is the other collective-bearing
+     sampler program).
 
 Prints one JSON line per check; exits non-zero if any check fails.
 Run it alone (one TPU process at a time through the axon tunnel).
@@ -165,6 +168,34 @@ def main():
         'delta_logz': round(dlz, 4), 'combined_se': round(selz, 3),
         'max_mean_shift_sigma': round(max_shift, 4),
         'sharded_s': round(dt_smesh, 1), 'unsharded_s': round(dt_snone, 1),
+    }), flush=True)
+
+    # ---- 4. sharded nested sampling (constrained-replacement scatter) ----
+    from victor_tpu.sampling import run_nested
+    t0 = time.perf_counter()
+    n_mesh = run_nested(bundle, smc_block, n_live=1024, n_batch=256,
+                        n_steps=24, dlogz=0.05, chunk=64, seed=0,
+                        mesh=pmesh)
+    dt_nmesh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_none = run_nested(bundle, smc_block, n_live=1024, n_batch=256,
+                        n_steps=24, dlogz=0.05, chunk=64, seed=0)
+    dt_nnone = time.perf_counter() - t0
+    dlz_ns = abs(n_mesh.logz - n_none.logz)
+    selz_ns = float(np.hypot(n_mesh.logz_se, n_none.logz_se))
+    ok4 = bool(dlz_ns < max(3 * selz_ns, 0.3)
+               and np.isfinite(n_mesh.logz) and np.isfinite(n_none.logz))
+    failures += 0 if ok4 else 1
+    print(json.dumps({
+        'check': 'sharded_nested_sampling',
+        'mesh': f"{dict(zip(pmesh.axis_names, pmesh.devices.shape))}",
+        'n_live': 1024, 'ok': ok4,
+        'logz_mesh': round(float(n_mesh.logz), 3),
+        'logz_unsharded': round(float(n_none.logz), 3),
+        'delta_logz': round(dlz_ns, 4), 'combined_se': round(selz_ns, 3),
+        'bit_identical': bool(np.array_equal(
+            np.asarray(n_mesh.particles), np.asarray(n_none.particles))),
+        'sharded_s': round(dt_nmesh, 1), 'unsharded_s': round(dt_nnone, 1),
     }), flush=True)
 
     sys.exit(1 if failures else 0)
