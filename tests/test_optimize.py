@@ -318,6 +318,33 @@ class TestLaplaceEvidence:
                 + 0.5 * np.linalg.slogdet(COV)[1])
         assert abs(m.log_evidence_laplace - want) < 1e-3
 
+    def test_prior_truncation_correction(self):
+        """A direction with Laplace sigma >> the prior box (the ESM shape-
+        nuisance regime) must carry the Gaussian-mass truncation factor:
+        lnL = -x'^2/2 - (y/50)^2/2 on the box [-5,5]^2 has the analytic
+        lnZ = ln[ sqrt(2 pi) * int_-5^5 exp(-y^2/5000) dy / 100 ] = -1.3855;
+        the UNtruncated Laplace would report +1.14 (2.5 nats high)."""
+        import jax.numpy as jnp
+        from scipy.stats import norm
+        from victor_tpu.sampling.optimize import find_map
+
+        def loglike(params):
+            chi2 = (params['x'] - 0.3) ** 2 + (params['y'] / 50.0) ** 2
+            return -0.5 * chi2, chi2
+
+        block = {'x': {'prior': {'dist': 'uniform', 'min': -5.0,
+                                 'max': 5.0}},
+                 'y': {'prior': {'dist': 'uniform', 'min': -5.0,
+                                 'max': 5.0}}}
+        m = find_map(loglike, block, n_starts=4, adam_steps=300,
+                     newton_steps=8, seed=0)
+        assert m.hessian_pd
+        ix = np.sqrt(2 * np.pi) * (norm.cdf(4.7) - norm.cdf(-5.3))
+        iy = np.sqrt(2 * np.pi) * 50.0 * (norm.cdf(0.1) - norm.cdf(-0.1))
+        want = np.log(ix * iy / 100.0)
+        assert abs(m.log_evidence_laplace - want) < 0.02, \
+            (m.log_evidence_laplace, want)
+
     def test_degenerate_hessian_gives_nan_evidence(self):
         """A likelihood flat in one direction has a singular Hessian at the
         optimum; the eigenvalue-clipped Laplace covariance is PD by
