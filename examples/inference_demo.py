@@ -74,7 +74,21 @@ def main():
           f'(half-width {(hi - lo) / 2:.4f} vs Laplace sigma '
           f'{m.std["fsigma8"]:.4f})')
 
-    # 4. (optional) Bayesian evidence by tempered SMC
+    # 4. Fisher forecast at the MAP: expected constraints from the local
+    #    response, no sampling (one jitted jacfwd dispatch) — compare with
+    #    the Laplace sigmas above (they agree in expectation for a Gaussian
+    #    likelihood with parameter-independent covariance); the Laplace
+    #    evidence is the free near-Gaussian cross-check of `run --sampler
+    #    smc` / `ns` (prior-box truncated, NaN at non-PD optima)
+    print('== Fisher forecast at the MAP ==')
+    from victor_tpu.sampling import fisher_forecast
+    fr = fisher_forecast(bundle, m.params, names)
+    for name in names:
+        print(f'  sigma({name:8s}) = {fr.std[name]:.4f}  (Fisher)   '
+              f'{m.std[name]:.4f}  (Laplace)')
+    print(f'  lnZ (Laplace cross-check) = {m.log_evidence_laplace:.3f}')
+
+    # 5. (optional) Bayesian evidence by tempered SMC
     if args.smc:
         from victor_tpu.sampling import run_smc
         print('== evidence (tempered SMC) ==')

@@ -58,6 +58,11 @@ Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
                     # by SMC, fractional rank of the truth recorded —
                     # uniform ranks = the whole prior/simulator/likelihood/
                     # sampler chain is self-consistent
+        python tools/coverage_test.py --model dispersion --method smc --mocks 50
+                    # the same 4-param fit under the dispersion RSD mapping
+                    # (exact final stage): SMC-posterior coverage measured
+                    # nominal for every parameter, same sigma_v width-MLE
+                    # skew as streaming (BASELINE.md round 3)
         python tools/coverage_test.py --model esm --mocks 30
                     # 9-parameter excursion-set pipeline calibration:
                     # fiducial = the ESM MAP neighbourhood, params block

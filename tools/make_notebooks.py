@@ -170,6 +170,26 @@ axes[2].hexbin(chain[:, i_f], chain[:, i_e], gridsize=35, cmap='Blues')
 axes[2].set_xlabel(r'$f\\sigma_8$'); axes[2].set_ylabel(r'$\\epsilon$')
 plt.tight_layout(); plt.show()''')
 
+    md('## Point estimation, forecasting, and evidence\n\n'
+       'The estimation layer on top of the likelihood: multi-start MAP '
+       'with Laplace errors (`find_map`), a Fisher forecast from the exact '
+       'residual Jacobian (`fisher_forecast` — no sampling), the free '
+       'prior-box-truncated Laplace evidence cross-check, and the tempered-'
+       'SMC evidence (`run_smc`). CLI equivalents: `fit`, `forecast`, '
+       '`run --sampler smc`, and `analyze` for all of it in one command.')
+    code('''\
+from victor_tpu.sampling import find_map, fisher_forecast, run_smc
+m = find_map(fit.bundle, block, n_starts=16, seed=0)
+fr = fisher_forecast(fit.bundle, m.params, [p.name for p in m.space.sampled])
+print(f'MAP: chi2 = {m.chi2:.2f}  |grad| = {m.grad_norm:.1e}')
+for name, st in m.summary().items():
+    print(f'  {name:10s} = {st["value"]:9.4f} +/- {st["std"]:.4f} (Laplace)'
+          f'   sigma_Fisher = {fr.std[name]:.4f}')
+smc = run_smc(fit.bundle, block, n_particles=4096, n_moves=8, seed=1)
+print(f'log-evidence: SMC {smc.logz:.3f} +/- {smc.logz_se:.3f}   '
+      f'Laplace cross-check {m.log_evidence_laplace:.3f}   '
+      f'(grid-quadrature truth 278.967)')''')
+
     md('The chain quantifies the BOSS DR12 CMASS void-galaxy RSD '
        'measurement: fσ8 ≈ 0.57 ± 0.05 and ε ≈ 1.009 ± 0.011 (cf. '
        'BASELINE.md for the cross-validated numbers). See '
