@@ -377,10 +377,12 @@ def main():
                     help='likelihood form for generation+fit (gaussian = '
                          'exactly calibrated; sellentin adds the t-tail)')
     ap.add_argument('--model', default='template',
-                    choices=['template', 'dispersion', 'esm'],
+                    choices=['template', 'dispersion', 'kaiser',
+                             'euclid_special', 'esm'],
                     help='template = 4-param BOSS fit (streaming RSD); '
-                         'dispersion = the same fit under the dispersion '
-                         'RSD mapping; esm = 9-param excursion-set pipeline')
+                         'dispersion/kaiser/euclid_special = the same fit '
+                         'under another RSD mapping; esm = 9-param '
+                         'excursion-set pipeline')
     ap.add_argument('--beta-profile', action='store_true',
                     help='also measure beta coverage with per-mock '
                          'delta-chi2=1 profile intervals (the remedy for '
@@ -428,10 +430,11 @@ def main():
             cfg = yaml.safe_load(f)
         cfg['model']['dir'] = REPO
         cfg['data']['dir'] = REPO
-        if args.model == 'dispersion':
-            # same 4-parameter fit under the dispersion RSD mapping (exact
-            # final stage — the parity default, not the opt-in fast mode)
-            cfg['model']['rsd_model'] = 'dispersion'
+        if args.model != 'template':
+            # same 4-parameter fit under another RSD mapping (dispersion
+            # runs the exact final stage — the parity default, not the
+            # opt-in fast mode)
+            cfg['model']['rsd_model'] = args.model
         bundle = build_tables(cfg['model'], cfg['data'])
         block = PARAMS_BLOCK
         fiducial = FIDUCIAL
