@@ -291,6 +291,41 @@ class TestFisherForecast:
             [res.std[n] for n in ('fsigma8', 'bx', 'sigma_v', 'epsilon')],
             [direct.std[n] for n in names], rtol=1e-6)
 
+    def test_chained_derived_beta_and_explicit_conflict(self, boss_config,
+                                                        map_result):
+        """beta reached through CHAINED lambdas (beta <- bhalf <- bx) must
+        still resolve the fiducial covariance (a one-hop argname lookup
+        silently fell back to beta=0.4), and an explicit conflicting
+        'beta' entry in the fiducial must lose to the derived value (the
+        residual recomputes beta from the lambda, so honoring the explicit
+        entry would mix interpolation points)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import fisher_forecast
+        from victor_tpu.sampling.priors import ParamSpace
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        names = ('fsigma8', 'beta', 'sigma_v', 'epsilon')
+        direct = fisher_forecast(bundle, map_result.params, names)
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05,
+                                  'max': 1.5}},
+            'bx': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'sigma_v': {'prior': {'dist': 'uniform', 'min': 150.0,
+                                  'max': 700.0}},
+            'epsilon': {'prior': {'dist': 'uniform', 'min': 0.8,
+                                  'max': 1.2}},
+            'bhalf': {'value': 'lambda bx: bx'},
+            'beta': {'value': 'lambda bhalf: bhalf'},
+        }
+        space = ParamSpace(block)
+        fid = dict(map_result.params)
+        fid['bx'] = fid.pop('beta')
+        fid['beta'] = 0.55            # bogus explicit entry: must be ignored
+        res = fisher_forecast(bundle, fid, space.names,
+                              derived=space.derived)
+        np.testing.assert_allclose(
+            [res.std[n] for n in ('fsigma8', 'bx', 'sigma_v', 'epsilon')],
+            [direct.std[n] for n in names], rtol=1e-6)
+
 
 class TestLaplaceEvidence:
     def test_gaussian_laplace_evidence_is_exact(self):
@@ -344,6 +379,26 @@ class TestLaplaceEvidence:
         want = np.log(ix * iy / 100.0)
         assert abs(m.log_evidence_laplace - want) < 0.02, \
             (m.log_evidence_laplace, want)
+
+    def test_halfnorm_support_truncation(self):
+        """One-sided priors (halfnorm: support [lo, inf)) must participate
+        in the box truncation: a MAP at the boundary keeps only half the
+        Gaussian mass. Previously only uniform/loguniform were truncated,
+        overstating lnZ by up to ln 2 per such direction. Also pins the
+        memoization (the Genz integral is unseeded quasi-MC — two property
+        accesses must return the identical float)."""
+        from victor_tpu.sampling.optimize import MAPResult
+        from victor_tpu.sampling.priors import ParamSpace
+        space = ParamSpace({'x': {'prior': {'dist': 'halfnorm', 'loc': 0.0,
+                                            'scale': 10.0}}})
+        m = MAPResult(space=space, theta=np.array([0.0]), lnpost=0.0,
+                      lnlike=0.0, chi2=0.0, cov=np.array([[4.0]]),
+                      grad_norm=0.0, n_starts=1, n_converged=1,
+                      hessian_pd=True)
+        want = 0.5 * np.log(2 * np.pi) + 0.5 * np.log(4.0) + np.log(0.5)
+        first = m.log_evidence_laplace
+        assert abs(first - want) < 1e-6, (first, want)
+        assert m.log_evidence_laplace == first
 
     def test_degenerate_hessian_gives_nan_evidence(self):
         """A likelihood flat in one direction has a singular Hessian at the

@@ -431,17 +431,28 @@ def main():
         cfg['model']['dir'] = REPO
         cfg['data']['dir'] = REPO
         if args.model != 'template':
-            # same 4-parameter fit under another RSD mapping (dispersion
-            # runs the exact final stage — the parity default, not the
-            # opt-in fast mode)
+            # same fit under another RSD mapping (dispersion runs the exact
+            # final stage — the parity default, not the opt-in fast mode)
             cfg['model']['rsd_model'] = args.model
         bundle = build_tables(cfg['model'], cfg['data'])
         block = PARAMS_BLOCK
         fiducial = FIDUCIAL
+        if args.model in ('kaiser', 'euclid_special'):
+            # these mappings have no velocity-pdf convolution: theory_xi
+            # never reads sigma_v, so its "posterior" would be the prior
+            # and any coverage/rank number for it vacuous — drop it from
+            # the calibration (3-parameter fit)
+            block = {k: v for k, v in PARAMS_BLOCK.items() if k != 'sigma_v'}
+            fiducial = {k: v for k, v in FIDUCIAL.items() if k != 'sigma_v'}
 
     if args.method == 'sbc':
         from scipy import stats
         sbc_block = SBC_BLOCK_ESM if args.model == 'esm' else SBC_BLOCK
+        if args.model in ('kaiser', 'euclid_special'):
+            # sigma_v is not read by these mappings (see above): a rank
+            # test on it would be trivially uniform, not evidence
+            sbc_block = {k: v for k, v in SBC_BLOCK.items()
+                         if k != 'sigma_v'}
         ranks, names = run_sbc(
             bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
             params_block=sbc_block,

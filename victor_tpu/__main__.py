@@ -906,9 +906,11 @@ def cmd_forecast(args):
     space = ParamSpace(params_block)
     if not space.ndim:
         sys.exit('forecast needs sampled parameters in the params: block')
+    # parse/validate overrides BEFORE the expensive table build so a typo'd
+    # or derived-name --param fails fast
+    overrides = _parse_param_overrides(args.param, space=space)
     bundle = _build_bundle(cfg)
     fiducial = _reference_point(space)
-    overrides = _parse_param_overrides(args.param, space=space)
     fiducial.update(overrides)
     t0 = time.time()
     res = fisher_forecast(bundle, fiducial, space.names,

@@ -84,7 +84,18 @@ class MAPResult:
         posteriors with an interior MAP; NaN when the Hessian at the
         optimum was not positive definite (the eigenvalue-clipped `cov` is
         PD by construction, so the slogdet alone cannot tell a saddle from
-        a maximum — quote the sampler evidence then)."""
+        a maximum — quote the sampler evidence then).
+
+        Memoized: the Genz integral is quasi-MC (unseeded in scipy), so
+        recomputing on every property access would cost a QMC pass each
+        time AND could print two slightly different values in one report."""
+        cached = getattr(self, '_lnz_laplace', None)
+        if cached is None:
+            cached = self._compute_log_evidence_laplace()
+            object.__setattr__(self, '_lnz_laplace', cached)
+        return cached
+
+    def _compute_log_evidence_laplace(self) -> float:
         from scipy.stats import multivariate_normal as _mvn
         if not self.hessian_pd:
             return float('nan')
@@ -94,15 +105,21 @@ class MAPResult:
         d = self.cov.shape[0]
         lnz = self.lnpost + 0.5 * d * np.log(2.0 * np.pi) + 0.5 * logdet
         lo, hi = self.space.bounds()
-        idx = [i for i, p in enumerate(self.space.sampled)
-               if p.dist in ('uniform', 'loguniform')]
+        lo = np.asarray(lo, dtype=np.float64)
+        hi = np.asarray(hi, dtype=np.float64)
+        # every direction with a finite support edge participates in the
+        # truncation (uniform/loguniform boxes AND the one-sided halfnorm
+        # support [lo, inf) — the evidence integrand is zero outside the
+        # prior support regardless of the prior's shape inside it);
+        # mvn.cdf accepts +/-inf limits for the unbounded sides
+        idx = [i for i in range(d)
+               if np.isfinite(lo[i]) or np.isfinite(hi[i])]
         if idx:
             sub = np.ix_(idx, idx)
             try:
                 mass = float(_mvn.cdf(
-                    np.asarray(hi)[idx], mean=self.theta[idx],
-                    cov=self.cov[sub],
-                    lower_limit=np.asarray(lo)[idx]))
+                    hi[idx], mean=self.theta[idx], cov=self.cov[sub],
+                    lower_limit=lo[idx]))
             except (ValueError, np.linalg.LinAlgError):
                 return float('nan')
             if not np.isfinite(mass) or mass <= 0.0:
@@ -355,18 +372,26 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     th0 = jnp.asarray([float(fiducial[n]) for n in names])
     # ONE fiducial beta for both the data-vector default and the covariance
     # (they previously used different fallbacks, mixing interpolation
-    # points). A derived beta (params-block `beta: {value: lambda ...}`) is
-    # excluded from `fixed`, so it must be resolved here by evaluating the
-    # lambda at the fiducial — otherwise the covariance would silently
-    # interpolate at the 0.4 fallback while the residual uses the true
-    # derived beta.
-    beta_fid = fiducial.get('beta')
-    if beta_fid is None:
-        d_beta = next((d for d in derived if d.name == 'beta'), None)
-        if d_beta is not None and all(a in fiducial for a in d_beta.argnames):
-            beta_fid = d_beta.fn(*[jnp.asarray(float(fiducial[a]))
-                                   for a in d_beta.argnames])
-    beta_fid = 0.4 if beta_fid is None else float(beta_fid)
+    # points). A DERIVED beta (params-block `beta: {value: lambda ...}`)
+    # wins over any explicit fiducial entry — the residual recomputes it
+    # from the lambda, so honoring the explicit value here would evaluate
+    # the covariance and the residual at different betas. The full derived
+    # chain is evaluated in block order (chained lambdas supported — a
+    # one-hop argname lookup missed beta <- bhalf <- bx and silently fell
+    # back to 0.4).
+    if any(d.name == 'beta' for d in derived):
+        vals = {k: jnp.asarray(float(v)) for k, v in fiducial.items()
+                if k not in derived_names}
+        try:
+            for dd in derived:
+                vals[dd.name] = dd.fn(*[vals[a] for a in dd.argnames])
+            beta_fid = vals['beta']
+        except KeyError:
+            beta_fid = None
+    else:
+        beta_fid = fiducial.get('beta')
+    beta_missing = beta_fid is None
+    beta_fid = 0.4 if beta_missing else float(beta_fid)
 
     def assemble(th):
         params = dict(fixed)
@@ -382,15 +407,14 @@ def fisher_forecast(bundle, fiducial: Dict, names,
     fixed_key = tuple(sorted((k, float(v)) for k, v in fiducial.items()
                              if k not in names and k not in derived_names))
 
-    beta_known = 'beta' in fiducial or any(d.name == 'beta' for d in derived)
     if isinstance(bundle, JointBundle):
-        if not bundle.fixed_covmat and not beta_known:
+        if not bundle.fixed_covmat and beta_missing:
             # same semantics as joint_chi_squared: the joint covariance
             # interpolates on the GLOBAL beta — silently forecasting at the
             # 0.4 fallback would be garbage-but-finite
-            raise InputError('Need a fiducial beta (given or derived) to '
-                             'interpolate the beta-dependent joint '
-                             'covariance')
+            raise InputError('Need a fiducial beta (given or derivable '
+                             'from the fiducial) to interpolate the '
+                             'beta-dependent joint covariance')
         cache_key = ('fisher-joint',
                      tuple((b.spec, b.theory_opts) for b in bundle.bundles),
                      bundle.fixed_covmat, bundle.ndata,
