@@ -108,6 +108,39 @@ class TestCoverage:
         # posterior never brackets the truth — broken inference
         assert not np.any(np.all((ranks == 0.0) | (ranks == 1.0), axis=0))
 
+    def test_joint_sbc_rank_smoke(self):
+        """--model joint plumbing: the JointBundle dispatch in
+        shift_datavector/_mock_setup through run_sbc over the 5-param
+        2-quantile space (shared fsigma8/beta/epsilon + per-quantile
+        sigma_v__q<i>) with the correlated rho=0.4 cross-covariance. The
+        real rank-uniformity measurement runs on TPU (BASELINE.md)."""
+        from coverage_test import (SBC_BLOCK_JOINT, build_joint_boss_bundle,
+                                   run_sbc)
+        jb = build_joint_boss_bundle()
+        ranks, names = run_sbc(jb, n_mocks=1, seed=3,
+                               params_block=SBC_BLOCK_JOINT,
+                               n_particles=32, n_moves=2, chunk=16)
+        assert names == list(SBC_BLOCK_JOINT)
+        assert ranks.shape == (1, 5)
+        assert np.all((ranks >= 0.0) & (ranks <= 1.0))
+
+    def test_joint_mock_shift_is_exact(self):
+        """shift_datavector on a JointBundle splits delta at the stacked-
+        vector block boundaries: the joint data vector moves by exactly
+        delta at every beta."""
+        import jax.numpy as jnp
+        from coverage_test import build_joint_boss_bundle, shift_datavector
+        from victor_tpu.likelihood.multiquantile import joint_datavector
+        jb = build_joint_boss_bundle()
+        rng = np.random.default_rng(5)
+        delta = rng.normal(size=jb.ndata)
+        mb = shift_datavector(jb, delta)
+        for beta in [0.37, 0.4123]:
+            p = {'beta': jnp.asarray(beta)}
+            a = np.asarray(joint_datavector(jb, p))
+            b = np.asarray(joint_datavector(mb, p))
+            np.testing.assert_allclose(b - a, delta, atol=1e-12)
+
     def test_mock_shift_is_exact_at_fiducial_beta(self, boss_config):
         """shift_datavector moves the beta-interpolated data vector by
         exactly delta at every beta (constant shift commutes with PCHIP)."""

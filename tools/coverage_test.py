@@ -63,6 +63,12 @@ Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
                     # (exact final stage): SMC-posterior coverage measured
                     # nominal for every parameter, same sigma_v width-MLE
                     # skew as streaming (BASELINE.md round 3)
+        python tools/coverage_test.py --model joint --method sbc --mocks 40
+                    # 5-param 2-quantile JOINT fit: stacked data vectors,
+                    # correlated cross-covariance (rho=0.4 off-diagonal
+                    # blocks), shared cosmology/AP + per-quantile
+                    # sigma_v__q<i> — rank-calibrates the multiquantile
+                    # machinery end-to-end
         python tools/coverage_test.py --model esm --mocks 30
                     # 9-parameter excursion-set pipeline calibration:
                     # fiducial = the ESM MAP neighbourhood, params block
@@ -100,8 +106,20 @@ PARAMS_BLOCK = {
 def shift_datavector(bundle, delta):
     """Bundle with the data vector shifted by `delta` (n_ell_s * n_s,) at
     EVERY beta grid point: a constant shift moves only the constant PCHIP
-    coefficient (interpolation is linear in the table values)."""
+    coefficient (interpolation is linear in the table values).
+
+    A JointBundle is shifted per quantile: `delta` (jb.ndata,) is split at
+    the stacked-vector block boundaries and each sub-bundle shifted with its
+    own slice."""
     import jax.numpy as jnp
+    from victor_tpu.likelihood.multiquantile import JointBundle
+    if isinstance(bundle, JointBundle):
+        out, off = [], 0
+        for b in bundle.bundles:
+            D = b.spec.n_s * len(b.spec.poles_s)
+            out.append(shift_datavector(b, delta[off:off + D]))
+            off += D
+        return dataclasses.replace(bundle, bundles=tuple(out))
     t = bundle.tables
     if bundle.spec.fixed_data:
         d2 = t.data_mult_fixed + delta.reshape(t.data_mult_fixed.shape)
@@ -123,9 +141,21 @@ def _mock_setup(bundle, fiducial):
     import jax.numpy as jnp
     from victor_tpu.likelihood.core import (interpolated_covariance,
                                             multipole_datavector)
+    from victor_tpu.likelihood.multiquantile import (
+        JointBundle, joint_covariance, joint_datavector, joint_theory_vector)
     from victor_tpu.models.ccf_theory import theory_vector
 
     params = {k: jnp.asarray(v) for k, v in fiducial.items()}
+    if isinstance(bundle, JointBundle):
+        # joint generative model: stacked theory/data vectors and the FULL
+        # cross-covariance (quantile noise is correlated through the
+        # off-diagonal blocks — the thing the joint machinery exists for)
+        tvec = np.asarray(joint_theory_vector(bundle, params),
+                          dtype=np.float64)
+        dvec = np.asarray(joint_datavector(bundle, params), dtype=np.float64)
+        cov = np.asarray(joint_covariance(bundle, params['beta']),
+                         dtype=np.float64)
+        return tvec, dvec, np.linalg.cholesky(cov)
     tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
                                     bundle.theory_opts, params),
                       dtype=np.float64)
@@ -316,10 +346,17 @@ def run_sbc(bundle, n_mocks=100, seed=0, form='gaussian',
     # Outside them the generative step would silently clamp/extrapolate —
     # exactly the rank-uniformity breakage the raise below prevents. Grids
     # are None for fixed (beta-independent) inputs, where any draw is fine.
-    t = bundle.tables
-    grids = [g for g in (getattr(t, 'beta_ccf', None),
-                         getattr(t, 'beta_cov', None),
-                         getattr(t, 'beta_grid', None)) if g is not None]
+    from victor_tpu.likelihood.multiquantile import JointBundle
+    if isinstance(bundle, JointBundle):
+        tabs = [b.tables for b in bundle.bundles]
+        extra = [] if bundle.beta_cov is None else [bundle.beta_cov]
+    else:
+        tabs, extra = [bundle.tables], []
+    grids = extra + [g for t in tabs
+                     for g in (getattr(t, 'beta_ccf', None),
+                               getattr(t, 'beta_cov', None),
+                               getattr(t, 'beta_grid', None))
+                     if g is not None]
     blo = max((float(np.asarray(g)[0]) for g in grids), default=-np.inf)
     bhi = min((float(np.asarray(g)[-1]) for g in grids), default=np.inf)
 
@@ -345,6 +382,80 @@ def run_sbc(bundle, n_mocks=100, seed=0, form='gaussian',
         truth = np.array([theta[n] for n in names])
         ranks[k] = (p < truth[None, :]).mean(axis=0)
     return ranks, names
+
+
+# Joint multi-quantile calibration space: cosmology/AP shared across the
+# two quantiles, one dispersion amplitude per quantile via the __q<i>
+# override convention — 5 parameters through the stacked-vector +
+# cross-covariance machinery (likelihood/multiquantile.py)
+JOINT_FIDUCIAL = {'fsigma8': 0.47, 'beta': 0.37, 'sigma_v__q0': 380.0,
+                  'sigma_v__q1': 380.0, 'epsilon': 1.0}
+
+JOINT_PARAMS_BLOCK = {
+    'fsigma8': PARAMS_BLOCK['fsigma8'],
+    'beta': PARAMS_BLOCK['beta'],
+    'sigma_v__q0': PARAMS_BLOCK['sigma_v'],
+    'sigma_v__q1': PARAMS_BLOCK['sigma_v'],
+    'epsilon': PARAMS_BLOCK['epsilon'],
+}
+
+SBC_BLOCK_JOINT = {
+    'fsigma8': SBC_BLOCK['fsigma8'],
+    'beta': SBC_BLOCK['beta'],
+    'sigma_v__q0': SBC_BLOCK['sigma_v'],
+    'sigma_v__q1': SBC_BLOCK['sigma_v'],
+    'epsilon': SBC_BLOCK['epsilon'],
+}
+
+
+def build_joint_boss_bundle(rho=0.4):
+    """Two-'quantile' JointBundle over the BOSS dataset with a beta-varying
+    CORRELATED joint covariance [[C, rho*C], [rho*C, C]](beta) — positive
+    definite for |rho| < 1 (Kronecker product of a 2x2 correlation matrix
+    with C(beta)). The off-diagonal blocks are the point: mock noise is
+    correlated across quantiles exactly as density-split data vectors are,
+    so a calibration through this bundle validates the cross-covariance
+    handling, the stacked theory/data vectors, the per-quantile __q<i>
+    overrides, and the (n_b, 2D, 2D) beta interpolation at once."""
+    import copy
+    import tempfile
+
+    import h5py
+    import yaml
+
+    from victor_tpu.io import build_tables
+    from victor_tpu.likelihood.multiquantile import build_joint_tables
+
+    with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+    single = build_tables(cfg['model'], cfg['data'])
+    covs = np.asarray(single.tables.cov, dtype=np.float64)   # (n_b, D, D)
+    beta = np.asarray(single.tables.beta_cov, dtype=np.float64)
+    D = covs.shape[1]
+    joint_cov = np.zeros((len(beta), 2 * D, 2 * D))
+    joint_cov[:, :D, :D] = covs
+    joint_cov[:, D:, D:] = covs
+    joint_cov[:, :D, D:] = rho * covs
+    joint_cov[:, D:, :D] = rho * covs
+    tmp = tempfile.mkdtemp(prefix='victor_joint_cov_')
+    cov_fn = os.path.join(tmp, 'joint_cov.hdf5')
+    with h5py.File(cov_fn, 'w') as f:
+        f.create_dataset('covmat', data=joint_cov)
+        f.create_dataset('beta', data=beta)
+
+    q = {'model': copy.deepcopy(cfg['model']),
+         'data': {'redshift_space_ccf':
+                  copy.deepcopy(cfg['data']['redshift_space_ccf']),
+                  'dir': REPO}}
+    joint_cfg = {
+        'quantiles': [copy.deepcopy(q), copy.deepcopy(q)],
+        'covariance_matrix': {'data_file': cov_fn, 'cov_key': 'covmat',
+                              'fixed_beta': False, 'beta_key': 'beta'},
+        'likelihood': {'form': 'gaussian', 'nmocks': 1000, 'nparams': 5},
+    }
+    return build_joint_tables(joint_cfg)
 
 
 ESM_FIDUCIAL = {'f': 0.778, 'sigma_8_0': 0.81, 'b10': -1.544,
@@ -378,11 +489,13 @@ def main():
                          'exactly calibrated; sellentin adds the t-tail)')
     ap.add_argument('--model', default='template',
                     choices=['template', 'dispersion', 'kaiser',
-                             'euclid_special', 'esm'],
+                             'euclid_special', 'esm', 'joint'],
                     help='template = 4-param BOSS fit (streaming RSD); '
                          'dispersion/kaiser/euclid_special = the same fit '
                          'under another RSD mapping; esm = 9-param '
-                         'excursion-set pipeline')
+                         'excursion-set pipeline; joint = 5-param 2-quantile '
+                         'joint fit with a correlated cross-covariance and '
+                         'per-quantile sigma_v__q<i> overrides')
     ap.add_argument('--beta-profile', action='store_true',
                     help='also measure beta coverage with per-mock '
                          'delta-chi2=1 profile intervals (the remedy for '
@@ -425,6 +538,10 @@ def main():
         # the full cobaya-style block (latex keys are tolerated)
         block = full['params']
         fiducial = ESM_FIDUCIAL
+    elif args.model == 'joint':
+        bundle = build_joint_boss_bundle()
+        block = JOINT_PARAMS_BLOCK
+        fiducial = JOINT_FIDUCIAL
     else:
         with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
             cfg = yaml.safe_load(f)
@@ -447,7 +564,8 @@ def main():
 
     if args.method == 'sbc':
         from scipy import stats
-        sbc_block = SBC_BLOCK_ESM if args.model == 'esm' else SBC_BLOCK
+        sbc_block = {'esm': SBC_BLOCK_ESM,
+                     'joint': SBC_BLOCK_JOINT}.get(args.model, SBC_BLOCK)
         if args.model in ('kaiser', 'euclid_special'):
             # sigma_v is not read by these mappings (see above): a rank
             # test on it would be trivially uniform, not evidence
