@@ -120,7 +120,11 @@ def main():
             from coverage_test import build_joint_boss_bundle
             from victor_tpu.likelihood.multiquantile import \
                 make_batched_joint_loglike
-            jb = build_joint_boss_bundle()
+            joint_overrides = {}
+            if os.environ.get('VICTOR_BENCH_STREAMING'):
+                joint_overrides['streaming_eval'] = \
+                    os.environ['VICTOR_BENCH_STREAMING']
+            jb = build_joint_boss_bundle(model_overrides=joint_overrides)
             batched = make_batched_joint_loglike(jb, joint_names,
                                                  chunk=chunk)
             theta_v = joint_theta

@@ -408,7 +408,7 @@ SBC_BLOCK_JOINT = {
 }
 
 
-def build_joint_boss_bundle(rho=0.4):
+def build_joint_boss_bundle(rho=0.4, model_overrides=None):
     """Two-'quantile' JointBundle over the BOSS dataset with a beta-varying
     CORRELATED joint covariance [[C, rho*C], [rho*C, C]](beta) — positive
     definite for |rho| < 1 (Kronecker product of a 2x2 correlation matrix
@@ -416,7 +416,10 @@ def build_joint_boss_bundle(rho=0.4):
     correlated across quantiles exactly as density-split data vectors are,
     so a calibration through this bundle validates the cross-covariance
     handling, the stacked theory/data vectors, the per-quantile __q<i>
-    overrides, and the (n_b, 2D, 2D) beta interpolation at once."""
+    overrides, and the (n_b, 2D, 2D) beta interpolation at once.
+
+    `model_overrides` (dict) is merged into every quantile's model block
+    (e.g. {'streaming_eval': 'fast'} for the opt-in Chebyshev fast mode)."""
     import copy
     import tempfile
 
@@ -430,6 +433,7 @@ def build_joint_boss_bundle(rho=0.4):
         cfg = yaml.safe_load(f)
     cfg['model']['dir'] = REPO
     cfg['data']['dir'] = REPO
+    cfg['model'].update(model_overrides or {})
     single = build_tables(cfg['model'], cfg['data'])
     covs = np.asarray(single.tables.cov, dtype=np.float64)   # (n_b, D, D)
     beta = np.asarray(single.tables.beta_cov, dtype=np.float64)
