@@ -228,6 +228,22 @@ class TestFisherForecast:
         i, j = names.index('fsigma8'), names.index('sigma_v')
         assert corr_f[i, j] > 0.4
 
+    def test_missing_beta_raises_for_beta_dependent_data(self, boss_config):
+        """A forecast over a beta-dependent data vector / covariance with no
+        fiducial beta (given or derivable) must raise loudly — the old
+        silent 0.4 fallback produced plausible-but-wrong Fisher sigmas
+        (same semantics as likelihood/core.chi_squared and the JointBundle
+        branch)."""
+        from victor_tpu.errors import InputError
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import fisher_forecast
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        with pytest.raises(InputError, match='beta'):
+            fisher_forecast(bundle,
+                            {'fsigma8': 0.47, 'sigma_v': 380.0,
+                             'epsilon': 1.0},
+                            ('fsigma8', 'sigma_v', 'epsilon'))
+
     def test_derived_params_chain_through(self, boss_config, map_result):
         """Derived lambdas (the cobaya params-block vocabulary) must chain
         through the forecast derivative: sampling svx with derived
@@ -433,6 +449,29 @@ class TestLaplaceEvidence:
         lz = map_result.log_evidence_laplace
         assert np.isfinite(lz)
         assert abs(lz - 278.65) < 0.8, lz
+
+
+class TestReferencePoint:
+    def test_halfnorm_fiducial_is_prior_mean_not_support_edge(self):
+        """A halfnorm sigma_v with loc=0 must get a strictly-interior
+        fiducial (the prior mean loc + scale*sqrt(2/pi)), not the support
+        edge 0 where the velocity-PDF division makes eval return -inf and
+        forecast a NaN Jacobian."""
+        import math
+
+        from victor_tpu.__main__ import _reference_point
+        from victor_tpu.sampling.priors import ParamSpace
+        space = ParamSpace({
+            'sigma_v': {'prior': {'dist': 'halfnorm', 'loc': 0.0,
+                                  'scale': 300.0}},
+            'amp': {'prior': {'dist': 'halfnorm', 'loc': 1.0, 'scale': 2.0},
+                    'ref': {'dist': 'halfnorm', 'loc': 1.0, 'scale': 0.5}},
+            'mu': {'prior': {'dist': 'norm', 'loc': 5.0, 'scale': 2.0}},
+        })
+        pt = _reference_point(space)
+        assert pt['sigma_v'] == pytest.approx(300.0 * math.sqrt(2 / math.pi))
+        assert pt['amp'] == pytest.approx(1.0 + 0.5 * math.sqrt(2 / math.pi))
+        assert pt['mu'] == pytest.approx(5.0)    # norm: loc IS the mean
 
 
 class TestForecastCLI:

@@ -57,6 +57,27 @@ class TestParamSpace:
         lo, hi = sp.bounds()
         assert np.all(np.asarray(draws) >= lo) and np.all(np.asarray(draws) <= hi)
 
+    def test_to_unbounded_finite_at_support_edges_f32(self):
+        """Regression: the interval branch clipped u to [1e-12, 1 - 1e-12],
+        but 1 - 1e-12 rounds to 1.0 in f32 (the TPU path) so a draw at (or
+        rounding to) the upper prior edge mapped to logit(1) = +inf, which
+        NaN-poisons the SMC/NS particle moments downstream. The clip must
+        be dtype-safe (epsneg) on both sides, like the halfnorm tiny floor."""
+        sp = ParamSpace({
+            'u': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 1.0}},
+            'lg': {'prior': {'dist': 'loguniform', 'min': 1e-3, 'max': 10.0}},
+            'hn': {'prior': {'dist': 'halfnorm', 'loc': 0.0, 'scale': 1.0}},
+        })
+        edges = jnp.asarray([[0.0, 1e-3, 0.0],
+                             [1.0, 10.0, 5.0]], dtype=jnp.float32)
+        y = sp.to_unbounded(edges)
+        assert np.all(np.isfinite(np.asarray(y)))
+        # round trip stays at (or clamps just inside) the support
+        back = np.asarray(sp.to_bounded(y), dtype=np.float64)
+        lo, hi = sp.bounds()
+        assert np.all(back >= np.asarray(lo) - 1e-6)
+        assert np.all(back <= np.where(np.isfinite(hi), hi, np.inf) + 1e-6)
+
     def test_scalar_ref_gets_start_scatter(self):
         # cobaya scalar refs (ref: 0.47) must NOT start every walker at the
         # identical point (the stretch-move ensemble would be permanently
@@ -158,6 +179,28 @@ def _gaussian_logpost(mean, cov_inv):
         lnp = -0.5 * jnp.einsum('wi,ij,wj->w', d, cov_inv, d)
         return lnp, jnp.zeros((coords.shape[0], 1))
     return fn
+
+
+class TestJitFnCache:
+    def test_lru_bound_and_refresh(self):
+        from victor_tpu.sampling.targets import JitFnCache
+        c = JitFnCache(maxsize=3)
+        for k in 'abc':
+            c.setdefault(k, {k: 1})
+        assert list(c) == ['a', 'b', 'c']
+        c.setdefault('a', {'stale': True})   # hit: refreshes, keeps value
+        assert c['a'] == {'a': 1}
+        c.setdefault('d', {})                # evicts the LRU entry ('b')
+        assert 'b' not in c and list(c)[-1] == 'd' and 'a' in c
+        assert len(c) == 3
+
+    def test_direct_setitem_bounded(self):
+        from victor_tpu.sampling.targets import JitFnCache
+        c = JitFnCache(maxsize=2)
+        c['x'] = 1
+        c['y'] = 2
+        c['z'] = 3
+        assert len(c) == 2 and 'x' not in c
 
 
 class TestEnsemble:

@@ -117,7 +117,6 @@ def _json_sanitize(obj):
 
 
 def cmd_run(args):
-    from .parallel import make_mesh
     from .sampling import run_hmc_mcmc, run_mcmc
 
     cfg = _apply_set(_load(args.config), args.set)
@@ -256,16 +255,15 @@ def cmd_run(args):
              'elapsed_s': round(result.elapsed_s, 2),
              'summary': result.summary(burn_in=0)}), indent=2))
         return
-    import jax
     n_walkers = int(sampler.get('n_walkers', args.walkers))
-    # walker-divisibility guard like the hmc/smc paths: an indivisible
-    # walker count falls back to single-device instead of crashing the
-    # sharded device_put inside run_mcmc
-    mesh = None
-    if len(jax.devices()) > 1:
-        cand = make_mesh(('chains', 'walkers'))
-        if n_walkers % cand.shape['walkers'] == 0:
-            mesh = cand
+    # same auto-mesh policy as the hmc/smc/ns paths: divisibility fallback
+    # AND the virtual-CPU-device refusal (the stretch move's cross-half
+    # partner gather lowers to collectives — exactly the plan class that
+    # hard-deadlocks XLA:CPU's rendezvous on an oversubscribed box, CLAUDE.md
+    # rule 8). A one-axis 'walkers' mesh also uses every device, where the
+    # previous two-axis ('chains','walkers') mesh sharded only its 'walkers'
+    # axis and replicated work across the 'chains' half of the devices.
+    mesh = _divisible_mesh('walkers', n_walkers)
     result = run_mcmc(
         bundle, params_block,
         n_walkers=n_walkers,
@@ -290,14 +288,25 @@ def _reference_point(space):
     the full ParamSpace vocabulary (fixed values, {value: x}, scalar refs,
     prior-only params). Shared by eval (default evaluation point) and
     forecast (Fisher fiducial)."""
+    import math
+
     point = {k: float(v) for k, v in space.fixed.items()}
     for p in space.sampled:
         if p.ref_dist == 'norm':
             loc = p.ref_loc
+        elif p.ref_dist == 'halfnorm':
+            loc = p.ref_loc + p.ref_scale * math.sqrt(2.0 / math.pi)
         elif p.dist in ('uniform', 'loguniform'):
             loc = 0.5 * (p.lo + p.hi)
+        elif p.dist == 'halfnorm':
+            # the prior MEAN loc + scale*sqrt(2/pi), not the support edge
+            # p.lo: a halfnorm sigma_v with loc=0 would otherwise be
+            # evaluated/differentiated at exactly sigma_v=0, where the
+            # velocity-PDF division gives lnlike=-inf (eval) and an inf/NaN
+            # residual Jacobian (forecast) for a perfectly sensible config
+            loc = p.lo + p.hi * math.sqrt(2.0 / math.pi)
         else:
-            loc = p.lo
+            loc = p.lo                               # norm: lo IS the mean
         point[p.name] = float(loc)
     return point
 

@@ -113,7 +113,10 @@ def make_batched_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
 
     def fn(tbl, theta):
         mapped = lambda th: scalar(tbl, th)  # noqa: E731
-        if chunk:
+        # > chunk (not bare truthiness): a batch smaller than one chunk
+        # would otherwise be padded up to a full chunk and evaluated whole
+        # (same guard as multiquantile / targets.make_unbounded_wrappers)
+        if chunk and theta.shape[0] > chunk:
             return chunked_vmap(mapped, chunk)(theta)
         return jax.vmap(mapped)(theta)
 

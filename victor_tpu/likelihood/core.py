@@ -138,7 +138,15 @@ def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
         k = jnp.searchsorted(grid, beta, side='left', method='compare_all')  # first >= beta
         low = jnp.clip(k - 1, 0, n - 1)
         high = jnp.clip(k, 0, n - 1)
-        t = (beta - grid[low]) / (grid[high] - grid[low])
+        # double-where the denominator (same hazard as _interp_matrix_stack):
+        # low == high whenever beta <= grid[0] or beta > grid[-1], and the
+        # bare 0/0 (a) returned (-inf, +inf) even at the VALID on-grid point
+        # beta == grid[0] (NaN guard caught the 0/0) and (b) poisoned
+        # reverse-mode gradients with NaN for every parameter. With the
+        # guard, beta == grid[0] gives t = 0 -> the exact grid[0] likelihood;
+        # out-of-grid betas get the explicit sentinel below.
+        denom = grid[high] - grid[low]
+        t = (beta - grid[low]) / jnp.where(denom == 0, 1.0, denom)
         p_low = dict(params); p_low['beta'] = grid[low]
         p_high = dict(params); p_high['beta'] = grid[high]
         chisq_low, cov_low = chi_squared(tables, spec, opts, p_low)
@@ -156,6 +164,13 @@ def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
         ln_high = _apply_form(chisq_high, lf_high, fit, ndata)
         lnlike = (1.0 - t) * ln_low + t * ln_high
         chisq = (1.0 - t) * chisq_low + t * chisq_high
+        # beta outside the data grid: the reference raises IndexError
+        # (ccf_fit.py:389-390); the documented jit-safe intent fix is the
+        # (-inf, +inf) sentinel (PARITY.md) — previously produced by the
+        # accidental 0/0 NaN that the guard above removes, now explicit
+        out_of_grid = jnp.logical_or(beta < grid[0], beta > grid[-1])
+        lnlike = jnp.where(out_of_grid, -jnp.inf, lnlike)
+        chisq = jnp.where(out_of_grid, jnp.inf, chisq)
     else:
         chisq, cov = chi_squared(tables, spec, opts, params)
         if not spec.fixed_covmat:

@@ -56,10 +56,11 @@ from scipy.special import logsumexp
 
 from ..utils.logging import get_logger
 from .priors import ParamSpace
+from .targets import JitFnCache
 
 log = get_logger('nested')
 
-_NS_CACHE: dict = {}
+_NS_CACHE = JitFnCache()
 
 _NEG = -1e300        # host-side stand-in for lnL = -inf (keeps exp() exact 0)
 

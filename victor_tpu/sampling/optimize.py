@@ -26,10 +26,11 @@ import numpy as np
 
 from ..utils.logging import get_logger
 from .priors import ParamSpace
+from .targets import JitFnCache
 
 log = get_logger('optimize')
 
-_FIT_CACHE: dict = {}
+_FIT_CACHE = JitFnCache()
 
 
 @dataclasses.dataclass
@@ -435,6 +436,14 @@ def fisher_forecast(bundle, fiducial: Dict, names,
         opts = bundle.theory_opts.replace(**(opts_kw or {}))
         fit = bundle.fit_opts.replace(**(fit_kw or {}))
         spec = bundle.spec
+        if beta_missing and not (spec.fixed_data and spec.fixed_covmat):
+            # same loud semantics as likelihood/core.chi_squared and the
+            # JointBundle branch above: forecasting a beta-dependent data
+            # vector / covariance at the hard-coded 0.4 fallback would
+            # produce plausible-but-wrong Fisher sigmas with no warning
+            raise InputError('Need a fiducial beta (given or derivable from '
+                             'the fiducial) to interpolate the '
+                             'beta-dependent data vector / covariance')
         cache_key = ('fisher', spec, opts, fit, names, beta_fid,
                      derived_key, fixed_key)
         fns = _FIT_CACHE.setdefault(cache_key, {})

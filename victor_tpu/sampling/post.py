@@ -45,10 +45,11 @@ import numpy as np
 from ..errors import InputError
 from ..utils.logging import get_logger
 from .priors import ParamSpace
+from .targets import JitFnCache
 
 log = get_logger('post')
 
-_POST_CACHE: dict = {}
+_POST_CACHE = JitFnCache()
 
 
 @dataclasses.dataclass

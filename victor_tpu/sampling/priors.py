@@ -267,7 +267,14 @@ class ParamSpace:
                     u = (jnp.log(x) - math.log(p.lo)) / math.log(p.hi / p.lo)
                 else:
                     u = (x - p.lo) / (p.hi - p.lo)
-                u = jnp.clip(u, 1e-12, 1 - 1e-12)
+                # dtype-safe bounds: 1 - 1e-12 rounds to 1.0 in f32 (the TPU
+                # path), making the upper clip a no-op — a draw at (or
+                # rounding to) the support edge would map to logit(1) = +inf
+                # and poison the SMC/NS particle moments (same f32-rounding
+                # class as the halfnorm tiny-floor below). epsneg is the
+                # largest eps with 1 - eps < 1 exactly representable.
+                eps = jnp.finfo(jnp.asarray(u).dtype).epsneg
+                u = jnp.clip(u, eps, 1 - eps)
                 cols.append(jnp.log(u) - jnp.log1p(-u))
             elif p.dist == 'halfnorm':
                 # dtype-safe floor: 1e-300 underflows to 0.0 in f32 (the TPU

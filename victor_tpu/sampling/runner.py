@@ -19,11 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.tables import CCFModelBundle
-from ..likelihood.core import log_likelihood
 from ..utils.logging import get_logger
 from . import chains as chain_io
 from . import diagnostics, ensemble
 from .priors import ParamSpace
+from .targets import JitFnCache
 
 log = get_logger('sampling')
 
@@ -37,8 +37,8 @@ def _freeze(obj):
     return obj
 
 
-_HMC_RUNNERS: dict = {}
-_ENSEMBLE_RUNNERS: dict = {}
+_HMC_RUNNERS = JitFnCache()
+_ENSEMBLE_RUNNERS = JitFnCache()
 
 
 @dataclasses.dataclass
@@ -65,44 +65,44 @@ class MCMCResult:
                 for i, p in enumerate(self.space.sampled)}
 
 
+def _posterior_parts(bundle, space: ParamSpace,
+                     opts_kw: Optional[Dict] = None,
+                     fit_kw: Optional[Dict] = None):
+    """(logpost(tables, coords), tables_arg, cache_id) via the shared
+    targets.resolve_target dispatch — the single place that knows how to
+    turn a CCFModelBundle / JointBundle / ProductTarget / callable into a
+    (tables_arg, loglike, cache-key) triple. runner.py used to carry two
+    verbatim copies of that dispatch, which is exactly how the SMC
+    JointBundle branch once lost opts_kw/fit_kw from its jit-cache key
+    (see targets.py docstring)."""
+    from .targets import resolve_target
+
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+
+    def logpost(tbl, coords):
+        def scalar(theta):
+            params = space.full_params(theta)
+            return loglike(tbl, params)
+        inner = ensemble.make_logpost(space.log_prior, jax.vmap(scalar))
+        return inner(coords)
+
+    return logpost, tables_arg, cache_id
+
+
 def make_posterior(bundle, space: ParamSpace,
                    opts_kw: Optional[Dict] = None,
                    fit_kw: Optional[Dict] = None, bind_tables: bool = True):
     """Batched (lnpost, aux) function over walker coordinate arrays (W, P).
 
-    Accepts a single-dataset CCFModelBundle or a multi-quantile JointBundle.
+    Accepts anything targets.resolve_target does (single-dataset
+    CCFModelBundle, multi-quantile JointBundle, ProductTarget, callable).
     With bind_tables=False, returns logpost(tables, coords) so callers can
     pass the tables pytree as a jit argument — embedding it as closure
     constants makes MLIR lowering read every array back from the device
     (minutes over a remote-device tunnel)."""
-    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
-
-    if isinstance(bundle, JointBundle):
-        def logpost(jb, coords):
-            def scalar(theta):
-                params = space.full_params(theta)
-                return joint_log_likelihood(jb, params, opts_kw, fit_kw)
-            inner = ensemble.make_logpost(space.log_prior, jax.vmap(scalar))
-            return inner(coords)
-
-        if bind_tables:
-            return lambda coords: logpost(bundle, coords)
-        return logpost
-
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
-    fit = bundle.fit_opts.replace(**(fit_kw or {}))
-    spec = bundle.spec
-
-    def logpost(tbl, coords):
-        def scalar(theta):
-            params = space.full_params(theta)
-            return log_likelihood(tbl, spec, opts, fit, params)
-        inner = ensemble.make_logpost(space.log_prior, jax.vmap(scalar))
-        return inner(coords)
-
+    logpost, tables_arg, _ = _posterior_parts(bundle, space, opts_kw, fit_kw)
     if bind_tables:
-        tables = bundle.tables
-        return lambda coords: logpost(tables, coords)
+        return lambda coords: logpost(tables_arg, coords)
     return logpost
 
 
@@ -143,25 +143,10 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     """
     from . import hmc as _hmc
     from . import nuts as _nuts
-    from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
+    from .targets import resolve_target
 
     space = ParamSpace(params_block)
-    if isinstance(bundle, JointBundle):
-        tables_arg = bundle
-        cache_id = ('joint', tuple((b.spec, b.theory_opts) for b in bundle.bundles),
-                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
-
-        def loglike(tbl, params):
-            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
-    else:
-        opts = bundle.theory_opts.replace(**(opts_kw or {}))
-        fit = bundle.fit_opts.replace(**(fit_kw or {}))
-        spec = bundle.spec
-        tables_arg = bundle.tables
-        cache_id = (opts, fit, spec)
-
-        def loglike(tbl, params):
-            return log_likelihood(tbl, spec, opts, fit, params)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
 
     def logpost_y(tbl, y):
         theta = space.to_bounded(y)
@@ -325,26 +310,18 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     so each segment runs data-parallel across chips with no host round trips
     inside the segment.
     """
-    from ..likelihood.multiquantile import JointBundle
-
     space = ParamSpace(params_block)
-    logpost_t = make_posterior(bundle, space, opts_kw, fit_kw, bind_tables=False)
-    # the pytree passed as the jit argument: tables for a single dataset,
-    # the whole JointBundle for multi-quantile fits
-    tables = getattr(bundle, 'tables', bundle)
+    # tables is the pytree passed as the jit argument (full JointBundle for
+    # multi-quantile fits); cache_id covers everything the logpost_t closure
+    # bakes in — both from the shared resolve_target dispatch
+    logpost_t, tables, cache_id = _posterior_parts(bundle, space,
+                                                   opts_kw, fit_kw)
     key = jax.random.PRNGKey(seed)
 
-    # cache the jitted init/segment functions across calls, keyed on
-    # everything the logpost_t closure bakes in (a fresh lambda per call
-    # would defeat jax's object-keyed jit cache and re-lower the full
-    # ensemble segment graph on every run_mcmc call — minutes of tracing
-    # per seed-study repeat; same pattern as _HMC_RUNNERS above)
-    if isinstance(bundle, JointBundle):
-        cache_id = ('joint',
-                    tuple((b.spec, b.theory_opts) for b in bundle.bundles),
-                    bundle.fit_opts, bundle.fixed_covmat, bundle.ndata)
-    else:
-        cache_id = (bundle.theory_opts, bundle.fit_opts, bundle.spec)
+    # cache the jitted init/segment functions across calls (a fresh lambda
+    # per call would defeat jax's object-keyed jit cache and re-lower the
+    # full ensemble segment graph on every run_mcmc call — minutes of
+    # tracing per seed-study repeat; same pattern as _HMC_RUNNERS above)
     cache_key = (tuple((k, _freeze(v)) for k, v in params_block.items()),
                  cache_id, _freeze(opts_kw), _freeze(fit_kw),
                  check_every, thin,

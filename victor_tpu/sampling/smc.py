@@ -39,10 +39,11 @@ import numpy as np
 
 from ..utils.logging import get_logger
 from .priors import ParamSpace
+from .targets import JitFnCache
 
 log = get_logger('smc')
 
-_SMC_CACHE: dict = {}
+_SMC_CACHE = JitFnCache()
 
 # The internal CLT standard error assumes independent importance weights;
 # resampling/mutation correlations make it optimistic. Measured on the BOSS

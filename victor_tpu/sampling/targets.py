@@ -18,11 +18,52 @@ floor, or the key fields had four places to miss.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+class JitFnCache(collections.OrderedDict):
+    """Bounded LRU dict for module-level jitted-function caches.
+
+    The sampler/optimizer layers cache compiled segment/init functions per
+    (target, params-block, knob) key so repeat calls skip re-lowering the
+    big likelihood graphs (minutes on TPU). An unbounded dict pins every
+    compiled executable AND everything its key's closures capture — for
+    callable targets that includes the user closure and any device tables
+    it holds — for the process lifetime (the HBM-leak class api.py's _memo
+    comment documents). A seed-study that varies key fields (chunk,
+    n_particles, space structure) grows it without limit.
+
+    LRU with a generous bound: eviction only triggers past `maxsize`
+    distinct configurations in one process, so steady-state loops (coverage
+    mocks, seed studies — a handful of keys, hit every iteration) never
+    recompile; a runaway key-churn process stays bounded instead of leaking.
+    """
+
+    def __init__(self, maxsize: int = 32):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        self.move_to_end(key)
+        return val
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            self.popitem(last=False)
+
+    def setdefault(self, key, default=None):
+        if key in self:
+            return self[key]                  # __getitem__ refreshes LRU
+        self[key] = default
+        return default
 
 
 @dataclasses.dataclass(frozen=True)
