@@ -102,6 +102,35 @@ class TestJointFit:
         np.testing.assert_allclose(float(lnl_b[0]), float(lnl), rtol=1e-10)
         assert lnl_b.shape == (2,)
 
+    def test_three_quantile_equicorrelated_analytic(self, joint_cfg,
+                                                    tmp_path_factory,
+                                                    single_bundle):
+        """N=3 quantiles with an equicorrelated kron((1-rho)I + rho 11^T, C)
+        covariance: identical per-quantile residuals give the closed form
+        chi2 = 3 chi2_single / (1 + 2 rho) — pins the cross-covariance
+        algebra beyond the 2-quantile case."""
+        rho = 0.4
+        tmp = tmp_path_factory.mktemp('joint3')
+        cov1 = np.asarray(lk.interpolated_covariance(
+            single_bundle.tables, single_bundle.spec, jnp.asarray(0.37)))
+        R = np.full((3, 3), rho)
+        np.fill_diagonal(R, 1.0)
+        fn = tmp / 'joint3_cov.hdf5'
+        with h5py.File(fn, 'w') as f:
+            f.create_dataset('covmat', data=np.kron(R, cov1))
+        cfg = copy.deepcopy(joint_cfg)
+        cfg['quantiles'].append(copy.deepcopy(cfg['quantiles'][0]))
+        cfg['covariance_matrix'] = {'data_file': str(fn),
+                                    'cov_key': 'covmat', 'fixed_beta': True}
+        jb = build_joint_tables(cfg)
+        assert jb.ndata == 180
+        chi2_joint, _ = joint_chi_squared(jb, jp(PARAMS))
+        base_jb = build_joint_tables(joint_cfg)        # block-diag 2-quantile
+        chi2_single = float(joint_chi_squared(base_jb, jp(PARAMS))[0]) / 2.0
+        np.testing.assert_allclose(float(chi2_joint),
+                                   3.0 * chi2_single / (1.0 + 2.0 * rho),
+                                   rtol=1e-9)
+
     def test_beta_varying_joint_cov(self, boss_config, joint_cfg,
                                     tmp_path_factory, single_bundle):
         tmp = tmp_path_factory.mktemp('jointb')

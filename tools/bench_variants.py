@@ -13,12 +13,14 @@ is not in the no-args default list (its compile is the longest) — request
 it explicitly. VICTOR_BENCH_STREAMING=fast composes with it.
 
 'joint' benches the 5-parameter 2-quantile multiquantile fit (stacked
-120-dim vector, rho=0.4 correlated beta-varying cross-covariance, per-
-quantile sigma_v__q<i> overrides — the same synthetic joint bundle the
-calibration campaign uses, tools/coverage_test.py). Throughput is JOINT
-evals/s; each joint eval runs the theory pipeline once per quantile, so
-per-quantile theory throughput is 2x the printed number. Not in the
-default list; request explicitly.
+120-dim vector, rho=0.4 equicorrelated beta-varying cross-covariance,
+per-quantile sigma_v__q<i> overrides — the same synthetic joint bundle the
+calibration campaign uses, tools/coverage_test.py); 'joint<N>' (joint3,
+joint5, ...) benches the N-quantile version (stacked N*60-dim vector,
+kron((1-rho)I + rho 11^T, C(beta)) covariance) with an analytic chi2 gate
+N*65.0118/(1+(N-1)rho). Throughput is JOINT evals/s; each joint eval runs
+the theory pipeline once per quantile, so per-quantile theory throughput
+is N x the printed number. Not in the default list; request explicitly.
 
 Environment: VICTOR_BENCH_BATCH (default 16384), VICTOR_BENCH_CHUNK (64),
 VICTOR_BENCH_REPS (5). Measurement honesty: every timed repetition forces a
@@ -37,13 +39,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REFERENCE_EVALS_PER_SEC = 11.8   # BASELINE.md, measured on this machine
-
-# f64 CPU chi2 for the 'joint' variant's parity gate at {fsigma8 .47,
-# beta .37, sv 380/380, eps 1.0}. Analytic cross-check: both quantiles carry
-# identical residuals x, so x'C_joint^-1 x = 2 chi2_single/(1+rho)
-# = 2*65.0118/1.4 = 92.874 — the measured value to 4 decimals, pinning the
-# cross-covariance algebra as well as the theory pipeline
-JOINT_GOLDEN_CHI2 = 92.8740
 
 
 def main():
@@ -104,18 +99,13 @@ def main():
     esm_names = ['f', 'sigma_8_0', 'b10', 'b01', 'Rp', 'Rx',
                  'beta', 'sigma_v', 'epsilon']
 
-    joint_names = ['fsigma8', 'beta', 'sigma_v__q0', 'sigma_v__q1',
-                   'epsilon']
-    joint_theta = jnp.asarray(np.column_stack([
-        rng.uniform(0.3, 0.6, n),      # fsigma8 (shared)
-        rng.uniform(0.25, 0.55, n),    # beta (shared)
-        rng.uniform(250.0, 450.0, n),  # sigma_v quantile 0
-        rng.uniform(250.0, 450.0, n),  # sigma_v quantile 1
-        rng.uniform(0.9, 1.1, n),      # epsilon (shared)
-    ]))
-
     for variant in variants:
-        if variant == 'joint':
+        if variant.startswith('joint'):
+            # 'joint' = 2 quantiles; 'joint<N>' (e.g. joint3, joint5) benches
+            # the N-quantile stacked fit — per-quantile theory throughput is
+            # N x the printed joint number, formalising the scaling curve
+            # with quantile count
+            nq = int(variant[5:]) if variant[5:] else 2
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from coverage_test import build_joint_boss_bundle
             from victor_tpu.likelihood.multiquantile import \
@@ -124,7 +114,17 @@ def main():
             if os.environ.get('VICTOR_BENCH_STREAMING'):
                 joint_overrides['streaming_eval'] = \
                     os.environ['VICTOR_BENCH_STREAMING']
-            jb = build_joint_boss_bundle(model_overrides=joint_overrides)
+            rho = 0.4
+            jb = build_joint_boss_bundle(rho=rho,
+                                         model_overrides=joint_overrides,
+                                         n_quantiles=nq)
+            joint_names = ['fsigma8', 'beta'] \
+                + [f'sigma_v__q{i}' for i in range(nq)] + ['epsilon']
+            joint_theta = jnp.asarray(np.column_stack(
+                [rng.uniform(0.3, 0.6, n),       # fsigma8 (shared)
+                 rng.uniform(0.25, 0.55, n)]     # beta (shared)
+                + [rng.uniform(250.0, 450.0, n) for _ in range(nq)]
+                + [rng.uniform(0.9, 1.1, n)]))   # epsilon (shared)
             batched = make_batched_joint_loglike(jb, joint_names,
                                                  chunk=chunk)
             theta_v = joint_theta
@@ -135,13 +135,17 @@ def main():
                 np.asarray(batched(theta_v)[0])    # forced per-rep transfer
             dt = time.perf_counter() - t0
 
-            # f64 CPU golden at {fsigma8 .47, beta .37, sv 380/380, eps 1}
-            # through the rho=0.4 correlated joint covariance (regenerate:
-            # the same call under JAX_PLATFORMS-forced CPU + x64)
-            gp = jnp.asarray([[0.47, 0.37, 380.0, 380.0, 1.0]])
+            # analytic golden at {fsigma8 .47, beta .37, sv 380 x nq, eps 1}
+            # through the equicorrelated joint covariance: identical
+            # per-quantile residuals give chi2 = nq chi2_single /
+            # (1 + (nq-1) rho); the nq=2 value 92.8740 is also pinned by the
+            # f64 CPU run (regenerate: same call under JAX_PLATFORMS-forced
+            # CPU + x64)
+            golden = nq * 65.0118 / (1.0 + (nq - 1) * rho)
+            gp = jnp.asarray([[0.47, 0.37] + [380.0] * nq + [1.0]])
             chi2 = float(np.asarray(batched(gp)[1])[0])
-            gate = {'chi2': round(chi2, 4),
-                    'ok': bool(abs(chi2 - JOINT_GOLDEN_CHI2) < 0.05)}
+            gate = {'chi2': round(chi2, 4), 'analytic': round(golden, 4),
+                    'ok': bool(abs(chi2 - golden) < 0.05)}
             if accuracy_knobs:
                 gate['accuracy_knobs'] = accuracy_knobs
             elif not gate['ok']:
@@ -151,7 +155,7 @@ def main():
             print(json.dumps({
                 'metric': f'likelihood_evals_per_sec[{variant}]',
                 'value': round(evals_per_sec, 1),
-                'unit': 'joint evals/s (2 quantile theory evals each)',
+                'unit': f'joint evals/s ({nq} quantile theory evals each)',
                 'vs_baseline': round(
                     evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
                 'parity_gate': gate,

@@ -408,18 +408,23 @@ SBC_BLOCK_JOINT = {
 }
 
 
-def build_joint_boss_bundle(rho=0.4, model_overrides=None):
-    """Two-'quantile' JointBundle over the BOSS dataset with a beta-varying
-    CORRELATED joint covariance [[C, rho*C], [rho*C, C]](beta) — positive
-    definite for |rho| < 1 (Kronecker product of a 2x2 correlation matrix
-    with C(beta)). The off-diagonal blocks are the point: mock noise is
-    correlated across quantiles exactly as density-split data vectors are,
-    so a calibration through this bundle validates the cross-covariance
-    handling, the stacked theory/data vectors, the per-quantile __q<i>
-    overrides, and the (n_b, 2D, 2D) beta interpolation at once.
+def build_joint_boss_bundle(rho=0.4, model_overrides=None, n_quantiles=2):
+    """n-'quantile' JointBundle over the BOSS dataset with a beta-varying
+    CORRELATED joint covariance kron(R, C(beta)), R the equicorrelated
+    n x n correlation matrix (1-rho) I + rho 11^T — positive definite for
+    -1/(n-1) < rho < 1. The off-diagonal blocks are the point: mock noise
+    is correlated across quantiles exactly as density-split data vectors
+    are, so a calibration through this bundle validates the
+    cross-covariance handling, the stacked theory/data vectors, the
+    per-quantile __q<i> overrides, and the (n_b, nD, nD) beta
+    interpolation at once.
 
     `model_overrides` (dict) is merged into every quantile's model block
-    (e.g. {'streaming_eval': 'fast'} for the opt-in Chebyshev fast mode)."""
+    (e.g. {'streaming_eval': 'fast'} for the opt-in Chebyshev fast mode).
+
+    Analytic gate for identical per-quantile residuals x (all sigma_v__q<i>
+    equal): 1^T R^-1 1 = n / (1 + (n-1) rho), so the joint chi2 is
+    n * chi2_single / (1 + (n-1) rho)."""
     import copy
     import tempfile
 
@@ -429,6 +434,8 @@ def build_joint_boss_bundle(rho=0.4, model_overrides=None):
     from victor_tpu.io import build_tables
     from victor_tpu.likelihood.multiquantile import build_joint_tables
 
+    if not (-1.0 / (n_quantiles - 1) < rho < 1.0):
+        raise ValueError(f'rho={rho} not PD for n_quantiles={n_quantiles}')
     with open(os.path.join(REPO, 'configs', 'boss_config.yaml')) as f:
         cfg = yaml.safe_load(f)
     cfg['model']['dir'] = REPO
@@ -437,12 +444,11 @@ def build_joint_boss_bundle(rho=0.4, model_overrides=None):
     single = build_tables(cfg['model'], cfg['data'])
     covs = np.asarray(single.tables.cov, dtype=np.float64)   # (n_b, D, D)
     beta = np.asarray(single.tables.beta_cov, dtype=np.float64)
-    D = covs.shape[1]
-    joint_cov = np.zeros((len(beta), 2 * D, 2 * D))
-    joint_cov[:, :D, :D] = covs
-    joint_cov[:, D:, D:] = covs
-    joint_cov[:, :D, D:] = rho * covs
-    joint_cov[:, D:, :D] = rho * covs
+    R = np.full((n_quantiles, n_quantiles), rho)
+    np.fill_diagonal(R, 1.0)
+    # kron over the quantile axis for every beta slice: (n_b, nD, nD)
+    joint_cov = np.einsum('pq,bij->bpiqj', R, covs).reshape(
+        len(beta), n_quantiles * covs.shape[1], n_quantiles * covs.shape[2])
     tmp = tempfile.mkdtemp(prefix='victor_joint_cov_')
     cov_fn = os.path.join(tmp, 'joint_cov.hdf5')
     with h5py.File(cov_fn, 'w') as f:
@@ -454,10 +460,11 @@ def build_joint_boss_bundle(rho=0.4, model_overrides=None):
                   copy.deepcopy(cfg['data']['redshift_space_ccf']),
                   'dir': REPO}}
     joint_cfg = {
-        'quantiles': [copy.deepcopy(q), copy.deepcopy(q)],
+        'quantiles': [copy.deepcopy(q) for _ in range(n_quantiles)],
         'covariance_matrix': {'data_file': cov_fn, 'cov_key': 'covmat',
                               'fixed_beta': False, 'beta_key': 'beta'},
-        'likelihood': {'form': 'gaussian', 'nmocks': 1000, 'nparams': 5},
+        'likelihood': {'form': 'gaussian', 'nmocks': 1000,
+                       'nparams': 3 + n_quantiles},
     }
     return build_joint_tables(joint_cfg)
 
