@@ -86,6 +86,34 @@ class TestCCFFitFacade:
         b = direct(np.array([20.0]), np.array([15.0]))
         np.testing.assert_allclose(a, b, atol=0.02)
 
+    def test_odd_multipoles_use_full_mu_range(self, fit):
+        """Requesting an odd pole must switch ALL poles to the full
+        mu in [-1, 1] projection (victor/ccf_model.py:816-823): a mu-even
+        xi then gives exactly 0 for the odd poles. Regression: the even=True
+        projection over [0, 1] returned the spurious nonzero half-integral
+        for odd P_ell."""
+        s = np.linspace(15.0, 55.0, 5)
+        mixed = fit.theory_multipoles(s, GOLDEN_PARAMS, poles=(0, 1, 2, 3))
+        assert np.max(np.abs(mixed['1'])) < 1e-10
+        assert np.max(np.abs(mixed['3'])) < 1e-10
+        # even poles agree with the half-range projection up to the two
+        # grids' quadrature-resolution difference (the reference has the
+        # same property: 100 points over [-1,1] vs [0,1])
+        even = fit.theory_multipoles(s, GOLDEN_PARAMS, poles=(0, 2))
+        np.testing.assert_allclose(mixed['0'], even['0'], atol=2e-4)
+        np.testing.assert_allclose(mixed['2'], even['2'], atol=2e-4)
+
+    def test_interp2d_default_is_linear(self):
+        """The reference's theory_xi_2D/xi_2D_from_multipoles return bare
+        si.interp2d(...) whose default kind is LINEAR (ccf_model.py:893,933)
+        — off-node queries must match that surface, not a cubic one."""
+        from victor_tpu.api import Interp2D
+        x = np.array([0.0, 1.0, 2.0, 3.0])
+        z = (x ** 3)[None, :].repeat(4, 0)         # cubic in x, flat in y
+        f = Interp2D(x, x, z)
+        # linear interpolation of x^3 between 1 and 2 at 1.5: (1+8)/2 = 4.5
+        np.testing.assert_allclose(f(1.5, 1.0)[0][0], 4.5, rtol=1e-12)
+
     def test_delta_velocity_profiles(self, fit, ref_fixtures):
         r_v = np.asarray(fit.bundle.tables.r_v)
         d, D = fit.delta_profiles(r_v, GOLDEN_PARAMS)

@@ -65,6 +65,30 @@ class TestJointValidation:
 
 
 class TestJointFit:
+    def test_covless_bundle_through_single_likelihood_raises(self, joint_cfg):
+        """Quantile bundles legitimately carry no covariance (the JOINT one
+        applies); pushing such a bundle through the single-dataset
+        likelihood must raise the named InputError, not die in the einsum
+        with an opaque NoneType trace error."""
+        from victor_tpu.errors import InputError
+        jb = build_joint_tables(joint_cfg)
+        b = jb.bundles[0]
+        with pytest.raises(InputError, match='covariance_matrix'):
+            lk.log_likelihood(b.tables, b.spec, b.theory_opts, jb.fit_opts,
+                              jp(PARAMS))
+
+    def test_bad_quantile_index_raises(self, joint_cfg):
+        """A __q override whose index matches no quantile used to be
+        silently dropped — a dead sampled coordinate the likelihood is
+        exactly flat in."""
+        from victor_tpu.errors import InputError
+        jb = build_joint_tables(joint_cfg)
+        with pytest.raises(InputError, match='__q'):
+            joint_chi_squared(jb, jp({**PARAMS, 'sigma_v__q2': 300.0}))
+        with pytest.raises(InputError, match='__q'):
+            joint_chi_squared(jb, jp({**PARAMS, 'sigma_v__qx': 300.0}))
+
+
     def test_blockdiag_equals_sum(self, joint_cfg, single_bundle):
         jb = build_joint_tables(joint_cfg)
         assert jb.ndata == 120

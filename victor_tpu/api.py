@@ -48,9 +48,14 @@ def _jp(params: Dict) -> Dict:
 class Interp2D:
     """Callable 2D interpolator with the old scipy.interp2d convention the
     reference returns from theory_xi_2D (victor/ccf_model.py:893): f(x, y)
-    evaluates on the tensor grid and returns shape (len(y), len(x))."""
+    evaluates on the tensor grid and returns shape (len(y), len(x)).
 
-    def __init__(self, x, y, z_yx, kind: str = 'cubic'):
+    Default kind='linear' because that is scipy.interp2d's default and what
+    the reference's bare `si.interp2d(sperp, spar, xi)` calls use
+    (ccf_model.py:893,933) — node values are interpolation-free either way,
+    but off-node queries must match the reference surface."""
+
+    def __init__(self, x, y, z_yx, kind: str = 'linear'):
         from scipy.interpolate import RectBivariateSpline
         k = 3 if kind == 'cubic' else 1
         self._spl = RectBivariateSpline(np.asarray(x), np.asarray(y),
@@ -108,10 +113,24 @@ class CCFModel:
         return self._memo(('xi_grid', opts), build)
 
     def _proj_matrix(self, poles: tuple):
+        """Projection matrix + the mu grid xi must be evaluated on.
+
+        Even poles project over mu in [0, 1] with factor 2l+1; any odd pole
+        switches ALL requested poles to the full mu in [-1, 1] grid with
+        factor (2l+1)/2, exactly as the reference does
+        (victor/ccf_model.py:816-823) — projecting an odd P_ell against a
+        [0, 1] evaluation would return the spurious nonzero half-integral
+        instead of the ~0 a mu-even xi gives."""
+        odd = any(ell % 2 for ell in poles)
+
         def build():
-            mu = np.asarray(self.bundle.tables.mu_grid)
-            return jnp.asarray(ops.multipole_projection_matrix(
-                mu, list(poles), npts=200, even=True))
+            if odd:
+                mu = np.linspace(-1.0, 1.0,
+                                 len(np.asarray(self.bundle.tables.mu_grid)))
+            else:
+                mu = np.asarray(self.bundle.tables.mu_grid)
+            return (jnp.asarray(ops.multipole_projection_matrix(
+                mu, list(poles), npts=200, even=not odd)), jnp.asarray(mu))
         return self._memo(('proj', poles), build)
 
     def _opts(self, kwargs) -> TheoryOptions:
@@ -176,10 +195,9 @@ class CCFModel:
         (victor/ccf_model.py:791-827)."""
         opts = self._opts(kwargs)
         poles = tuple(np.atleast_1d(poles).tolist())
-        proj = self._proj_matrix(poles)
+        proj, mu_grid = self._proj_matrix(poles)
         s_arr = jnp.asarray(np.atleast_1d(np.asarray(s, dtype=float)))
-        xi = self._xi_grid_fn(opts)(s_arr, self.bundle.tables.mu_grid,
-                                    _jp(params))
+        xi = self._xi_grid_fn(opts)(s_arr, mu_grid, _jp(params))
         mult = np.asarray(jnp.matmul(proj, xi, precision='highest'))
         return {f'{ell}': mult[i] for i, ell in enumerate(poles)}
 

@@ -75,6 +75,16 @@ def interpolated_precision(tables, spec: TableSpec, beta):
 def chi_squared(tables, spec: TableSpec, opts: TheoryOptions, params):
     """(theory - data)^T C^-1 (theory - data); also returns the covariance used
     (victor/ccf_fit.py:325-354)."""
+    if tables.cov is None:
+        # trace-time guard: build_tables permits a covariance-less data
+        # block (joint-fit quantiles supply the JOINT covariance instead,
+        # likelihood/multiquantile.py) — using such a bundle through the
+        # SINGLE-dataset likelihood would otherwise die in the einsum below
+        # with an opaque NoneType trace error
+        raise InputError('data block has no covariance_matrix: a '
+                         'single-dataset likelihood needs one (only joint '
+                         'quantiles: blocks may omit it, supplying the '
+                         'joint covariance instead)')
     if 'beta' not in params and not (spec.fixed_data and spec.fixed_covmat):
         # trace-time check (params is a Python dict): the reference raises
         # here too (ccf_fit.py:389 'Need to supply a valid value of beta');

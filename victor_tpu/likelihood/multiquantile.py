@@ -143,9 +143,26 @@ def quantile_params(params: Dict, i: int) -> Dict:
     return out
 
 
+def _check_quantile_indices(params: Dict, n_quantiles: int) -> None:
+    """Trace-time guard: a `__q<i>` override whose index matches no quantile
+    would otherwise be silently dropped by quantile_params — the parameter
+    becomes a dead coordinate the likelihood is exactly flat in (singular
+    MAP Hessians, prior-shaped posteriors) with no error anywhere."""
+    for k in params:
+        if '__q' not in k:
+            continue
+        name, _, idx = k.rpartition('__q')
+        if not name or not idx.isdigit() or int(idx) >= n_quantiles:
+            raise InputError(
+                f"per-quantile override '{k}' matches no quantile: this "
+                f'joint fit has {n_quantiles} quantiles '
+                f'(valid suffixes __q0..__q{n_quantiles - 1})')
+
+
 def joint_theory_vector(jb: JointBundle, params: Dict,
                         opts_kw: Optional[Dict] = None) -> jnp.ndarray:
     """Stacked theory vector over quantiles (length jb.ndata)."""
+    _check_quantile_indices(params, len(jb.bundles))
     parts = []
     for i, b in enumerate(jb.bundles):
         opts = b.theory_opts.replace(**(opts_kw or {}))

@@ -101,7 +101,11 @@ def spline_eval_matrix(x: np.ndarray, q: np.ndarray, ext: int = 0) -> np.ndarray
 
 
 def gradient_matrix(x: np.ndarray) -> np.ndarray:
-    """Dense matrix G with G @ y == np.gradient(y, x) (2nd-order edges like numpy)."""
+    """Dense matrix G with G @ y == np.gradient(y, x): 2nd-order central
+    differences in the interior, 1st-order one-sided at the edges (numpy's
+    default edge_order=1 — which the unit-vector probe below reproduces
+    exactly; do NOT re-derive this analytically with 2nd-order edge rows,
+    that would break bit-parity with the reference's np.gradient pipeline)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     G = np.zeros((n, n))
