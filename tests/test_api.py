@@ -383,6 +383,35 @@ class TestCobayaConfigIngestion:
         assert abs(out['chi2'] - 65.01) < 0.01
 
 
+class TestHostBuildTransfer:
+    def test_host_build_then_batched_transfer_is_bit_identical(
+            self, boss_config, monkeypatch):
+        """build_tables on a non-CPU backend builds on the host CPU device
+        and moves the bundle in ONE batched device_put (~34 per-array
+        tunnel transactions collapse to one; see build_tables docstring).
+        Simulate the non-CPU branch on this CPU-only box by patching
+        default_backend: the
+        target resolves to devices()[0] (a CPU device here), so the transfer
+        machinery runs end-to-end and must be bit-identical to the direct
+        host build, with every leaf committed to the target device."""
+        import jax
+        from victor_tpu.io import tables as tables_mod
+        direct = tables_mod._build_tables_host(
+            boss_config['model'], boss_config['data'])
+        monkeypatch.setattr(tables_mod.jax, 'default_backend',
+                            lambda: 'faketpu')
+        moved = tables_mod.build_tables(boss_config['model'],
+                                        boss_config['data'])
+        target = jax.devices()[0]
+        leaves_a = jax.tree.leaves(direct)
+        leaves_b = jax.tree.leaves(moved)
+        assert len(leaves_a) == len(leaves_b) > 30
+        for a, b in zip(leaves_a, leaves_b):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert b.committed and b.devices() == {target}
+
+
 class TestInputValidation:
     def test_missing_data_file_keys_raise_input_error(self, boss_config):
         """Malformed data blocks get the InputError contract, not a raw

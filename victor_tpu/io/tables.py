@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Optional
 
 import jax
@@ -150,9 +151,55 @@ def _opt(x):
 # main builder
 # ---------------------------------------------------------------------------
 
+def _host_cpu_device():
+    """The host CPU device, or None if the CPU backend is unavailable."""
+    try:
+        return jax.local_devices(backend='cpu')[0]
+    except Exception:
+        return None
+
+
 def build_tables(model: dict, data: Optional[dict] = None,
                  n_mu: int = 100, n_v: int = 50) -> CCFModelBundle:
-    """Build CCFTables from reference-schema `model:` (and optional `data:`) dicts."""
+    """Build CCFTables from reference-schema `model:` (and optional `data:`) dicts.
+
+    The tables are assembled on the HOST CPU backend and moved to the
+    session's default device in ONE batched `jax.device_put` at the end.
+    Building directly on a remote-tunnelled TPU enqueues ~34 individual
+    transfers, each a tunnel transaction; the batched form is one. (Note
+    the dominant term in a slow first init through the axon tunnel is the
+    nondeterministic first-device-touch acquisition itself — measured
+    anywhere from 0.1 s to minutes, CLAUDE.md rule 9 — which no build
+    strategy avoids; with a warm tunnel this init is ~1-2 s.) Numerics are
+    unchanged: dtype canonicalisation is identical on both paths, and the
+    builder's math is host numpy/scipy either way. On a CPU-backend
+    session this wrapper is a no-op.
+    """
+    target = getattr(jax.config, 'jax_default_device', None)
+    cpu = _host_cpu_device()
+    if cpu is None or jax.default_backend() == 'cpu':
+        return _build_tables_host(model, data, n_mu=n_mu, n_v=n_v)
+    with jax.default_device(cpu):
+        bundle = _build_tables_host(model, data, n_mu=n_mu, n_v=n_v)
+    t0 = time.perf_counter()
+    bundle = jax.device_put(bundle, target or jax.devices()[0])
+    # force one tiny device->host read: block_until_ready can resolve before
+    # the tunnel has actually flushed (the bench.py measurement trap), while
+    # a read both measures honestly and guarantees later reads are warm
+    np.asarray(bundle.tables.iaH)
+    elapsed = time.perf_counter() - t0
+    if elapsed > 15.0:
+        from ..utils.logging import get_logger
+        get_logger('io').warning(
+            'table transfer to %s took %.0f s — that is the remote device '
+            'first-touch acquisition, not the build (subsequent inits in '
+            'this process take ~1 s)', jax.default_backend(), elapsed)
+    return bundle
+
+
+def _build_tables_host(model: dict, data: Optional[dict] = None,
+                       n_mu: int = 100, n_v: int = 50) -> CCFModelBundle:
+    """build_tables body; arrays land on the ambient default device."""
 
     # ---------------- cosmology / iaH (ccf_model.py:43-45) ----------------
     z_eff = model['z_eff']
