@@ -390,7 +390,7 @@ class TestHostBuildTransfer:
         and moves the bundle in ONE batched device_put (~34 per-array
         tunnel transactions collapse to one; see build_tables docstring).
         Simulate the non-CPU branch on this CPU-only box by patching
-        default_backend: the
+        _transfer_needed: the
         target resolves to devices()[0] (a CPU device here), so the transfer
         machinery runs end-to-end and must be bit-identical to the direct
         host build, with every leaf committed to the target device."""
@@ -398,8 +398,7 @@ class TestHostBuildTransfer:
         from victor_tpu.io import tables as tables_mod
         direct = tables_mod._build_tables_host(
             boss_config['model'], boss_config['data'])
-        monkeypatch.setattr(tables_mod.jax, 'default_backend',
-                            lambda: 'faketpu')
+        monkeypatch.setattr(tables_mod, '_transfer_needed', lambda t: True)
         moved = tables_mod.build_tables(boss_config['model'],
                                         boss_config['data'])
         target = jax.devices()[0]

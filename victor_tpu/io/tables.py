@@ -159,34 +159,39 @@ def _host_cpu_device():
         return None
 
 
-def build_tables(model: dict, data: Optional[dict] = None,
-                 n_mu: int = 100, n_v: int = 50) -> CCFModelBundle:
-    """Build CCFTables from reference-schema `model:` (and optional `data:`) dicts.
+def _transfer_needed(target) -> bool:
+    """Whether the ambient default device is a non-CPU accelerator."""
+    return (target or jax.devices()[0]).platform != 'cpu'
 
-    The tables are assembled on the HOST CPU backend and moved to the
-    session's default device in ONE batched `jax.device_put` at the end.
-    Building directly on a remote-tunnelled TPU enqueues ~34 individual
-    transfers, each a tunnel transaction; the batched form is one. (Note
-    the dominant term in a slow first init through the axon tunnel is the
-    nondeterministic first-device-touch acquisition itself — measured
-    anywhere from 0.1 s to minutes, CLAUDE.md rule 9 — which no build
-    strategy avoids; with a warm tunnel this init is ~1-2 s.) Numerics are
-    unchanged: dtype canonicalisation is identical on both paths, and the
-    builder's math is host numpy/scipy either way. On a CPU-backend
-    session this wrapper is a no-op.
+
+def host_build_then_transfer(builder):
+    """Run builder() with the host CPU as the default device, then move the
+    returned pytree to the ambient default device in ONE batched device_put.
+
+    Building directly on a remote-tunnelled TPU enqueues one transfer per
+    array (34 for a BOSS bundle), each a tunnel transaction; the batched
+    form is one. (The dominant term in a slow FIRST init through the axon
+    tunnel is the nondeterministic first-device-touch acquisition itself —
+    measured anywhere from 0.1 s to minutes, CLAUDE.md rule 9 — which no
+    build strategy avoids; with a warm tunnel an init is ~1-2 s.) Numerics
+    are unchanged: dtype canonicalisation is identical on both paths, and
+    the builders' math is host numpy/scipy either way. On a CPU-backend
+    session this is a no-op, and nested calls (a joint bundle building its
+    per-quantile bundles) compose: the inner call sees the host CPU as the
+    ambient default device and skips its own transfer.
     """
     target = getattr(jax.config, 'jax_default_device', None)
     cpu = _host_cpu_device()
-    if cpu is None or jax.default_backend() == 'cpu':
-        return _build_tables_host(model, data, n_mu=n_mu, n_v=n_v)
+    if cpu is None or not _transfer_needed(target):
+        return builder()
     with jax.default_device(cpu):
-        bundle = _build_tables_host(model, data, n_mu=n_mu, n_v=n_v)
+        out = builder()
     t0 = time.perf_counter()
-    bundle = jax.device_put(bundle, target or jax.devices()[0])
+    out = jax.device_put(out, target or jax.devices()[0])
     # force one tiny device->host read: block_until_ready can resolve before
     # the tunnel has actually flushed (the bench.py measurement trap), while
     # a read both measures honestly and guarantees later reads are warm
-    np.asarray(bundle.tables.iaH)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     elapsed = time.perf_counter() - t0
     if elapsed > 15.0:
         from ..utils.logging import get_logger
@@ -194,7 +199,16 @@ def build_tables(model: dict, data: Optional[dict] = None,
             'table transfer to %s took %.0f s — that is the remote device '
             'first-touch acquisition, not the build (subsequent inits in '
             'this process take ~1 s)', jax.default_backend(), elapsed)
-    return bundle
+    return out
+
+
+def build_tables(model: dict, data: Optional[dict] = None,
+                 n_mu: int = 100, n_v: int = 50) -> CCFModelBundle:
+    """Build CCFTables from reference-schema `model:` (and optional `data:`)
+    dicts, on the host, shipped in one batched transfer
+    (host_build_then_transfer)."""
+    return host_build_then_transfer(
+        lambda: _build_tables_host(model, data, n_mu=n_mu, n_v=n_v))
 
 
 def _build_tables_host(model: dict, data: Optional[dict] = None,

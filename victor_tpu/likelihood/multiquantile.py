@@ -66,7 +66,18 @@ class JointBundle:
 
 
 def build_joint_tables(joint: Dict, base_dir: str = '') -> JointBundle:
-    """Build a JointBundle from a `joint:` config block (schema above)."""
+    """Build a JointBundle from a `joint:` config block (schema above).
+
+    Host-built and shipped to the accelerator in one batched transfer
+    (io.tables.host_build_then_transfer); the nested per-quantile
+    build_tables calls see the host CPU as the ambient device and skip
+    their own transfers, so an N-quantile bundle is still ONE transaction."""
+    from ..io.tables import host_build_then_transfer
+    return host_build_then_transfer(
+        lambda: _build_joint_tables_host(joint, base_dir))
+
+
+def _build_joint_tables_host(joint: Dict, base_dir: str = '') -> JointBundle:
     quantiles = joint.get('quantiles')
     if not quantiles:
         raise InputError('joint fit requires a non-empty quantiles: list')
