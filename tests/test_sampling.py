@@ -663,6 +663,207 @@ class TestHMC:
         np.testing.assert_array_equal(r2.chain[:4], r1.chain)
 
 
+class TestMH:
+    """Adaptive random-walk Metropolis (sampling/mh.py) — the TPU-native
+    equivalent of the reference's cobaya MH sampler (victor/README.md:30)."""
+
+    def test_mh_recovers_correlated_gaussian(self):
+        """The staged dense-proposal adaptation (cobaya's covariance
+        learning role) must recover a rho=0.6 Gaussian at the 0.234
+        random-walk acceptance optimum."""
+        from victor_tpu.sampling import hmc, mh
+        mean = jnp.asarray([1.0, -2.0])
+        cov = np.array([[1.0, 0.6 * np.sqrt(2.0)], [0.6 * np.sqrt(2.0), 2.0]])
+        ci = jnp.asarray(np.linalg.inv(cov))
+
+        def logpost(y):
+            d = y - mean
+            return -0.5 * d @ ci @ d, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(7)
+        y0 = mean + jax.random.normal(key, (8, 2))
+        keys = jax.random.split(key, 8)
+        n_warmup, n_samples = 1000, 3000
+        states = mh.init_chains(logpost, y0, keys)
+        run = jax.jit(lambda st, i: mh.run_segment(
+            logpost, st, i, n_warmup + n_samples, n_warmup=n_warmup))
+        states, (ys, lnps, _) = run(states, jnp.zeros((), jnp.int32))
+        chain = np.asarray(ys)[:, n_warmup:].transpose(1, 0, 2)
+        assert np.all(np.isfinite(np.asarray(lnps)))
+        # n_accepted was reset at the warmup->sampling freeze: post-warmup
+        # acceptance should sit near the Roberts-Gelman-Gilks 0.234 target
+        acc = np.asarray(states.n_accepted) / n_samples
+        assert np.all(acc > 0.1) and np.all(acc < 0.45), acc
+        assert np.all(split_rhat(chain) < 1.05)
+        flat = chain.reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(axis=0), np.asarray(mean),
+                                   atol=0.15)
+        np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.25, atol=0.2)
+        # random-walk efficiency is ~10-25% per draw in 2D once the proposal
+        # covariance matches; require well above "stuck chain" territory
+        assert np.all(effective_sample_size(chain) > 500)
+        # shares HMCState for checkpoint/segment compatibility; the grad
+        # slot must stay the zero placeholder (never read, never filled)
+        np.testing.assert_array_equal(np.asarray(states.grad), 0.0)
+
+    def test_mh_never_builds_the_gradient_graph(self):
+        """MH's selling point vs HMC: forward-only fast modes keep their
+        speedup because jax.grad is never traced. A log-posterior whose
+        JVP rule raises proves init+segment stay value-only (hmc.init_chains
+        on the same target raises)."""
+        from victor_tpu.sampling import hmc, mh
+
+        @jax.custom_jvp
+        def forward_only(y):
+            return -0.5 * jnp.sum(y ** 2)
+
+        @forward_only.defjvp
+        def _jvp(primals, tangents):
+            raise RuntimeError('gradient path was traced')
+
+        def logpost(y):
+            return forward_only(y), jnp.zeros((1,))
+
+        y0 = jnp.asarray([[0.1, -0.2], [0.3, 0.4]])
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        states = mh.init_chains(logpost, y0, keys)
+        _, (ys, _, _) = jax.jit(lambda st: mh.run_segment(
+            logpost, st, jnp.zeros((), jnp.int32), 6, n_warmup=3))(states)
+        assert np.all(np.isfinite(np.asarray(ys)))
+        with pytest.raises(RuntimeError, match='gradient path'):
+            hmc.init_chains(logpost, y0, keys)
+
+    def test_mh_segments_bitexact_vs_monolithic(self):
+        """Same global-step-indexed staging as HMC/NUTS: a segmented run
+        must be bit-identical to one monolithic dispatch."""
+        from victor_tpu.sampling import mh
+        mean = jnp.asarray([1.0, -2.0])
+        ci = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.6], [0.6, 2.0]])))
+
+        def logpost(y):
+            d = y - mean
+            return -0.5 * d @ ci @ d, jnp.zeros((1,))
+
+        key = jax.random.PRNGKey(8)
+        y0 = mean + jax.random.normal(key, (4, 2))
+        keys = jax.random.split(key, 4)
+        n_warmup, n_samples = 20, 15
+        states0 = mh.init_chains(logpost, y0, keys)
+        _, (ys_mono, lnp_mono, _) = jax.jit(lambda st: mh.run_segment(
+            logpost, st, jnp.zeros((), jnp.int32), n_warmup + n_samples,
+            n_warmup=n_warmup))(states0)
+
+        states = mh.init_chains(logpost, y0, keys)
+        recs, i0 = [], 0
+        seg = jax.jit(lambda st, i, ln: mh.run_segment(
+            logpost, st, i, ln, n_warmup=n_warmup), static_argnums=2)
+        while i0 < n_warmup + n_samples:
+            length = min(7, n_warmup + n_samples - i0)
+            states, (qs, lnps, _) = seg(states, jnp.asarray(i0, jnp.int32),
+                                        length)
+            recs.append((np.asarray(qs), np.asarray(lnps)))
+            i0 += length
+        ys_seg = np.concatenate([r[0] for r in recs], axis=1)
+        lnp_seg = np.concatenate([r[1] for r in recs], axis=1)
+        np.testing.assert_array_equal(ys_seg, np.asarray(ys_mono))
+        np.testing.assert_array_equal(lnp_seg, np.asarray(lnp_mono))
+
+    def test_mh_on_boss(self, boss_config):
+        """run_hmc_mcmc(algorithm='mh') end-to-end on the real likelihood:
+        same runner, checkpoints and chain-record plumbing as HMC."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        res = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=8, n_samples=8,
+                           seed=0, algorithm='mh', segment_steps=6)
+        assert res.chain.shape == (8, 2, 1)
+        assert np.all(np.isfinite(res.log_prob))
+        lo, hi = res.space.bounds()
+        assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
+        # recorded log_prob is the THETA-space posterior (parity with the
+        # HMC/SMC exports, see test_hmc_on_boss)
+        from victor_tpu.likelihood.core import log_likelihood
+        theta = jnp.asarray(res.chain[0, 0])
+        params = res.space.full_params(theta)
+        lnl, _ = log_likelihood(bundle.tables, bundle.spec,
+                                bundle.theory_opts, bundle.fit_opts, params)
+        expect = float(lnl) + float(res.space.log_prior(theta))
+        np.testing.assert_allclose(res.log_prob[0, 0], expect, rtol=1e-5)
+
+    def test_mh_checkpoint_resume(self, boss_config, tmp_path):
+        """MH reuses HMCState, so the HMC checkpoint format resumes it
+        exactly (the resumed run extends the first one's chain verbatim)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        ckpt = str(tmp_path / 'mh.npz')
+        r1 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
+                          seed=0, algorithm='mh', checkpoint=ckpt,
+                          segment_steps=4)
+        assert os.path.exists(ckpt)
+        r2 = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=4, n_samples=4,
+                          seed=1, algorithm='mh', checkpoint=ckpt,
+                          resume=True, segment_steps=4)
+        assert r2.chain.shape == (8, 2, 1)
+        np.testing.assert_array_equal(r2.chain[:4], r1.chain)
+
+    def test_mh_sharded_on_mesh(self, boss_config):
+        """MH chains sharded across the 8-device CPU mesh must match the
+        unsharded run (independent chains, zero collectives — the same
+        contract as HMC/NUTS)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.parallel import make_mesh
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        mesh = make_mesh(('chains',))
+        r_mesh = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=4,
+                              n_samples=4, seed=0, algorithm='mh', mesh=mesh)
+        r_none = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=4,
+                              n_samples=4, seed=0, algorithm='mh')
+        assert r_mesh.chain.shape == (4, 8, 1)
+        np.testing.assert_allclose(r_mesh.chain, r_none.chain, rtol=5e-6)
+
+    def test_cli_mh_smoke(self, boss_config, tmp_path, capsys):
+        """`run --sampler mh` end-to-end (the cobaya-MH migration path);
+        CLI --warmup/--samples override the MH-specific long defaults."""
+        import json
+        import yaml
+        from victor_tpu.__main__ import main
+        cfg = dict(boss_config)
+        cfg['params'] = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        cfg['sampler'] = {'kind': 'mh', 'n_chains': 2, 'segment_steps': 8}
+        p = tmp_path / 'mh.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--warmup', '8', '--samples', '8',
+              '--seed', '3', '--output', str(tmp_path / 'c' / 'mh')])
+        out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'mh'
+        assert out['n_samples'] == 8
+        assert np.isfinite(out['summary']['fsigma8']['mean'])
+        # per-chain GetDist files, same layout as cobaya/MPI chains
+        assert (tmp_path / 'c' / 'mh.1.txt').exists()
+        assert (tmp_path / 'c' / 'mh.2.txt').exists()
+
+
 class TestPlotChainsTool:
     def test_quicklook_on_exported_chains(self, tmp_path, capsys):
         """tools/plot_chains.py reads our GetDist exports, computes

@@ -222,11 +222,23 @@ def cmd_run(args):
                 bundle.fit_opts.nmocks), 4)
         print(json.dumps(_json_sanitize(out), indent=2))
         return
-    if kind in ('hmc', 'nuts'):
+    if kind in ('hmc', 'nuts', 'mh'):
         import os
 
         import numpy as np
         n_chains = int(sampler.get('n_chains', args.chains))
+        # random-walk Metropolis draws are ~1 likelihood eval each (vs ~16
+        # evals + gradients per HMC draw) but mix ~10x slower, so its
+        # defaults trade more steps for the cheaper step, and segments are
+        # longer to amortise the per-dispatch latency floor
+        if kind == 'mh':
+            default_warmup, default_samples, default_segment = 2000, 8000, 2500
+        else:
+            default_warmup, default_samples, default_segment = 300, 700, 100
+        n_warmup = args.warmup if args.warmup is not None else \
+            int(sampler.get('n_warmup', default_warmup))
+        n_samples = args.samples if args.samples is not None else \
+            int(sampler.get('n_samples', default_samples))
         ckpt = sampler.get('checkpoint', args.checkpoint)
         if args.resume and ckpt and os.path.isfile(ckpt):
             # run_hmc_mcmc resumes the checkpoint's actual chain count; the
@@ -240,9 +252,10 @@ def cmd_run(args):
             bundle, params_block,
             mesh=_divisible_mesh('chains', n_chains),
             n_chains=n_chains,
-            n_warmup=int(sampler.get('n_warmup', args.warmup)),
-            n_samples=int(sampler.get('n_samples', args.samples)),
+            n_warmup=n_warmup,
+            n_samples=n_samples,
             n_leapfrog=int(sampler.get('n_leapfrog', args.leapfrog)),
+            segment_steps=int(sampler.get('segment_steps', default_segment)),
             seed=seed,
             algorithm=kind,
             max_depth=int(sampler.get('max_depth', args.max_depth)),
@@ -1003,7 +1016,7 @@ def main(argv=None):
     pr.add_argument('--walkers', type=int, default=256)
     pr.add_argument('--max-steps', type=int, default=2000)
     pr.add_argument('--sampler',
-                    choices=['ensemble', 'hmc', 'nuts', 'smc', 'ns'],
+                    choices=['ensemble', 'hmc', 'nuts', 'mh', 'smc', 'ns'],
                     default=None)
     pr.add_argument('--particles', type=int, default=2048,
                     help='SMC particle count (sampler=smc)')
@@ -1022,8 +1035,12 @@ def main(argv=None):
                     help='NUTS maximum tree depth (sampler=nuts)')
     pr.add_argument('--chains', type=int, default=8,
                     help='HMC chain count (sampler=hmc)')
-    pr.add_argument('--warmup', type=int, default=300)
-    pr.add_argument('--samples', type=int, default=700)
+    pr.add_argument('--warmup', type=int, default=None,
+                    help='warmup steps (default 300; 2000 for --sampler mh)')
+    pr.add_argument('--samples', type=int, default=None,
+                    help='posterior draws per chain (default 700; 8000 for '
+                         '--sampler mh, whose draws are ~10x cheaper but '
+                         'mix ~10x slower)')
     pr.add_argument('--leapfrog', type=int, default=16)
     pr.add_argument('--seed', type=int, default=None,
                     help='PRNG seed (overrides the config sampler.seed)')

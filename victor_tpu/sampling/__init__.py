@@ -9,6 +9,7 @@ from .post import reweight, PostResult
 from .tension import run_tension, parameter_shift, TensionResult
 from .targets import ProductTarget
 from . import hmc
+from . import mh
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
                      read_getdist, save_hmc_checkpoint, load_hmc_checkpoint)
@@ -19,7 +20,8 @@ from .gof import chi2_tail_probability, posterior_predictive_pvalue
 __all__ = [
     'ParamSpace', 'SampledParam', 'DerivedParam',
     'EnsembleState', 'init_state', 'step', 'run', 'make_logpost',
-    'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'nuts',
+    'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'mh',
+    'nuts',
     'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
     'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
     'run_nested', 'NestedResult',

@@ -136,12 +136,16 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     long enough to trip remote-TPU watchdogs, and offers no mid-run
     checkpoints. Each segment boundary writes the checkpoint (exact resume).
 
-    `algorithm`: 'hmc' (fixed jittered trajectories, sampling/hmc.py) or
+    `algorithm`: 'hmc' (fixed jittered trajectories, sampling/hmc.py),
     'nuts' (dynamic trajectory length up to 2^max_depth leapfrogs,
-    sampling/nuts.py); both share state/warmup, so checkpoints, segmenting
-    and mesh sharding behave identically. n_leapfrog is ignored for NUTS.
+    sampling/nuts.py), or 'mh' (gradient-free adaptive random-walk
+    Metropolis — the reference's cobaya sampler family, sampling/mh.py;
+    needs ~10x the draws of HMC but composes with the forward-only fast
+    modes). All three share state/warmup, so checkpoints, segmenting and
+    mesh sharding behave identically. n_leapfrog is ignored for NUTS/MH.
     """
     from . import hmc as _hmc
+    from . import mh as _mh
     from . import nuts as _nuts
     from .targets import resolve_target
 
@@ -207,8 +211,13 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _HMC_RUNNERS.setdefault(cache_key, {})
     if 'init' not in fns:
-        fns['init'] = jax.jit(lambda tbl, y, ks: _hmc.init_chains(
-            lambda yy: logpost_y(tbl, yy), y, ks))
+        if algorithm == 'mh':
+            # value-only init: never builds the gradient graph
+            fns['init'] = jax.jit(lambda tbl, y, ks: _mh.init_chains(
+                lambda yy: logpost_y(tbl, yy), y, ks))
+        else:
+            fns['init'] = jax.jit(lambda tbl, y, ks: _hmc.init_chains(
+                lambda yy: logpost_y(tbl, yy), y, ks))
 
     def _segment_fn(length):
         if ('seg', length) not in fns:
@@ -217,6 +226,11 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                     lambda tbl, st, i: _nuts.run_segment(
                         lambda yy: logpost_y(tbl, yy), st, i, length,
                         n_warmup=n_warmup, max_depth=max_depth))
+            elif algorithm == 'mh':
+                fns[('seg', length)] = jax.jit(
+                    lambda tbl, st, i: _mh.run_segment(
+                        lambda yy: logpost_y(tbl, yy), st, i, length,
+                        n_warmup=n_warmup))
             else:
                 fns[('seg', length)] = jax.jit(
                     lambda tbl, st, i: _hmc.run_segment(
