@@ -864,6 +864,126 @@ class TestMH:
         assert (tmp_path / 'c' / 'mh.2.txt').exists()
 
 
+class TestProposalSeeding:
+    """cobaya's proposal-covariance workflow: per-param `proposal:` widths
+    seed MH's initial proposal, `.covmat` files seed all three HMCState
+    samplers, and every chain export writes `<root>.covmat` back
+    (reference config/boss_cobaya_config.yaml:60,72,84,96)."""
+
+    def test_dtheta_dy_diag_matches_autodiff(self):
+        """The hand-written diagonal Jacobian must equal jacfwd(to_bounded)
+        for every supported prior family."""
+        sp = ParamSpace({
+            'u': {'prior': {'dist': 'uniform', 'min': 0.2, 'max': 0.6}},
+            'lu': {'prior': {'dist': 'loguniform', 'min': 0.1, 'max': 10.0}},
+            'hn': {'prior': {'dist': 'halfnorm', 'loc': 1.0, 'scale': 2.0}},
+            'n': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0}},
+        })
+        y = jnp.asarray([0.3, -0.7, 0.2, 1.1])
+        full = jax.jacfwd(sp.to_bounded)(y)
+        np.testing.assert_allclose(np.asarray(sp.dtheta_dy_diag(y)),
+                                   np.diag(np.asarray(full)), rtol=1e-6)
+        # the reparameterisation is elementwise: off-diagonals are zero
+        np.testing.assert_allclose(
+            np.asarray(full) - np.diag(np.diag(np.asarray(full))), 0.0,
+            atol=1e-12)
+
+    def test_proposal_scales_map_to_unbounded(self):
+        """sigma_y = proposal / (dtheta/dy); params without proposal get
+        the 1.0 identity seed."""
+        sp = ParamSpace({
+            'a': {'prior': {'dist': 'uniform', 'min': 0.0, 'max': 2.0},
+                  'proposal': 0.02},
+            'b': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0}},
+        })
+        y = jnp.asarray([0.4, 0.0])
+        scales = np.asarray(sp.proposal_scales_unbounded(y))
+        j = np.asarray(sp.dtheta_dy_diag(y))
+        np.testing.assert_allclose(scales[0], 0.02 / j[0], rtol=1e-6)
+        assert scales[1] == 1.0
+
+    def test_mh_runner_seeds_proposal_from_block(self, boss_config):
+        """A `proposal:` width in the params block must reach the MH init
+        (visible as a converted-width chol_cov after a 0-warmup segment of
+        length 0 is impossible — so probe mh.init_chains directly with the
+        runner's own seeding function)."""
+        from victor_tpu.sampling import mh
+        sp = ParamSpace({
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'proposal': 0.02},
+        })
+        y0 = sp.to_unbounded(jnp.asarray([[0.47], [0.5]]))
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        chol0 = jax.vmap(jnp.diag)(sp.proposal_scales_unbounded(y0))
+        states = mh.init_chains(lambda y: (-0.5 * jnp.sum(y ** 2),
+                                           jnp.zeros((1,))),
+                                y0, keys, chol0=chol0)
+        np.testing.assert_allclose(np.asarray(states.chol_cov),
+                                   np.asarray(chol0), rtol=1e-6)
+        # and the widths are the theta-space 0.02 mapped through 1/J
+        j = np.asarray(jax.vmap(sp.dtheta_dy_diag)(y0))
+        np.testing.assert_allclose(np.asarray(states.chol_cov)[:, 0, 0],
+                                   0.02 / j[:, 0], rtol=1e-5)
+
+    def test_covmat_export_and_roundtrip(self, tmp_path):
+        """export_getdist writes a cobaya-format <root>.covmat whose matrix
+        is the (weighted) chain covariance; read_covmat loads, reorders and
+        subsets it."""
+        from victor_tpu.sampling.chains import read_covmat
+        sp = ParamSpace(COBAYA_BLOCK)
+        rng = np.random.default_rng(0)
+        chain = rng.normal([0.5, 0.4, 1.0], [0.05, 0.02, 0.01],
+                           size=(200, 4, 3))
+        lnp = -0.5 * np.sum(chain ** 2, axis=-1)
+        root = str(tmp_path / 'c' / 'run')
+        export_getdist(root, sp, chain, lnp)
+        flat = chain.reshape(-1, 3)
+        cov = read_covmat(root + '.covmat',
+                          ['fsigma8', 'beta', 'epsilon'])
+        np.testing.assert_allclose(cov, np.cov(flat.T), rtol=1e-6)
+        # reorder + subset with a proposal^2 fallback for the absent name
+        sub = read_covmat(root + '.covmat', ['epsilon', 'new', 'fsigma8'],
+                          fallback_var=np.array([np.nan, 0.04, np.nan]))
+        np.testing.assert_allclose(sub[0, 0], cov[2, 2], rtol=1e-6)
+        np.testing.assert_allclose(sub[2, 2], cov[0, 0], rtol=1e-6)
+        np.testing.assert_allclose(sub[0, 2], cov[2, 0], rtol=1e-6)
+        assert sub[1, 1] == 0.04 and sub[0, 1] == 0.0
+        from victor_tpu.errors import InputError
+        with pytest.raises(InputError, match='shares no'):
+            read_covmat(root + '.covmat', ['nope'])
+
+    def test_run_with_covmat_seed(self, boss_config, tmp_path):
+        """run_hmc_mcmc(covmat=...) end-to-end: a cobaya-format file seeds
+        the sampler and the run completes; a non-PD file errors loudly."""
+        from victor_tpu.errors import InputError
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling import run_hmc_mcmc
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        block = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        cm = tmp_path / 'seed.covmat'
+        cm.write_text('# fsigma8\n2.5e-3\n')
+        res = run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=6, n_samples=6,
+                           seed=0, algorithm='mh', covmat=str(cm))
+        assert res.chain.shape == (6, 2, 1)
+        assert np.all(np.isfinite(res.log_prob))
+        bad = tmp_path / 'bad.covmat'
+        bad.write_text('# fsigma8\n-1.0\n')
+        with pytest.raises(InputError, match='positive definite'):
+            run_hmc_mcmc(bundle, block, n_chains=2, n_warmup=6, n_samples=6,
+                         seed=0, algorithm='mh', covmat=str(bad))
+        # a covmat missing a sampled param with no proposal fallback errors
+        block2 = dict(block)
+        block2['epsilon'] = {'prior': {'dist': 'uniform', 'min': 0.8,
+                                       'max': 1.2}}
+        with pytest.raises(InputError, match='no entry for'):
+            run_hmc_mcmc(bundle, block2, n_chains=2, n_warmup=6, n_samples=6,
+                         seed=0, algorithm='mh', covmat=str(cm))
+
+
 class TestPlotChainsTool:
     def test_quicklook_on_exported_chains(self, tmp_path, capsys):
         """tools/plot_chains.py reads our GetDist exports, computes

@@ -259,6 +259,7 @@ def cmd_run(args):
             seed=seed,
             algorithm=kind,
             max_depth=int(sampler.get('max_depth', args.max_depth)),
+            covmat=sampler.get('covmat', args.covmat),
             output=sampler.get('output', cfg.get('output', args.output)),
             checkpoint=ckpt,
             resume=args.resume)
@@ -1042,6 +1043,10 @@ def main(argv=None):
                          '--sampler mh, whose draws are ~10x cheaper but '
                          'mix ~10x slower)')
     pr.add_argument('--leapfrog', type=int, default=16)
+    pr.add_argument('--covmat', default=None,
+                    help='cobaya-format .covmat file seeding the proposal '
+                         'covariance (mh) / mass matrix (hmc, nuts); every '
+                         'run with --output writes <output>.covmat back')
     pr.add_argument('--seed', type=int, default=None,
                     help='PRNG seed (overrides the config sampler.seed)')
     pr.add_argument('--output', default=None)

@@ -12,7 +12,8 @@ from . import hmc
 from . import mh
 from . import nuts
 from .chains import (save_checkpoint, load_checkpoint, export_getdist,
-                     read_getdist, save_hmc_checkpoint, load_hmc_checkpoint)
+                     read_getdist, read_covmat, save_hmc_checkpoint,
+                     load_hmc_checkpoint)
 from .diagnostics import (split_rhat, effective_sample_size, autocorr_time,
                           acceptance_fraction)
 from .gof import chi2_tail_probability, posterior_predictive_pvalue
@@ -28,7 +29,8 @@ __all__ = [
     'reweight', 'PostResult',
     'run_tension', 'parameter_shift', 'TensionResult', 'ProductTarget',
     'save_checkpoint', 'load_checkpoint', 'export_getdist',
-    'read_getdist', 'save_hmc_checkpoint', 'load_hmc_checkpoint',
+    'read_getdist', 'read_covmat', 'save_hmc_checkpoint',
+    'load_hmc_checkpoint',
     'split_rhat', 'effective_sample_size', 'autocorr_time',
     'acceptance_fraction',
     'chi2_tail_probability', 'posterior_predictive_pvalue',

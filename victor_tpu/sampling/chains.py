@@ -148,7 +148,66 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
             lo_s = f'{lo[i]:.6g}' if np.isfinite(lo[i]) else 'N'
             hi_s = f'{hi[i]:.6g}' if np.isfinite(hi[i]) else 'N'
             f.write(f'{p.name}\t{lo_s}\t{hi_s}\n')
+
+    # cobaya-compatible `<root>.covmat`: weighted posterior covariance of
+    # the sampled parameters. cobaya-run writes this next to its chains and
+    # reads it back via `mcmc: {covmat: ...}` to seed the next run's
+    # proposal; ours round-trips the same way (read_covmat -> the samplers'
+    # chol0 seed), so existing covmat files keep working after migration.
+    flat_all = chain.reshape(-1, ndim)
+    w_all = wts.reshape(-1)
+    wsum = float(np.sum(w_all))
+    if len(flat_all) >= 2 and wsum > 0:
+        mu = np.average(flat_all, axis=0, weights=w_all)
+        d = flat_all - mu
+        # reliability-weights unbiased denominator (== N-1 at unit weights)
+        denom = wsum - float(np.sum(w_all ** 2)) / wsum
+        if denom > 0:
+            cov = (d * w_all[:, None]).T @ d / denom
+            with open(f'{root}.covmat', 'w') as f:
+                f.write('# ' + ' '.join(p.name for p in space.sampled) + '\n')
+                np.savetxt(f, cov, fmt='%.8e')
     return chain_file
+
+
+def read_covmat(path: str, names: List[str],
+                fallback_var: Optional[np.ndarray] = None) -> np.ndarray:
+    """Load a cobaya-format `.covmat` (header line `# name1 name2 ...`,
+    then the matrix) and reorder/subset it to `names`.
+
+    cobaya semantics: parameters present in the file get their covariance
+    block; parameters absent fall back to a diagonal entry (`fallback_var`,
+    e.g. proposal widths squared — cobaya fills from `proposal:` the same
+    way), with zero cross-covariance to the loaded block. Raises InputError
+    when NO requested parameter is present (a wrong file, not a partial
+    one) or the matrix is malformed."""
+    from ..errors import InputError
+    with open(path) as f:
+        header = f.readline()
+    if not header.lstrip().startswith('#'):
+        raise InputError(
+            f"covmat file {path!r} has no '# name1 name2 ...' header line")
+    file_names = header.lstrip('#').split()
+    mat = np.atleast_2d(np.loadtxt(path, skiprows=1))
+    if mat.shape != (len(file_names), len(file_names)):
+        raise InputError(
+            f"covmat file {path!r}: matrix shape {mat.shape} does not match "
+            f"its {len(file_names)}-name header")
+    idx = {n: i for i, n in enumerate(file_names)}
+    found = [n for n in names if n in idx]
+    if not found:
+        raise InputError(
+            f"covmat file {path!r} (params {file_names}) shares no "
+            f"parameter with the sampled block {list(names)}")
+    n = len(names)
+    out = np.zeros((n, n))
+    if fallback_var is not None:
+        out[np.diag_indices(n)] = np.asarray(fallback_var, dtype=float)
+    for a, na in enumerate(names):
+        for b, nb in enumerate(names):
+            if na in idx and nb in idx:
+                out[a, b] = mat[idx[na], idx[nb]]
+    return out
 
 
 def save_hmc_checkpoint(path: str, states, chain=None, log_prob=None,

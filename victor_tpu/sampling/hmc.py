@@ -148,7 +148,11 @@ def _adapt_and_pack(state: HMCState, q, lnp, grad, aux, key, accept_stat,
 
 
 def init_state(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
-               eps0: float = 0.1) -> HMCState:
+               eps0: float = 0.1, chol0: jnp.ndarray = None) -> HMCState:
+    """`chol0`: optional (ndim, ndim) initial Cholesky of the INVERSE mass
+    matrix (= position-covariance estimate) — seeds the metric from a
+    cobaya-style input covmat; the staged warmup replaces it from the
+    chain's own Welford covariance at the first reset."""
     (lnp, aux), grad = value_grad(q0)
     ndim = q0.shape[0]
     return HMCState(
@@ -158,7 +162,7 @@ def init_state(value_grad: Callable, q0: jnp.ndarray, key: jax.Array,
         h_bar=jnp.zeros(()),
         welford_mean=jnp.zeros(ndim), welford_m2=jnp.zeros((ndim, ndim)),
         welford_n=jnp.zeros(()),
-        chol_cov=jnp.eye(ndim),
+        chol_cov=jnp.eye(ndim) if chol0 is None else chol0,
         n_accepted=jnp.zeros(()))
 
 
@@ -260,10 +264,16 @@ def chain_segment(value_grad: Callable, state: HMCState, i0, length: int,
 
 
 def init_chains(logpost_y: Callable, y0: jnp.ndarray, keys: jax.Array,
-                eps0: float = 0.1) -> HMCState:
-    """Vmapped initial HMCState for a batch of chains."""
+                eps0: float = 0.1, chol0: jnp.ndarray = None) -> HMCState:
+    """Vmapped initial HMCState for a batch of chains. `chol0`: optional
+    initial inverse-mass Cholesky, (ndim, ndim) shared or per-chain."""
     value_grad = jax.value_and_grad(logpost_y, has_aux=True)
-    return jax.vmap(lambda q, k: init_state(value_grad, q, k, eps0))(y0, keys)
+    if chol0 is None:
+        return jax.vmap(lambda q, k: init_state(value_grad, q, k, eps0))(
+            y0, keys)
+    chol0 = jnp.broadcast_to(chol0, y0.shape + y0.shape[-1:])
+    return jax.vmap(lambda q, k, c: init_state(value_grad, q, k, eps0, c))(
+        y0, keys, chol0)
 
 
 def run_segment(logpost_y: Callable, states: HMCState, i0, length: int,

@@ -69,8 +69,14 @@ def _mh_step(value_fn: Callable, state: HMCState, adapt,
 
 
 def init_state(value_fn: Callable, q0: jnp.ndarray, key: jax.Array,
-               eps0: float = None) -> HMCState:
-    """Value-only init (no gradient graph is ever built or compiled)."""
+               eps0: float = None, chol0: jnp.ndarray = None) -> HMCState:
+    """Value-only init (no gradient graph is ever built or compiled).
+
+    `chol0`: optional (ndim, ndim) initial proposal-covariance Cholesky —
+    the role of cobaya's per-parameter `proposal:` widths / input `covmat`
+    (diag of y-space widths, or the Cholesky of a converted covmat). The
+    Welford staging replaces it from the chain's own covariance at the
+    first warmup reset; a good seed just makes stage-1 mix immediately."""
     lnp, aux = value_fn(q0)
     ndim = q0.shape[0]
     eps0 = _default_eps0(ndim) if eps0 is None else eps0
@@ -81,7 +87,7 @@ def init_state(value_fn: Callable, q0: jnp.ndarray, key: jax.Array,
         h_bar=jnp.zeros(()),
         welford_mean=jnp.zeros(ndim), welford_m2=jnp.zeros((ndim, ndim)),
         welford_n=jnp.zeros(()),
-        chol_cov=jnp.eye(ndim),
+        chol_cov=jnp.eye(ndim) if chol0 is None else chol0,
         n_accepted=jnp.zeros(()))
 
 
@@ -99,9 +105,17 @@ def chain_segment(value_fn: Callable, state: HMCState, i0, length: int,
 
 
 def init_chains(logpost_y: Callable, y0: jnp.ndarray, keys: jax.Array,
-                eps0: float = None) -> HMCState:
-    """Vmapped initial state for a batch of chains (value-only)."""
-    return jax.vmap(lambda q, k: init_state(logpost_y, q, k, eps0))(y0, keys)
+                eps0: float = None, chol0: jnp.ndarray = None) -> HMCState:
+    """Vmapped initial state for a batch of chains (value-only).
+
+    `chol0`: optional initial proposal Cholesky, (ndim, ndim) shared or
+    (n_chains, ndim, ndim) per-chain."""
+    if chol0 is None:
+        return jax.vmap(lambda q, k: init_state(logpost_y, q, k, eps0))(
+            y0, keys)
+    chol0 = jnp.broadcast_to(chol0, y0.shape + y0.shape[-1:])
+    return jax.vmap(lambda q, k, c: init_state(logpost_y, q, k, eps0, c))(
+        y0, keys, chol0)
 
 
 def run_segment(logpost_y: Callable, states: HMCState, i0, length: int,

@@ -319,6 +319,45 @@ class ParamSpace:
                 lj = lj + v
         return lj
 
+    def dtheta_dy_diag(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-parameter d theta_i / d y_i at y (..., ndim).
+
+        The reparameterisation is elementwise, so its Jacobian is diagonal;
+        this is the factor that maps theta-space proposal widths / covmats
+        (cobaya's `proposal:` entries and `.covmat` files, reference
+        config/boss_cobaya_config.yaml:60,72,84,96) into the unbounded
+        space the samplers actually step in."""
+        cols = []
+        for i, p in enumerate(self.sampled):
+            v = y[..., i]
+            if p.dist == 'uniform':
+                cols.append((p.hi - p.lo)
+                            * jax.nn.sigmoid(v) * jax.nn.sigmoid(-v))
+            elif p.dist == 'loguniform':
+                theta = jnp.exp(math.log(p.lo)
+                                + math.log(p.hi / p.lo) * jax.nn.sigmoid(v))
+                cols.append(theta * math.log(p.hi / p.lo)
+                            * jax.nn.sigmoid(v) * jax.nn.sigmoid(-v))
+            elif p.dist == 'halfnorm':
+                cols.append(jnp.exp(v))
+            else:  # norm: identity map
+                cols.append(jnp.ones_like(v))
+        return jnp.stack(cols, axis=-1)
+
+    def proposal_scales_unbounded(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Per-parameter proposal widths mapped to the unbounded space at y
+        (..., ndim): sigma_y_i = proposal_i / (d theta_i / d y_i).
+        Parameters without a `proposal:` entry keep 1.0 — the identity seed
+        the samplers previously always started from. Clipped to [1e-3, 20]:
+        near a support edge d theta/d y -> 0 and an unclipped seed would
+        blow up the stage-1 warmup before Welford can correct it."""
+        j = self.dtheta_dy_diag(y)
+        prop = jnp.asarray([p.proposal if p.proposal else jnp.nan
+                            for p in self.sampled])
+        scales = jnp.where(jnp.isnan(prop), 1.0,
+                           jnp.clip(prop / j, 1e-3, 20.0))
+        return jnp.broadcast_to(scales, y.shape)
+
     # ------------------------------------------------------------------
     def full_params(self, theta: jnp.ndarray) -> Dict:
         """theta (..., ndim) -> params dict incl. fixed and derived values."""

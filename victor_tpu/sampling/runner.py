@@ -115,7 +115,8 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  burn_in_fraction: float = 0.0,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  mesh_axis=None, segment_steps: int = 100,
-                 algorithm: str = 'hmc', max_depth: int = 8) -> MCMCResult:
+                 algorithm: str = 'hmc', max_depth: int = 8,
+                 covmat=None) -> MCMCResult:
     """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
 
     ~10x lower autocorrelation per draw than the stretch move; warmup +
@@ -143,6 +144,15 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     needs ~10x the draws of HMC but composes with the forward-only fast
     modes). All three share state/warmup, so checkpoints, segmenting and
     mesh sharding behave identically. n_leapfrog is ignored for NUTS/MH.
+
+    `covmat`: optional cobaya-format `.covmat` path (or a theta-space
+    (ndim, ndim) array ordered like the sampled block) seeding the initial
+    proposal covariance (MH) / inverse-mass metric (HMC/NUTS) — the role of
+    cobaya's `mcmc: {covmat: ...}` input; parameters absent from the file
+    fall back to their `proposal:` width squared, as cobaya does. Every
+    exported chain writes `<output>.covmat` back, so covmat files
+    round-trip between runs (and to/from cobaya itself). Without a covmat,
+    MH seeds its proposal diagonal from the block's `proposal:` widths.
     """
     from . import hmc as _hmc
     from . import mh as _mh
@@ -151,6 +161,33 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
 
     space = ParamSpace(params_block)
     tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+
+    covmat_arr = None
+    if covmat is not None:
+        from ..errors import InputError
+        if isinstance(covmat, str):
+            # absent params fall back to proposal^2 (cobaya's fill rule);
+            # nan marks "absent AND no proposal" for the loud check below
+            prop_var = np.array([(p.proposal ** 2) if p.proposal else np.nan
+                                 for p in space.sampled])
+            covmat_arr = chain_io.read_covmat(covmat, space.names,
+                                              fallback_var=prop_var)
+        else:
+            covmat_arr = np.asarray(covmat, dtype=float)
+        if covmat_arr.shape != (space.ndim, space.ndim):
+            raise InputError(
+                f'covmat shape {covmat_arr.shape} does not match the '
+                f'{space.ndim} sampled parameters {space.names}')
+        if np.any(np.isnan(covmat_arr)):
+            missing = [p.name for i, p in enumerate(space.sampled)
+                       if np.isnan(covmat_arr[i, i])]
+            raise InputError(
+                f'covmat has no entry for {missing} and those parameters '
+                'have no proposal: width to fall back on')
+        try:
+            np.linalg.cholesky(covmat_arr)
+        except np.linalg.LinAlgError:
+            raise InputError('covmat is not positive definite')
 
     def logpost_y(tbl, y):
         theta = space.to_bounded(y)
@@ -208,16 +245,34 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  cache_id, _freeze(opts_kw),
                  _freeze(fit_kw), n_warmup, n_leapfrog, n_chains,
                  algorithm, max_depth,
+                 None if covmat_arr is None else covmat_arr.tobytes(),
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _HMC_RUNNERS.setdefault(cache_key, {})
+
+    cov_t = None if covmat_arr is None else jnp.asarray(covmat_arr)
+
+    def _chol0(y):
+        """Per-chain initial chol_cov seed (None -> identity): covmat
+        (all samplers) or the block's proposal: widths (MH). Theta-space
+        inputs map to the unbounded sampling space through the diagonal
+        reparameterisation Jacobian at each chain's own start point."""
+        if cov_t is not None:
+            def one(yy):
+                j = space.dtheta_dy_diag(yy)
+                return jnp.linalg.cholesky(cov_t / jnp.outer(j, j))
+            return jax.vmap(one)(y)
+        if algorithm == 'mh' and any(p.proposal for p in space.sampled):
+            return jax.vmap(jnp.diag)(space.proposal_scales_unbounded(y))
+        return None
+
     if 'init' not in fns:
         if algorithm == 'mh':
             # value-only init: never builds the gradient graph
             fns['init'] = jax.jit(lambda tbl, y, ks: _mh.init_chains(
-                lambda yy: logpost_y(tbl, yy), y, ks))
+                lambda yy: logpost_y(tbl, yy), y, ks, chol0=_chol0(y)))
         else:
             fns['init'] = jax.jit(lambda tbl, y, ks: _hmc.init_chains(
-                lambda yy: logpost_y(tbl, yy), y, ks))
+                lambda yy: logpost_y(tbl, yy), y, ks, chol0=_chol0(y)))
 
     def _segment_fn(length):
         if ('seg', length) not in fns:
