@@ -524,10 +524,21 @@ class TestFitCLI:
         cfg = dict(boss_config)
         cfg['params'] = BLOCK_4P
         p.write_text(yaml.safe_dump(cfg))
-        main(['fit', str(p), '--starts', '4', '--adam-steps', '60'])
+        cm = str(tmp_path / 'fit.covmat')
+        main(['fit', str(p), '--starts', '4', '--adam-steps', '60',
+              '--covmat-out', cm])
         out = json.loads(capsys.readouterr().out)
         assert out['chi2'] < 66.0
         assert set(out['best_fit']) == {'fsigma8', 'beta', 'sigma_v', 'epsilon'}
+        # --covmat-out writes the Laplace covariance in cobaya format, with
+        # diagonals matching the reported Laplace sigmas (fit -> `run
+        # --covmat` seeding workflow)
+        from victor_tpu.sampling.chains import read_covmat
+        names = ['fsigma8', 'beta', 'sigma_v', 'epsilon']
+        cov = read_covmat(cm, names)
+        for i, n in enumerate(names):
+            np.testing.assert_allclose(np.sqrt(cov[i, i]),
+                                       out['std_laplace'][n], rtol=1e-4)
 
 
 class TestAnalyzeCLI:

@@ -951,6 +951,11 @@ class TestProposalSeeding:
         from victor_tpu.errors import InputError
         with pytest.raises(InputError, match='shares no'):
             read_covmat(root + '.covmat', ['nope'])
+        # write_covmat -> read_covmat round-trips any matrix (incl. 1x1)
+        from victor_tpu.sampling.chains import write_covmat
+        write_covmat(str(tmp_path / 'one.covmat'), ['x'], np.array([[4.0]]))
+        np.testing.assert_allclose(
+            read_covmat(str(tmp_path / 'one.covmat'), ['x']), [[4.0]])
 
     def test_run_with_covmat_seed(self, boss_config, tmp_path):
         """run_hmc_mcmc(covmat=...) end-to-end: a cobaya-format file seeds

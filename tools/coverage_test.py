@@ -292,6 +292,33 @@ def run_coverage_ns(bundle, n_mocks=50, seed=0, form='gaussian',
                                    fiducial, params_block)
 
 
+def run_coverage_mh(bundle, n_mocks=40, seed=0, form='gaussian',
+                    fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
+                    n_chains=8, n_warmup=500, n_samples=1500):
+    """Coverage of the random-walk-Metropolis posterior path
+    (run_hmc_mcmc(algorithm='mh') — the reference's cobaya sampler family):
+    per-mock central 68% credible intervals from the pooled post-warmup
+    draws, same mock stream and interval conventions as the SMC/NS runs.
+    Completes the sampler calibration matrix for the MCMC-class posterior
+    path. Returns (pulls, cover68, names)."""
+    from victor_tpu.sampling import run_hmc_mcmc
+
+    class _Particles:
+        # adapt MCMCResult to the .space/.particles duck type the shared
+        # loop consumes (pool chains x draws into equal-weight particles)
+        def __init__(self, res):
+            self.space = res.space
+            self.particles = res.chain.reshape(-1, res.chain.shape[-1])
+
+    def sample(mb, mock_seed):
+        return _Particles(run_hmc_mcmc(
+            mb, params_block, n_chains=n_chains, n_warmup=n_warmup,
+            n_samples=n_samples, seed=mock_seed, algorithm='mh',
+            segment_steps=n_warmup + n_samples, fit_kw={'form': form}))
+    return _run_coverage_posterior(bundle, sample, n_mocks, seed,
+                                   fiducial, params_block)
+
+
 # SBC parameter space: prior = generation distribution = the normals below
 # (SBC requires them IDENTICAL; the usual wide-uniform sampling block would
 # need generation draws from the full uniform, where beta leaves the data
@@ -512,7 +539,7 @@ def main():
                          'delta-chi2=1 profile intervals (the remedy for '
                          'the grid-structure-broken Laplace sigma)')
     ap.add_argument('--method', default='map',
-                    choices=['map', 'smc', 'sbc', 'ns'],
+                    choices=['map', 'smc', 'sbc', 'ns', 'mh'],
                     help='map = MAP + Laplace pulls/intervals; smc = '
                          'per-mock tempered-SMC posteriors with central '
                          '68%% credible-interval coverage (the calibration '
@@ -521,7 +548,9 @@ def main():
                          'posterior rank-uniformity (Talts et al. 2018) — '
                          'the full-Bayes self-consistency test; ns = the '
                          'smc calibration for the nested-sampling posterior '
-                         'path (run_nested)')
+                         'path (run_nested); mh = the same for the '
+                         'random-walk-Metropolis chains '
+                         '(run_hmc_mcmc(algorithm=mh))')
     ap.add_argument('--particles', type=int, default=2048,
                     help='SMC particles per mock (method=smc)')
     ap.add_argument('--moves', type=int, default=6,
@@ -598,9 +627,13 @@ def main():
                   f'KS p = {ks.pvalue:.3f}   10-bin: {hist.tolist()}')
         return
 
-    if args.method in ('smc', 'ns'):
+    if args.method in ('smc', 'ns', 'mh'):
         if args.method == 'ns':
             pulls, cover68, names = run_coverage_ns(
+                bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
+                fiducial=fiducial, params_block=block)
+        elif args.method == 'mh':
+            pulls, cover68, names = run_coverage_mh(
                 bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
                 fiducial=fiducial, params_block=block)
         else:

@@ -475,6 +475,13 @@ def cmd_fit(args):
         'elapsed_s': round(time.time() - t0, 2)}
     if derived:
         out['derived'] = derived
+    if args.covmat_out:
+        # Laplace covariance in cobaya .covmat format: the fit->sample
+        # workflow (seed `run --sampler mh/hmc --covmat <this file>`), and
+        # drop-in for existing cobaya configs that point at a covmat
+        from .sampling.chains import write_covmat
+        write_covmat(args.covmat_out, result.space.names, result.cov)
+        out['covmat_file'] = args.covmat_out
     print(json.dumps(_json_sanitize(out), indent=2))
 
 
@@ -1072,6 +1079,9 @@ def main(argv=None):
                     help='multi-start count (one vmapped Adam dispatch)')
     pf.add_argument('--adam-steps', type=int, default=250)
     pf.add_argument('--seed', type=int, default=0)
+    pf.add_argument('--covmat-out', default=None, metavar='PATH',
+                    help='write the Laplace covariance as a cobaya-format '
+                         '.covmat (seeds `run --covmat` or cobaya itself)')
     pf.set_defaults(fn=cmd_fit)
 
     ps = sub.add_parser('scan', help='profile-likelihood scan (1D or 2D)')

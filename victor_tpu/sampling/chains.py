@@ -164,10 +164,20 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
         denom = wsum - float(np.sum(w_all ** 2)) / wsum
         if denom > 0:
             cov = (d * w_all[:, None]).T @ d / denom
-            with open(f'{root}.covmat', 'w') as f:
-                f.write('# ' + ' '.join(p.name for p in space.sampled) + '\n')
-                np.savetxt(f, cov, fmt='%.8e')
+            write_covmat(f'{root}.covmat',
+                         [p.name for p in space.sampled], cov)
     return chain_file
+
+
+def write_covmat(path: str, names: List[str], cov: np.ndarray) -> None:
+    """Write a cobaya-format covmat file: `# name1 name2 ...` header, then
+    the matrix. Readable by cobaya's `mcmc: {covmat: ...}`, read_covmat,
+    and the samplers' `covmat=` seed."""
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    with open(path, 'w') as f:
+        f.write('# ' + ' '.join(names) + '\n')
+        np.savetxt(f, np.atleast_2d(np.asarray(cov)), fmt='%.8e')
 
 
 def read_covmat(path: str, names: List[str],
