@@ -863,6 +863,61 @@ class TestMH:
         assert (tmp_path / 'c' / 'mh.1.txt').exists()
         assert (tmp_path / 'c' / 'mh.2.txt').exists()
 
+    def test_cobaya_mcmc_nesting_maps_to_mh(self, boss_config, tmp_path,
+                                            monkeypatch, capsys):
+        """A cobaya-style `sampler: {mcmc: {...}}` config runs the algorithm
+        it asks for — adaptive random-walk Metropolis — with its covmat
+        mapped to the proposal seed (cobaya's `mcmc: {covmat: ...}`)."""
+        import json
+        import yaml
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+        real = sampling_mod.run_hmc_mcmc
+
+        def spy(bundle, params_block, **kw):
+            seen.update(kw)
+            return real(bundle, params_block, **kw)
+
+        monkeypatch.setattr(sampling_mod, 'run_hmc_mcmc', spy)
+        cm = tmp_path / 'prop.covmat'
+        cm.write_text('# fsigma8\n4.0e-4\n')
+        cfg = dict(boss_config)
+        cfg['params'] = {
+            'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                        'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02}},
+            'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+        }
+        cfg['sampler'] = {'mcmc': {'max_samples': 100000,
+                                   'Rminus1_stop': 0.01,
+                                   'covmat': str(cm)},
+                          'n_chains': 2}
+        p = tmp_path / 'cob.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--warmup', '6', '--samples', '6', '--seed', '0'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'mh'
+        assert seen['algorithm'] == 'mh'
+        assert seen['covmat'] == str(cm)
+        assert np.isfinite(out['summary']['fsigma8']['mean'])
+
+    def test_reference_cobaya_config_runs_mh(self, tmp_path, capsys):
+        """The reference's OWN cobaya YAML (config/boss_cobaya_config.yaml)
+        runs unchanged through `run`, dispatching the sampler family it
+        specifies (mcmc -> mh) with its proposal widths seeding the
+        proposal — the complete cobaya-workflow migration check."""
+        import json
+        from victor_tpu.__main__ import main
+        main(['run', '/root/reference/config/boss_cobaya_config.yaml',
+              '--warmup', '6', '--samples', '6', '--chains', '2',
+              '--seed', '0'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'mh'
+        assert out['n_samples'] == 6
+        for v in out['summary'].values():
+            assert np.isfinite(v['mean'])
+
 
 class TestProposalSeeding:
     """cobaya's proposal-covariance workflow: per-param `proposal:` widths

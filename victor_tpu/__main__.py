@@ -132,10 +132,20 @@ def cmd_run(args):
     seed = args.seed if args.seed is not None else int(sampler.get('seed', 0))
     if isinstance(sampler.get('mcmc'), dict):    # cobaya-style nesting
         # merge the recognised cobaya mcmc keys into the sampler block so any
-        # sibling keys (seed/output/checkpoint/kind/...) are preserved
+        # sibling keys (seed/output/checkpoint/kind/...) are preserved.
+        # cobaya's `mcmc` IS adaptive random-walk Metropolis, so the nesting
+        # defaults kind to 'mh' (sampling/mh.py — override with kind: or
+        # --sampler): the reference's own boss_cobaya_config.yaml then runs
+        # the algorithm class it asked for, with its per-param `proposal:`
+        # widths seeding the proposal and its `covmat:` file (if any)
+        # honored exactly as under cobaya
         mc = sampler.pop('mcmc')
+        sampler.setdefault('kind', 'mh')
         sampler.setdefault('max_steps', mc.get('max_samples', 2000))
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
+        cm = mc.get('covmat')
+        if cm and cm != 'auto':
+            sampler.setdefault('covmat', cm)
     kind = args.sampler or sampler.get('kind', 'ensemble')
 
     if kind == 'smc':
