@@ -863,6 +863,34 @@ class TestMH:
         assert (tmp_path / 'c' / 'mh.1.txt').exists()
         assert (tmp_path / 'c' / 'mh.2.txt').exists()
 
+    def test_rhat_early_stop_truncates_bitexactly(self):
+        """rhat_stop (cobaya's Rminus1_stop role): the run stops once
+        split-R-1 clears the threshold, and the recorded draws are the
+        bit-exact prefix of the fixed-length run (stopping only
+        truncates)."""
+        from victor_tpu.sampling import run_hmc_mcmc
+
+        def loglike(params):
+            chi2 = params['a'] ** 2 + params['b'] ** 2
+            return -0.5 * chi2, chi2
+
+        block = {
+            'a': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0},
+                  'ref': {'dist': 'norm', 'loc': 0.0, 'scale': 0.5}},
+            'b': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0},
+                  'ref': {'dist': 'norm', 'loc': 0.0, 'scale': 0.5}},
+        }
+        res = run_hmc_mcmc(loglike, block, n_chains=8, n_warmup=100,
+                           n_samples=3000, seed=0, algorithm='mh',
+                           segment_steps=100, rhat_stop=0.2)
+        assert 50 <= res.n_steps < 3000
+        assert np.max(res.rhat - 1) < 0.2
+        res_full = run_hmc_mcmc(loglike, block, n_chains=8, n_warmup=100,
+                                n_samples=res.n_steps + 200, seed=0,
+                                algorithm='mh', segment_steps=100)
+        np.testing.assert_array_equal(res_full.chain[:res.n_steps],
+                                      res.chain)
+
     def test_cobaya_mcmc_nesting_maps_to_mh(self, boss_config, tmp_path,
                                             monkeypatch, capsys):
         """A cobaya-style `sampler: {mcmc: {...}}` config runs the algorithm

@@ -270,6 +270,11 @@ def cmd_run(args):
             algorithm=kind,
             max_depth=int(sampler.get('max_depth', args.max_depth)),
             covmat=sampler.get('covmat', args.covmat),
+            # cobaya's Rminus1_stop semantics: n_samples becomes a cap and
+            # the run stops once split-R-1 clears the threshold (set by the
+            # mcmc: nesting merge or an explicit sampler.rhat_stop)
+            rhat_stop=(float(sampler['rhat_stop'])
+                       if 'rhat_stop' in sampler else None),
             output=sampler.get('output', cfg.get('output', args.output)),
             checkpoint=ckpt,
             resume=args.resume)

@@ -116,7 +116,7 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  mesh_axis=None, segment_steps: int = 100,
                  algorithm: str = 'hmc', max_depth: int = 8,
-                 covmat=None) -> MCMCResult:
+                 covmat=None, rhat_stop: Optional[float] = None) -> MCMCResult:
     """Gradient-based sampling: vmapped adaptive HMC chains (sampling/hmc.py).
 
     ~10x lower autocorrelation per draw than the stretch move; warmup +
@@ -153,6 +153,12 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     exported chain writes `<output>.covmat` back, so covmat files
     round-trip between runs (and to/from cobaya itself). Without a covmat,
     MH seeds its proposal diagonal from the block's `proposal:` widths.
+
+    `rhat_stop`: optional convergence stop — cobaya's `Rminus1_stop` role:
+    after each post-warmup segment with >= 50 recorded draws, stop early
+    once split-max(R-1) < rhat_stop. n_samples then acts as the draw CAP.
+    Early stopping only truncates the run, so the recorded draws remain
+    bit-identical to a fixed-length run's prefix.
     """
     from . import hmc as _hmc
     from . import mh as _mh
@@ -330,6 +336,17 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                 *((np.concatenate([r[j] for r in recs]) for j in range(3))
                   if recs else (None, None, None)),
                 i0=i0)
+        if rhat_stop is not None and recs:
+            sofar = np.concatenate([r[0] for r in recs])
+            if len(sofar) >= 50:
+                r = diagnostics.split_rhat(sofar)
+                log.info('step %d: max(R-1)=%.4f (stop at %.3g)',
+                         i0, float(np.max(r - 1)), rhat_stop)
+                if np.max(r - 1) < rhat_stop:
+                    log.info('converged: R-1 < %.3g at %d draws '
+                             '(cap was %d)', rhat_stop, len(sofar),
+                             n_total - n_warmup)
+                    break
     if recs:
         chain = np.concatenate([r[0] for r in recs])   # (S, C, P)
         lnp = np.concatenate([r[1] for r in recs])
