@@ -20,17 +20,33 @@ import pytest  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Opt-in: persist XLA:CPU compilations across suite runs. The suite's wall
-# clock is dominated by serial jit compiles (single host core); with the
-# cache warm, repeat runs are much faster. Off by default because a cache
-# dir shared across hosts with different CPU vector features can SIGILL
-# (see utils/profiling.enable_persistent_cache) — only set this when the
-# cache dir stays on one machine, e.g. local development:
-#   VICTOR_TEST_COMPILE_CACHE=1 python -m pytest tests/ -q
-if os.environ.get('VICTOR_TEST_COMPILE_CACHE'):
+# Persist XLA:CPU compilations across suite runs (default ON; opt out with
+# VICTOR_TEST_COMPILE_CACHE=0). The suite's wall clock is dominated by serial
+# jit compiles on the single host core; with the cache warm, repeat runs are
+# several times faster. XLA:CPU cache entries embed AOT machine code keyed
+# loosely enough that an entry written on a host with wider vector features
+# SIGILLs on a narrower host (see utils/profiling.enable_persistent_cache),
+# so the cache directory is keyed by a CPU-feature fingerprint: a different
+# host simply starts its own cold cache instead of loading a poisoned one.
+if os.environ.get('VICTOR_TEST_COMPILE_CACHE', '1') != '0':
+    import hashlib
+    import platform
+
+    def _cpu_fingerprint() -> str:
+        feat = platform.machine()
+        try:
+            with open('/proc/cpuinfo') as f:
+                for line in f:
+                    if line.startswith(('flags', 'Features')):
+                        feat += ' '.join(sorted(line.split(':', 1)[1].split()))
+                        break
+        except OSError:
+            feat += platform.processor()
+        return hashlib.sha256(feat.encode()).hexdigest()[:12]
+
     from victor_tpu.utils.profiling import enable_persistent_cache
     enable_persistent_cache(
-        path=os.path.join(REPO, '.cache', 'test_xla'),
+        path=os.path.join(REPO, '.cache', f'test_xla-{_cpu_fingerprint()}'),
         min_compile_secs=0.5, force=True)
 FIXTURES = os.path.join(REPO, 'tests', 'fixtures')
 

@@ -165,6 +165,8 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(other.particles, full.particles)
         assert other.logz == full.logz
 
+    @pytest.mark.slow  # the bit-identical interrupted-resume test above is
+    # the default-tier coverage; this adds only the cadence variant
     def test_checkpoint_every_resumes_bit_identically(self, tmp_path):
         """checkpoint_every=3 saves at iterations 3, 6, ... and ALSO on the
         max_iter error path (so the error message's 'state saved' is true

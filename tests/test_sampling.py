@@ -456,6 +456,8 @@ class TestNUTS:
         np.testing.assert_allclose(np.asarray(ys_sh), np.asarray(ys_ref),
                                    rtol=2e-5, atol=1e-6)
 
+    @pytest.mark.slow  # NUTS correctness is covered by the gaussian +
+    # bitexact-segment tests above; this adds only the NUTS-x-BOSS graph
     def test_nuts_on_boss(self, boss_config):
         from victor_tpu.io import build_tables
         from victor_tpu.sampling import run_hmc_mcmc
@@ -795,6 +797,8 @@ class TestMH:
         expect = float(lnl) + float(res.space.log_prior(theta))
         np.testing.assert_allclose(res.log_prob[0, 0], expect, rtol=1e-5)
 
+    @pytest.mark.slow  # the checkpoint format is HMC's (default-tested) and
+    # the staged schedule is pinned by test_mh_segments_bitexact_vs_monolithic
     def test_mh_checkpoint_resume(self, boss_config, tmp_path):
         """MH reuses HMCState, so the HMC checkpoint format resumes it
         exactly (the resumed run extends the first one's chain verbatim)."""
@@ -817,6 +821,8 @@ class TestMH:
         assert r2.chain.shape == (8, 2, 1)
         np.testing.assert_array_equal(r2.chain[:4], r1.chain)
 
+    @pytest.mark.slow  # the mesh plumbing is run_hmc_mcmc's, default-tested
+    # by test_hmc_sharded_on_mesh; MH's step adds no sharding-relevant ops
     def test_mh_sharded_on_mesh(self, boss_config):
         """MH chains sharded across the 8-device CPU mesh must match the
         unsharded run (independent chains, zero collectives — the same
@@ -838,6 +844,8 @@ class TestMH:
         assert r_mesh.chain.shape == (4, 8, 1)
         np.testing.assert_allclose(r_mesh.chain, r_none.chain, rtol=5e-6)
 
+    @pytest.mark.slow  # the CLI MH path runs twice in the default tier
+    # already (cobaya-nesting + reference-config tests below)
     def test_cli_mh_smoke(self, boss_config, tmp_path, capsys):
         """`run --sampler mh` end-to-end (the cobaya-MH migration path);
         CLI --warmup/--samples override the MH-specific long defaults."""

@@ -117,6 +117,8 @@ class TestAnalyticTension:
 
 
 class TestShardedTension:
+    @pytest.mark.slow  # sharded SMC + the ProductTarget mesh replication are
+    # default-tested separately (test_smc sharded; dryrun ProductTarget leg)
     def test_mesh_sharded_matches_analytic(self):
         """run_tension with the particle axis sharded over the 8-device CPU
         mesh: the ProductTarget's tuple-of-tables pytree must replicate and

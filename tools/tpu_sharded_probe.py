@@ -21,7 +21,10 @@ through the TPU compiler, and
      place it can be exercised;
   4. the same for nested sampling (live-point axis on the mesh; its
      constrained-replacement scatter is the other collective-bearing
-     sampler program).
+     sampler program);
+  5. a sharded adaptive random-walk Metropolis segment (sampling/mh.py —
+     the value-only program with no gradient graph) vs the unsharded
+     runner, completing the sampler matrix on the real backend.
 
 Prints one JSON line per check; exits non-zero if any check fails.
 Run it alone (one TPU process at a time through the axon tunnel).
@@ -196,6 +199,29 @@ def main():
         'bit_identical': bool(np.array_equal(
             np.asarray(n_mesh.particles), np.asarray(n_none.particles))),
         'sharded_s': round(dt_nmesh, 1), 'unsharded_s': round(dt_nnone, 1),
+    }), flush=True)
+
+    # ---- 5. sharded random-walk Metropolis segment ------------------------
+    # MH shares run_hmc_mcmc's mesh plumbing but lowers a different program
+    # (value-only, no vjp); chains must reproduce the unsharded run exactly
+    # up to partitioned-reduction rounding, like HMC's check 2
+    t0 = time.perf_counter()
+    m_mesh = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=100,
+                          n_samples=100, seed=0, algorithm='mh', mesh=cmesh)
+    dt_mmesh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m_none = run_hmc_mcmc(bundle, block, n_chains=8, n_warmup=100,
+                          n_samples=100, seed=0, algorithm='mh')
+    dt_mnone = time.perf_counter() - t0
+    close5 = np.allclose(m_mesh.chain, m_none.chain, rtol=5e-5, atol=1e-6)
+    failures += 0 if close5 else 1
+    print(json.dumps({
+        'check': 'sharded_mh_segment',
+        'mesh': f"{dict(zip(cmesh.axis_names, cmesh.devices.shape))}",
+        'chains': 8, 'draws': 100, 'trajectories_match': bool(close5),
+        'acceptance_mesh': round(m_mesh.acceptance, 3),
+        'acceptance_unsharded': round(m_none.acceptance, 3),
+        'sharded_s': round(dt_mmesh, 1), 'unsharded_s': round(dt_mnone, 1),
     }), flush=True)
 
     sys.exit(1 if failures else 0)
