@@ -955,6 +955,120 @@ class TestMH:
             assert np.isfinite(v['mean'])
 
 
+class TestCobayaSamplerMappings:
+    """cobaya sampler-block migration beyond `mcmc:` (tested above):
+    `polychord:` maps to the native nested sampler with cobaya's vocabulary
+    (nlive / precision_criterion / num_repeats), `minimize:` dispatches to
+    the fit/MAP machinery, and `mcmc: {max_samples}` must reach the MH path
+    as its draw cap. Backends are faked: these pin the *dispatch*, the real
+    samplers have their own end-to-end tests."""
+
+    BLOCK = {
+        'fsigma8': {'prior': {'dist': 'uniform', 'min': 0.05, 'max': 1.5},
+                    'ref': {'dist': 'norm', 'loc': 0.47, 'scale': 0.02},
+                    'proposal': 0.02},
+        'beta': 0.37, 'sigma_v': 380.0, 'epsilon': 1.0,
+    }
+
+    def test_mcmc_max_samples_caps_mh_draws(self, boss_config, tmp_path,
+                                            monkeypatch, capsys):
+        """cobaya's max_samples must reach the MH path as the n_samples cap
+        (it was once merged only into max_steps — an ensemble-path key the
+        defaulted-to MH sampler never reads, silently dropping the cap)."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+
+        def fake(bundle, params_block, **kw):
+            seen.update(kw)
+            return types.SimpleNamespace(
+                n_steps=3, acceptance=0.3, elapsed_s=0.1,
+                summary=lambda burn_in=None: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_hmc_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'mcmc': {'max_samples': 4321,
+                                   'Rminus1_stop': 0.05}}
+        p = tmp_path / 'cap.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--seed', '0'])
+        assert seen['algorithm'] == 'mh'
+        assert seen['n_samples'] == 4321
+        assert seen['rhat_stop'] == 0.05
+        out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'mh'
+
+    def test_polychord_maps_to_ns(self, boss_config, tmp_path, monkeypatch,
+                                  capsys):
+        """A cobaya `sampler: {polychord: {...}}` block runs the native
+        nested sampler with nlive -> n_live, precision_criterion -> dlogz,
+        num_repeats -> n_steps."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+
+        def fake(bundle, params_block, **kw):
+            seen.update(kw)
+            return types.SimpleNamespace(
+                n_live=10, n_iter=5, n_like=50, logz=1.0, logz_se=0.1,
+                h=2.0, ess=20.0, elapsed_s=0.1, aux=np.full((6, 1), 60.0),
+                summary=lambda: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_nested', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'polychord': {'nlive': 96,
+                                        'precision_criterion': 0.2,
+                                        'num_repeats': 7}}
+        p = tmp_path / 'pc.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--seed', '1'])
+        assert seen['n_live'] == 96
+        assert seen['dlogz'] == 0.2
+        assert seen['n_steps'] == 7
+        out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'ns'
+        assert out['log_evidence'] == 1.0
+
+    def test_minimize_dispatches_to_fit(self, boss_config, tmp_path,
+                                        monkeypatch):
+        """A cobaya `sampler: {minimize: {...}}` block dispatches `run` to
+        the MAP machinery (cmd_fit) with the mapped options and the CLI
+        seed."""
+        import yaml
+
+        import victor_tpu.__main__ as cli
+
+        seen = {}
+        monkeypatch.setattr(cli, 'cmd_fit', lambda a: seen.update(vars(a)))
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'minimize': {'n_starts': 5, 'adam_steps': 17,
+                                       'covmat_out':
+                                       str(tmp_path / 'o.covmat')}}
+        p = tmp_path / 'min.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        cli.main(['run', str(p), '--seed', '2'])
+        assert seen['starts'] == 5
+        assert seen['adam_steps'] == 17
+        assert seen['seed'] == 2
+        assert seen['covmat_out'] == str(tmp_path / 'o.covmat')
+        assert seen['config'] == str(p)
+
+
 class TestProposalSeeding:
     """cobaya's proposal-covariance workflow: per-param `proposal:` widths
     seed MH's initial proposal, `.covmat` files seed all three HMCState

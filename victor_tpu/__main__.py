@@ -122,7 +122,6 @@ def cmd_run(args):
     cfg = _apply_set(_load(args.config), args.set)
     if not _has_data(cfg):
         sys.exit('run requires a data: block (data vector + covariance)')
-    bundle = _build_bundle(cfg)
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block to sample')
@@ -141,11 +140,45 @@ def cmd_run(args):
         # honored exactly as under cobaya
         mc = sampler.pop('mcmc')
         sampler.setdefault('kind', 'mh')
-        sampler.setdefault('max_steps', mc.get('max_samples', 2000))
+        if 'max_samples' in mc:
+            # cobaya's draw cap: the MH/HMC path reads n_samples (rhat_stop
+            # turns it into a cap), the ensemble path reads max_steps — set
+            # both so the cap survives a kind:/--sampler override. Mapping
+            # it only to max_steps silently dropped the cap for the very
+            # sampler the nesting defaults to.
+            sampler.setdefault('n_samples', mc['max_samples'])
+            sampler.setdefault('max_steps', mc['max_samples'])
         sampler.setdefault('rhat_stop', mc.get('Rminus1_stop', 0.01))
         cm = mc.get('covmat')
         if cm and cm != 'auto':
             sampler.setdefault('covmat', cm)
+    if 'minimize' in sampler:
+        # cobaya's `minimize` sampler is its MAP finder: a run config asking
+        # for it dispatches to the fit machinery (multi-start Adam + Newton
+        # with Laplace errors — sampling/optimize.find_map), so cobaya
+        # minimize workflows migrate without rewriting their YAML
+        mn = sampler.pop('minimize')
+        mn = mn if isinstance(mn, dict) else {}
+        return cmd_fit(argparse.Namespace(
+            config=args.config, set=args.set,
+            starts=int(mn.get('n_starts', 32)),
+            adam_steps=int(mn.get('adam_steps', 250)),
+            seed=seed, covmat_out=mn.get('covmat_out')))
+    if isinstance(sampler.get('polychord'), dict):
+        # cobaya's PolyChord wrapper is its nested sampler: map the nesting
+        # to `--sampler ns` (sampling/nested.py) with its vocabulary —
+        # nlive -> n_live, precision_criterion -> dlogz (evidence
+        # termination), num_repeats -> n_steps (slice/chain steps per
+        # replacement)
+        pc = sampler.pop('polychord')
+        sampler.setdefault('kind', 'ns')
+        if 'nlive' in pc:
+            sampler.setdefault('n_live', pc['nlive'])
+        if 'precision_criterion' in pc:
+            sampler.setdefault('dlogz', pc['precision_criterion'])
+        if 'num_repeats' in pc:
+            sampler.setdefault('n_steps', pc['num_repeats'])
+    bundle = _build_bundle(cfg)
     kind = args.sampler or sampler.get('kind', 'ensemble')
 
     if kind == 'smc':
