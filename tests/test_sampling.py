@@ -955,6 +955,56 @@ class TestMH:
             assert np.isfinite(v['mean'])
 
 
+class TestProgressFile:
+    """cobaya writes `<root>.progress` (N / timestamp / acceptance / R-1 per
+    checkpoint) next to its chains; the runners reproduce it so migrating
+    users keep tail/plot-progress convergence monitoring."""
+
+    BLOCK = {
+        'a': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0},
+              'ref': {'dist': 'norm', 'loc': 0.0, 'scale': 0.5}},
+        'b': {'prior': {'dist': 'norm', 'loc': 0.0, 'scale': 1.0},
+              'ref': {'dist': 'norm', 'loc': 0.0, 'scale': 0.5}},
+    }
+
+    @staticmethod
+    def _loglike(params):
+        chi2 = params['a'] ** 2 + params['b'] ** 2
+        return -0.5 * chi2, chi2
+
+    def test_mh_run_writes_progress_rows(self, tmp_path):
+        from victor_tpu.sampling import run_hmc_mcmc
+        root = str(tmp_path / 'chains' / 'toy')
+        run_hmc_mcmc(self._loglike, dict(self.BLOCK), n_chains=4,
+                     n_warmup=10, n_samples=20, seed=0, algorithm='mh',
+                     segment_steps=10, output=root)
+        lines = open(root + '.progress').read().splitlines()
+        assert lines[0].startswith('# N')
+        rows = [ln.split() for ln in lines[1:]]
+        assert len(rows) == 3                      # one per segment
+        ns = [int(r[0]) for r in rows]
+        assert ns == sorted(ns) and ns[-1] == 20   # cumulative draw count
+        # timestamp occupies columns 1-2; acceptance and R-1 parse as floats
+        assert 0.0 <= float(rows[-1][3]) <= 1.0
+        assert np.isfinite(float(rows[-1][4]))
+        # a fresh run truncates the file rather than appending forever
+        run_hmc_mcmc(self._loglike, dict(self.BLOCK), n_chains=4,
+                     n_warmup=10, n_samples=20, seed=1, algorithm='mh',
+                     segment_steps=10, output=root)
+        assert len(open(root + '.progress').read().splitlines()) == 4
+
+    def test_ensemble_run_writes_progress(self, tmp_path):
+        from victor_tpu.sampling import run_mcmc
+        root = str(tmp_path / 'ens')
+        run_mcmc(self._loglike, dict(self.BLOCK), n_walkers=16,
+                 max_steps=40, check_every=20, rhat_stop=0.0, seed=0,
+                 output=root)
+        lines = open(root + '.progress').read().splitlines()
+        assert lines[0].startswith('# N')
+        assert len(lines) >= 2
+        assert int(lines[-1].split()[0]) >= 40
+
+
 class TestCobayaSamplerMappings:
     """cobaya sampler-block migration beyond `mcmc:` (tested above):
     `polychord:` maps to the native nested sampler with cobaya's vocabulary
@@ -998,12 +1048,17 @@ class TestCobayaSamplerMappings:
                                    'Rminus1_stop': 0.05}}
         p = tmp_path / 'cap.yaml'
         p.write_text(yaml.safe_dump(cfg))
-        main(['run', str(p), '--seed', '0'])
+        main(['run', str(p), '--seed', '0',
+              '--output', str(tmp_path / 'c' / 'cap')])
         assert seen['algorithm'] == 'mh'
         assert seen['n_samples'] == 4321
         assert seen['rhat_stop'] == 0.05
         out = json.loads(capsys.readouterr().out)
         assert out['sampler'] == 'mh'
+        # cobaya's <root>.input.yaml reproducibility artifact: the config AS
+        # GIVEN (the mcmc: nesting intact, not the normalised sampler block)
+        saved = yaml.safe_load(open(tmp_path / 'c' / 'cap.input.yaml'))
+        assert saved['sampler']['mcmc']['max_samples'] == 4321
 
     def test_polychord_maps_to_ns(self, boss_config, tmp_path, monkeypatch,
                                   capsys):

@@ -125,6 +125,10 @@ def cmd_run(args):
     params_block = cfg.get('params')
     if not params_block:
         sys.exit('config must contain a params: block to sample')
+    # snapshot before the sampler-block merges below mutate cfg in place:
+    # <root>.input.yaml records what the user actually ran (cobaya's file)
+    import copy
+    raw_cfg = copy.deepcopy(cfg)
     sampler = cfg.get('sampler', {}) or {}
     # precedence: explicit --seed > config sampler.seed > 0 (an explicit CLI
     # flag silently losing to the config made seed studies no-ops)
@@ -178,6 +182,18 @@ def cmd_run(args):
             sampler.setdefault('dlogz', pc['precision_criterion'])
         if 'num_repeats' in pc:
             sampler.setdefault('n_steps', pc['num_repeats'])
+    out_root = sampler.get('output', cfg.get('output', args.output))
+    if out_root:
+        # cobaya writes <root>.input.yaml next to the chains; keep that
+        # reproducibility artifact (the config as given, incl. any --set
+        # overrides, before the sampler-block normalisation above)
+        import os
+
+        import yaml
+        parent = os.path.dirname(os.path.abspath(out_root))
+        os.makedirs(parent, exist_ok=True)
+        with open(out_root + '.input.yaml', 'w') as f:
+            yaml.safe_dump(raw_cfg, f, sort_keys=False)
     bundle = _build_bundle(cfg)
     kind = args.sampler or sampler.get('kind', 'ensemble')
 
@@ -204,7 +220,7 @@ def cmd_run(args):
             seed=seed,
             checkpoint=ckpt,
             resume=args.resume,
-            output=sampler.get('output', cfg.get('output', args.output)))
+            output=out_root)
         out = {'sampler': 'smc', 'n_particles': len(result.particles),
                'n_stages': len(result.betas) - 1,
                'log_evidence': round(result.logz, 3),
@@ -248,7 +264,7 @@ def cmd_run(args):
             seed=seed,
             checkpoint=ckpt,
             resume=args.resume,
-            output=sampler.get('output', cfg.get('output', args.output)))
+            output=out_root)
         out = {'sampler': 'ns', 'n_live': result.n_live,
                'n_iterations': result.n_iter,
                'n_likelihood_evals': result.n_like,
@@ -308,7 +324,7 @@ def cmd_run(args):
             # mcmc: nesting merge or an explicit sampler.rhat_stop)
             rhat_stop=(float(sampler['rhat_stop'])
                        if 'rhat_stop' in sampler else None),
-            output=sampler.get('output', cfg.get('output', args.output)),
+            output=out_root,
             checkpoint=ckpt,
             resume=args.resume)
         print(json.dumps(_json_sanitize(
@@ -334,7 +350,7 @@ def cmd_run(args):
         check_every=int(sampler.get('check_every', 100)),
         seed=seed,
         mesh=mesh,
-        output=sampler.get('output', cfg.get('output', args.output)),
+        output=out_root,
         checkpoint=sampler.get('checkpoint', args.checkpoint),
         resume=args.resume)
     print(json.dumps(_json_sanitize(

@@ -169,6 +169,28 @@ def export_getdist(root: str, space: ParamSpace, chain: np.ndarray,
     return chain_file
 
 
+def append_progress(root: str, n: int, acceptance: float, rminus1: float,
+                    reset: bool = False) -> str:
+    """Append one row to `<root>.progress` — cobaya's convergence-monitoring
+    file (columns `N timestamp acceptance_rate Rminus1 Rminus1_cl`, one row
+    per checkpoint), so migrating users keep their tail/plot-progress
+    workflows. `Rminus1_cl` (cobaya's bound on the confidence-limit drift)
+    has no analogue here and is written as nan; R-1 itself is nan until
+    enough post-warmup draws exist to define split-R-hat. `reset=True`
+    truncates the file (a fresh run); resumed runs append."""
+    import datetime
+    path = root + '.progress'
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    fresh = reset or not os.path.isfile(path)
+    with open(path, 'w' if fresh else 'a') as f:
+        if fresh:
+            f.write('# N  timestamp  acceptance_rate  Rminus1  Rminus1_cl\n')
+        ts = datetime.datetime.now().strftime('%Y-%m-%d %H:%M:%S')
+        f.write(f'{int(n)}  {ts}  {acceptance:.4f}  {rminus1:.6f}  nan\n')
+    return path
+
+
 def write_covmat(path: str, names: List[str], cov: np.ndarray) -> None:
     """Write a cobaya-format covmat file: `# name1 name2 ...` header, then
     the matrix. Readable by cobaya's `mcmc: {covmat: ...}`, read_covmat,

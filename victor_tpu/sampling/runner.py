@@ -300,6 +300,8 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
         return fns[('seg', length)]
 
     n_total = n_warmup + n_samples
+    # a fresh run truncates <output>.progress; a resumed one appends
+    fresh_progress = resume_state is None
     if resume_state is not None and resume_i0 is not None:
         states, i0 = resume_state, int(resume_i0)
         if i0 >= n_total:
@@ -336,17 +338,25 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                 *((np.concatenate([r[j] for r in recs]) for j in range(3))
                   if recs else (None, None, None)),
                 i0=i0)
-        if rhat_stop is not None and recs:
-            sofar = np.concatenate([r[0] for r in recs])
-            if len(sofar) >= 50:
-                r = diagnostics.split_rhat(sofar)
-                log.info('step %d: max(R-1)=%.4f (stop at %.3g)',
-                         i0, float(np.max(r - 1)), rhat_stop)
-                if np.max(r - 1) < rhat_stop:
-                    log.info('converged: R-1 < %.3g at %d draws '
-                             '(cap was %d)', rhat_stop, len(sofar),
-                             n_total - n_warmup)
-                    break
+        sofar = np.concatenate([r[0] for r in recs]) if recs else None
+        n_rec = 0 if sofar is None else len(sofar)
+        rm1 = (float(np.max(diagnostics.split_rhat(sofar) - 1))
+               if n_rec >= 4 else float('nan'))
+        if output:
+            # cobaya's <root>.progress monitoring file: one row per segment
+            acc_now = float(np.mean(np.asarray(states.n_accepted))
+                            / max(n_rec if n_rec else i0, 1))
+            chain_io.append_progress(output, n_rec, acc_now, rm1,
+                                     reset=fresh_progress)
+            fresh_progress = False
+        if rhat_stop is not None and n_rec >= 50:
+            log.info('step %d: max(R-1)=%.4f (stop at %.3g)',
+                     i0, rm1, rhat_stop)
+            if rm1 < rhat_stop:
+                log.info('converged: R-1 < %.3g at %d draws '
+                         '(cap was %d)', rhat_stop, n_rec,
+                         n_total - n_warmup)
+                break
     if recs:
         chain = np.concatenate([r[0] for r in recs])   # (S, C, P)
         lnp = np.concatenate([r[1] for r in recs])
@@ -425,6 +435,7 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
             state = None
     else:
         state = None
+    fresh_progress = state is None   # truncate <output>.progress on fresh runs
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         rep = NamedSharding(mesh, P())
@@ -476,6 +487,12 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
                 checkpoint, jax.device_get(state), chain,
                 np.concatenate([s[1] for s in segments]),
                 np.concatenate([s[2] for s in segments]))
+        if output:
+            # cobaya's <root>.progress monitoring file: one row per segment
+            chain_io.append_progress(output, total_recorded * thin, acc,
+                                     float(np.max(rhat - 1)),
+                                     reset=fresh_progress)
+            fresh_progress = False
         if np.max(rhat - 1) < rhat_stop and total_recorded * thin >= 2 * check_every:
             break
 
