@@ -1123,6 +1123,40 @@ class TestCobayaSamplerMappings:
         assert seen['covmat_out'] == str(tmp_path / 'o.covmat')
         assert seen['config'] == str(p)
 
+    def test_explicit_sampler_flag_overrides_minimize(self, boss_config,
+                                                      tmp_path, monkeypatch,
+                                                      capsys):
+        """--sampler on the command line wins over a config minimize: block
+        (same precedence as over kind:)."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.__main__ as cli
+        import victor_tpu.sampling as sampling_mod
+
+        called = {}
+        monkeypatch.setattr(
+            cli, 'cmd_fit',
+            lambda a: called.setdefault('fit', True))
+
+        def fake(bundle, params_block, **kw):
+            called['mcmc'] = True
+            return types.SimpleNamespace(
+                n_steps=3, acceptance=0.3, elapsed_s=0.1, rhat=np.ones(1),
+                summary=lambda burn_in=None: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'minimize': {'n_starts': 5}}
+        p = tmp_path / 'min2.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        cli.main(['run', str(p), '--sampler', 'ensemble', '--seed', '0'])
+        assert called == {'mcmc': True}
+        assert json.loads(capsys.readouterr().out)['n_steps'] == 3
+
 
 class TestProposalSeeding:
     """cobaya's proposal-covariance workflow: per-param `proposal:` widths

@@ -156,11 +156,12 @@ def cmd_run(args):
         cm = mc.get('covmat')
         if cm and cm != 'auto':
             sampler.setdefault('covmat', cm)
-    if 'minimize' in sampler:
+    if 'minimize' in sampler and args.sampler is None:
         # cobaya's `minimize` sampler is its MAP finder: a run config asking
         # for it dispatches to the fit machinery (multi-start Adam + Newton
         # with Laplace errors — sampling/optimize.find_map), so cobaya
-        # minimize workflows migrate without rewriting their YAML
+        # minimize workflows migrate without rewriting their YAML. An
+        # explicit --sampler flag wins (same precedence as over kind:)
         mn = sampler.pop('minimize')
         mn = mn if isinstance(mn, dict) else {}
         return cmd_fit(argparse.Namespace(
