@@ -1004,6 +1004,25 @@ class TestProgressFile:
         assert len(lines) >= 2
         assert int(lines[-1].split()[0]) >= 40
 
+    def test_read_progress_roundtrip_and_plot(self, tmp_path):
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                         'tools'))
+        import plot_chains
+
+        from victor_tpu.sampling.chains import append_progress, read_progress
+        root = str(tmp_path / 'p')
+        append_progress(root, 0, 0.1, float('nan'), reset=True)
+        append_progress(root, 10, 0.25, 1.5)
+        append_progress(root, 20, 0.3, 0.02)
+        prog = read_progress(root)
+        np.testing.assert_array_equal(prog['n'], [0, 10, 20])
+        np.testing.assert_allclose(prog['acceptance'], [0.1, 0.25, 0.3])
+        assert np.isnan(prog['rminus1'][0])
+        np.testing.assert_allclose(prog['rminus1'][1:], [1.5, 0.02])
+        out = plot_chains.progress_plot(root, str(tmp_path / 'prog.png'))
+        assert os.path.getsize(out) > 0
+
 
 class TestCobayaSamplerMappings:
     """cobaya sampler-block migration beyond `mcmc:` (tested above):

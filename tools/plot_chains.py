@@ -82,6 +82,32 @@ def corner_plot(chains, names, out_path, params=None, bins=40):
                    params=params, bins=bins)
 
 
+def progress_plot(root, out_path):
+    """Convergence-monitoring plot from `<root>.progress` (the cobaya
+    plot_progress role): max split-R-1 (log scale) and acceptance rate vs
+    recorded draws, one panel each."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from victor_tpu.sampling.chains import read_progress
+
+    prog = read_progress(root)
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(6, 5))
+    ok = np.isfinite(prog['rminus1'])
+    ax1.plot(prog['n'][ok], prog['rminus1'][ok], 'o-')
+    ax1.set_yscale('log')
+    ax1.set_ylabel('max split-(R-1)')
+    ax1.axhline(0.01, color='gray', ls='--', lw=0.8)
+    ax2.plot(prog['n'], prog['acceptance'], 'o-')
+    ax2.set_ylabel('acceptance rate')
+    ax2.set_xlabel('recorded draws')
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('root', help='chain root (e.g. chains/boss)')
@@ -89,7 +115,17 @@ def main():
                     help='burn-in fraction per chain file')
     ap.add_argument('--params', nargs='*', default=None,
                     help='subset of parameters to plot (default: first 6)')
+    ap.add_argument('--progress', action='store_true',
+                    help='also plot <root>.progress (R-1 + acceptance vs '
+                         'draws) to <root>_progress.png')
     args = ap.parse_args()
+
+    if args.progress:
+        if os.path.isfile(args.root + '.progress'):
+            print('progress plot:',
+                  progress_plot(args.root, f'{args.root}_progress.png'))
+        else:
+            print(f'no {args.root}.progress file', file=sys.stderr)
 
     chains, names = load_chains(args.root, args.burn)
     stacked = np.concatenate(chains)

@@ -191,6 +191,25 @@ def append_progress(root: str, n: int, acceptance: float, rminus1: float,
     return path
 
 
+def read_progress(root: str) -> Dict[str, np.ndarray]:
+    """Parse `<root>.progress` (append_progress / cobaya format) into
+    arrays: {'n', 'acceptance', 'rminus1'}. Rows whose R-1 column is 'nan'
+    (too few draws for split-R-hat) parse as np.nan."""
+    path = root if root.endswith('.progress') else root + '.progress'
+    ns, accs, rm1s = [], [], []
+    with open(path) as f:
+        for ln in f:
+            if ln.lstrip().startswith('#') or not ln.strip():
+                continue
+            parts = ln.split()
+            # columns: N date time acceptance Rminus1 Rminus1_cl
+            ns.append(int(parts[0]))
+            accs.append(float(parts[3]))
+            rm1s.append(float(parts[4]))
+    return {'n': np.asarray(ns), 'acceptance': np.asarray(accs),
+            'rminus1': np.asarray(rm1s)}
+
+
 def write_covmat(path: str, names: List[str], cov: np.ndarray) -> None:
     """Write a cobaya-format covmat file: `# name1 name2 ...` header, then
     the matrix. Readable by cobaya's `mcmc: {covmat: ...}`, read_covmat,
