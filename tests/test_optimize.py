@@ -569,6 +569,9 @@ class TestAnalyzeCLI:
         assert 'central 68%' in report and 'log Z' in report
         assert 'Goodness of fit' in report
         assert os.path.isfile(os.path.join(outdir, 'chains.1.txt'))
+        # reproducibility snapshot of the analyzed config
+        saved = yaml.safe_load(open(os.path.join(outdir, 'input.yaml')))
+        assert saved['params'] == BLOCK_4P
         # figures: corner + data-vs-MAP multipoles, referenced from report.md
         assert sorted(os.path.basename(f) for f in out['figures']) == \
             ['corner.png', 'multipoles.png']

@@ -646,6 +646,11 @@ def cmd_analyze(args):
     outdir = args.output or (
         os.path.splitext(os.path.basename(args.config))[0] + '_analysis')
     os.makedirs(outdir, exist_ok=True)
+    # reproducibility snapshot: the config as analyzed (incl. --set
+    # overrides) next to the report — cobaya's <root>.input.yaml role
+    import yaml
+    with open(os.path.join(outdir, 'input.yaml'), 'w') as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
 
     t0 = time.time()
     mres = find_map(bundle, params_block, n_starts=args.starts,
