@@ -338,7 +338,11 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
                 *((np.concatenate([r[j] for r in recs]) for j in range(3))
                   if recs else (None, None, None)),
                 i0=i0)
-        sofar = np.concatenate([r[0] for r in recs]) if recs else None
+        # diagnostics only when a consumer exists: the concatenation grows
+        # with the run and split-R-hat is pure host work per segment
+        need_diag = bool(output) or rhat_stop is not None
+        sofar = np.concatenate([r[0] for r in recs]) \
+            if recs and need_diag else None
         n_rec = 0 if sofar is None else len(sofar)
         rm1 = (float(np.max(diagnostics.split_rhat(sofar) - 1))
                if n_rec >= 4 else float('nan'))
