@@ -1023,6 +1023,41 @@ class TestProgressFile:
         out = plot_chains.progress_plot(root, str(tmp_path / 'prog.png'))
         assert os.path.getsize(out) > 0
 
+    def test_read_progress_parses_real_cobaya_rows(self, tmp_path):
+        """A genuine cobaya .progress row has a SINGLE-token ISO timestamp
+        (one fewer field than append_progress's `date time`); columns must
+        anchor from the row's end or acceptance/R-1 read off by one."""
+        from victor_tpu.sampling.chains import read_progress
+        root = str(tmp_path / 'cob')
+        with open(root + '.progress', 'w') as f:
+            f.write('# N timestamp acceptance_rate Rminus1 Rminus1_cl\n')
+            f.write('120 2024-05-01T12:00:00 0.2340 1.500000 2.100000\n')
+            f.write('240 2024-05-01T12:05:00 0.2710 0.030000 0.080000\n')
+        prog = read_progress(root)
+        np.testing.assert_array_equal(prog['n'], [120, 240])
+        np.testing.assert_allclose(prog['acceptance'], [0.234, 0.271])
+        np.testing.assert_allclose(prog['rminus1'], [1.5, 0.03])
+
+    def test_plot_chains_progress_only_midrun(self, tmp_path, monkeypatch,
+                                              capsys):
+        """Mid-run monitoring: .progress exists but chain .txt files are
+        only exported at run end — --progress must plot and exit cleanly,
+        not crash in load_chains (the exact case the flag targets)."""
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                         'tools'))
+        import plot_chains
+
+        from victor_tpu.sampling.chains import append_progress
+        root = str(tmp_path / 'mid')
+        append_progress(root, 10, 0.25, 0.5, reset=True)
+        monkeypatch.setattr(_sys, 'argv',
+                            ['plot_chains.py', root, '--progress'])
+        plot_chains.main()   # must not raise
+        captured = capsys.readouterr()
+        assert 'progress plot:' in captured.out
+        assert os.path.getsize(root + '_progress.png') > 0
+
 
 class TestCobayaSamplerMappings:
     """cobaya sampler-block migration beyond `mcmc:` (tested above):
@@ -1141,6 +1176,29 @@ class TestCobayaSamplerMappings:
         assert seen['seed'] == 2
         assert seen['covmat_out'] == str(tmp_path / 'o.covmat')
         assert seen['config'] == str(p)
+
+    def test_minimize_with_output_root_writes_side_artifacts(
+            self, boss_config, tmp_path, monkeypatch):
+        """A minimize: run with an output: root must still write the
+        <root>.input.yaml snapshot (the dispatch once returned before the
+        snapshot block) and plumb the root through as the default covmat
+        destination."""
+        import yaml
+
+        import victor_tpu.__main__ as cli
+
+        seen = {}
+        monkeypatch.setattr(cli, 'cmd_fit', lambda a: seen.update(vars(a)))
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'minimize': {'n_starts': 3}}
+        cfg['output'] = str(tmp_path / 'min' / 'map')
+        p = tmp_path / 'min3.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        cli.main(['run', str(p), '--seed', '0'])
+        assert seen['covmat_out'] == str(tmp_path / 'min' / 'map.covmat')
+        saved = yaml.safe_load(open(tmp_path / 'min' / 'map.input.yaml'))
+        assert 'minimize' in saved['sampler']
 
     def test_explicit_sampler_flag_overrides_minimize(self, boss_config,
                                                       tmp_path, monkeypatch,

@@ -127,7 +127,15 @@ def main():
         else:
             print(f'no {args.root}.progress file', file=sys.stderr)
 
-    chains, names = load_chains(args.root, args.burn)
+    try:
+        chains, names = load_chains(args.root, args.burn)
+    except FileNotFoundError as e:
+        # mid-run monitoring: the .progress file exists from the first
+        # segment but chain .txt files only appear at run end — the
+        # progress plot above is the deliverable, not a crash
+        print(f'{e} (chain files are exported at run end; '
+              'progress-only monitoring is fine mid-run)', file=sys.stderr)
+        return
     stacked = np.concatenate(chains)
     w = stacked[:, 0]
     data = stacked[:, 2:]

@@ -156,19 +156,38 @@ def cmd_run(args):
         cm = mc.get('covmat')
         if cm and cm != 'auto':
             sampler.setdefault('covmat', cm)
+    # out_root + the <root>.input.yaml snapshot must precede the minimize
+    # dispatch below: a sampler:{minimize:...} run with an output: root
+    # used to return before this block, silently dropping the side artifact
+    out_root = sampler.get('output', cfg.get('output', args.output))
+    if out_root:
+        # cobaya writes <root>.input.yaml next to the chains; keep that
+        # reproducibility artifact (the config as given, incl. any --set
+        # overrides, before the sampler-block normalisation above)
+        import os
+
+        import yaml
+        parent = os.path.dirname(os.path.abspath(out_root))
+        os.makedirs(parent, exist_ok=True)
+        with open(out_root + '.input.yaml', 'w') as f:
+            yaml.safe_dump(raw_cfg, f, sort_keys=False)
     if 'minimize' in sampler and args.sampler is None:
         # cobaya's `minimize` sampler is its MAP finder: a run config asking
         # for it dispatches to the fit machinery (multi-start Adam + Newton
         # with Laplace errors — sampling/optimize.find_map), so cobaya
         # minimize workflows migrate without rewriting their YAML. An
-        # explicit --sampler flag wins (same precedence as over kind:)
+        # explicit --sampler flag wins (same precedence as over kind:).
+        # An output root plumbs through as the default covmat destination
+        # (cobaya minimize's fit->sample artifact next to the chains)
         mn = sampler.pop('minimize')
         mn = mn if isinstance(mn, dict) else {}
+        covmat_out = mn.get('covmat_out') or (
+            out_root + '.covmat' if out_root else None)
         return cmd_fit(argparse.Namespace(
             config=args.config, set=args.set,
             starts=int(mn.get('n_starts', 32)),
             adam_steps=int(mn.get('adam_steps', 250)),
-            seed=seed, covmat_out=mn.get('covmat_out')))
+            seed=seed, covmat_out=covmat_out))
     if isinstance(sampler.get('polychord'), dict):
         # cobaya's PolyChord wrapper is its nested sampler: map the nesting
         # to `--sampler ns` (sampling/nested.py) with its vocabulary —
@@ -183,18 +202,6 @@ def cmd_run(args):
             sampler.setdefault('dlogz', pc['precision_criterion'])
         if 'num_repeats' in pc:
             sampler.setdefault('n_steps', pc['num_repeats'])
-    out_root = sampler.get('output', cfg.get('output', args.output))
-    if out_root:
-        # cobaya writes <root>.input.yaml next to the chains; keep that
-        # reproducibility artifact (the config as given, incl. any --set
-        # overrides, before the sampler-block normalisation above)
-        import os
-
-        import yaml
-        parent = os.path.dirname(os.path.abspath(out_root))
-        os.makedirs(parent, exist_ok=True)
-        with open(out_root + '.input.yaml', 'w') as f:
-            yaml.safe_dump(raw_cfg, f, sort_keys=False)
     bundle = _build_bundle(cfg)
     kind = args.sampler or sampler.get('kind', 'ensemble')
 

@@ -194,7 +194,12 @@ def append_progress(root: str, n: int, acceptance: float, rminus1: float,
 def read_progress(root: str) -> Dict[str, np.ndarray]:
     """Parse `<root>.progress` (append_progress / cobaya format) into
     arrays: {'n', 'acceptance', 'rminus1'}. Rows whose R-1 column is 'nan'
-    (too few draws for split-R-hat) parse as np.nan."""
+    (too few draws for split-R-hat) parse as np.nan.
+
+    Columns are anchored from the row's END (`... acceptance Rminus1
+    Rminus1_cl`) because the timestamp width differs by convention:
+    append_progress writes `date time` (two tokens) while cobaya writes a
+    single ISO token — fixed-index parsing read cobaya rows off by one."""
     path = root if root.endswith('.progress') else root + '.progress'
     ns, accs, rm1s = [], [], []
     with open(path) as f:
@@ -202,10 +207,10 @@ def read_progress(root: str) -> Dict[str, np.ndarray]:
             if ln.lstrip().startswith('#') or not ln.strip():
                 continue
             parts = ln.split()
-            # columns: N date time acceptance Rminus1 Rminus1_cl
+            # N <timestamp: 1 or 2 tokens> acceptance Rminus1 Rminus1_cl
             ns.append(int(parts[0]))
-            accs.append(float(parts[3]))
-            rm1s.append(float(parts[4]))
+            accs.append(float(parts[-3]))
+            rm1s.append(float(parts[-2]))
     return {'n': np.asarray(ns), 'acceptance': np.asarray(accs),
             'rminus1': np.asarray(rm1s)}
 
