@@ -313,10 +313,14 @@ class TestJointCLI:
 
     @pytest.mark.slow
     def test_run_ensemble(self, joint_yaml, capsys):
+        # explicit --sampler: bare `run` now defaults to the calibrated MH
+        # sampler; the fixture's rhat_stop: 0.0 opts out of the ensemble
+        # loud-nonconvergence exit (4 steps cannot converge)
         import json
         from victor_tpu.__main__ import main
-        main(['run', joint_yaml])
+        main(['run', joint_yaml, '--sampler', 'ensemble'])
         out = json.loads(capsys.readouterr().out)
+        assert out['sampler'] == 'ensemble'
         assert out['n_steps'] >= 4
         assert set(out['summary']) == {'fsigma8', 'beta'}
 

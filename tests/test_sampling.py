@@ -1234,6 +1234,76 @@ class TestCobayaSamplerMappings:
         assert called == {'mcmc': True}
         assert json.loads(capsys.readouterr().out)['n_steps'] == 3
 
+    def test_bare_run_defaults_to_mh(self, boss_config, tmp_path,
+                                     monkeypatch, capsys):
+        """Bare `run` (no --sampler, no sampler.kind) must dispatch the
+        calibrated MH sampler — the reference's cobaya-mcmc algorithm
+        class — NOT the experimental ensemble sampler (the round-1..3
+        default, measured unconverged at its default budget)."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+
+        def fake(bundle, params_block, **kw):
+            seen.update(kw)
+            return types.SimpleNamespace(
+                n_steps=3, acceptance=0.3, elapsed_s=0.1,
+                summary=lambda burn_in=None: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_hmc_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        p = tmp_path / 'bare.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--seed', '0'])
+        assert seen['algorithm'] == 'mh'
+        assert json.loads(capsys.readouterr().out)['sampler'] == 'mh'
+
+    def test_unconverged_ensemble_exits_nonzero(self, boss_config, tmp_path,
+                                                monkeypatch, capsys):
+        """An explicit --sampler ensemble run that ends above rhat_stop
+        must exit nonzero (the ensemble sampler has no calibration row; an
+        unconverged run must not look like a result). rhat_stop: 0 opts
+        out (the run-exactly-max_steps idiom)."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        def fake(bundle, params_block, **kw):
+            return types.SimpleNamespace(
+                n_steps=40, acceptance=0.3, elapsed_s=0.1,
+                rhat=np.asarray([1.2, 1.05]),
+                summary=lambda: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        p = tmp_path / 'ens.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(SystemExit) as ei:
+            main(['run', str(p), '--sampler', 'ensemble', '--seed', '0'])
+        assert 'did NOT converge' in str(ei.value)
+        out = json.loads(capsys.readouterr().out)
+        assert out['converged'] is False
+        assert out['max_rminus1'] == 0.2
+        # explicit opt-out: rhat_stop 0 runs to completion, exit 0
+        cfg['sampler'] = {'rhat_stop': 0.0}
+        p2 = tmp_path / 'ens0.yaml'
+        p2.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p2), '--sampler', 'ensemble', '--seed', '0'])
+        out = json.loads(capsys.readouterr().out)
+        assert out['converged'] is False   # still reported truthfully
+
 
 class TestProposalSeeding:
     """cobaya's proposal-covariance workflow: per-param `proposal:` widths

@@ -98,3 +98,27 @@ class TestProfiling:
             jax.jit(lambda x: x / 0.0 * 0.0)(jnp.asarray(0.0))
         debug_nans(False)
         assert bool(jnp.isnan(jax.jit(lambda x: x / 0.0 * 0.0)(jnp.asarray(0.0))))
+
+
+@pytest.mark.slow
+def test_distributed_init_two_process_probe():
+    """The multi-process branch of distributed_init
+    (jax.distributed.initialize) must actually execute: two CPU-backend
+    processes on a 127.0.0.1 coordinator run the sharded BOSS likelihood
+    (each process's addressable shard matches single-process values) and a
+    cross-process Gelman-Rubin reduction (real gloo collectives) — the
+    reference's `mpirun -n N cobaya-run` analogue
+    (tools/distributed_probe.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.join(os.path.dirname(__file__), '..')
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'distributed_probe.py'),
+         '--timeout', '800'],
+        capture_output=True, text=True, timeout=900, cwd=repo)
+    assert out.returncode == 0, out.stdout + out.stderr
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary == {'check': 'distributed_init_two_process',
+                       'ok': True, 'n_processes': 2}

@@ -203,7 +203,13 @@ def cmd_run(args):
         if 'num_repeats' in pc:
             sampler.setdefault('n_steps', pc['num_repeats'])
     bundle = _build_bundle(cfg)
-    kind = args.sampler or sampler.get('kind', 'ensemble')
+    # default sampler: adaptive random-walk Metropolis — the reference's
+    # own algorithm class (cobaya mcmc, config/boss_cobaya_config.yaml:44)
+    # and coverage-calibrated (BASELINE.md round 3). The ensemble sampler
+    # was the round-1..3 default but measured R-1 ~ 0.05 at its default
+    # step budget on the flagship config — a bare `run` must land on a
+    # calibrated path, not an experimental one.
+    kind = args.sampler or sampler.get('kind', 'mh')
 
     if kind == 'smc':
         import os
@@ -341,6 +347,7 @@ def cmd_run(args):
              'elapsed_s': round(result.elapsed_s, 2),
              'summary': result.summary(burn_in=0)}), indent=2))
         return
+    import numpy as np
     n_walkers = int(sampler.get('n_walkers', args.walkers))
     # same auto-mesh policy as the hmc/smc/ns paths: divisibility fallback
     # AND the virtual-CPU-device refusal (the stretch move's cross-half
@@ -361,11 +368,27 @@ def cmd_run(args):
         output=out_root,
         checkpoint=sampler.get('checkpoint', args.checkpoint),
         resume=args.resume)
+    ens_rhat_stop = float(sampler.get('rhat_stop', 0.01))
+    max_rm1 = (float(np.max(result.rhat - 1))
+               if np.all(np.isfinite(result.rhat)) else float('inf'))
     print(json.dumps(_json_sanitize(
-        {'n_steps': result.n_steps,
+        {'sampler': 'ensemble',
+         'n_steps': result.n_steps,
          'acceptance': round(result.acceptance, 3),
+         'max_rminus1': round(max_rm1, 4) if np.isfinite(max_rm1) else None,
+         'converged': bool(max_rm1 < ens_rhat_stop),
          'elapsed_s': round(result.elapsed_s, 2),
          'summary': result.summary()}), indent=2))
+    if ens_rhat_stop > 0 and not max_rm1 < ens_rhat_stop:
+        # the ensemble sampler has no coverage/SBC calibration row — an
+        # unconverged run must not exit 0 and look like a result. An
+        # explicit rhat_stop <= 0 opts out (the "run exactly max_steps"
+        # idiom); the printed `converged` field still reports the truth
+        sys.exit(f'ensemble sampler did NOT converge (max R-1 = '
+                 f'{max_rm1:.3g} >= {ens_rhat_stop:g} after '
+                 f'{result.n_steps} steps). Raise sampler.max_steps / '
+                 f'n_walkers, or use a calibrated sampler '
+                 f'(--sampler mh/hmc/smc/ns — mh is the default).')
 
 
 def _reference_point(space):
@@ -1102,7 +1125,12 @@ def main(argv=None):
     pr.add_argument('--max-steps', type=int, default=2000)
     pr.add_argument('--sampler',
                     choices=['ensemble', 'hmc', 'nuts', 'mh', 'smc', 'ns'],
-                    default=None)
+                    default=None,
+                    help='default mh (adaptive random-walk Metropolis — '
+                         'the reference/cobaya algorithm class, coverage-'
+                         'calibrated). hmc/nuts/smc/ns are also calibrated; '
+                         'ensemble is EXPERIMENTAL (no calibration row) and '
+                         'exits nonzero if unconverged')
     pr.add_argument('--particles', type=int, default=2048,
                     help='SMC particle count (sampler=smc)')
     pr.add_argument('--moves', type=int, default=5,
