@@ -25,8 +25,11 @@ def theta_batch(ref_fixtures):
 
 
 def test_batched_matches_scalar(bundle, theta_batch, ref_fixtures):
+    # reference-parity check: pin the exact evaluation (gradient_free=False
+    # resolves the 'auto' perf modes to 'exact'); the fast default is
+    # pinned separately by test_batched_default_resolves_fast
     scalar = make_loglike(bundle, NAMES)
-    batched = make_batched_loglike(bundle, NAMES)
+    batched = make_batched_loglike(bundle, NAMES, gradient_free=False)
     lnl_b, chi2_b = batched(theta_batch)
     for i in range(theta_batch.shape[0]):
         lnl_s, chi2_s = scalar(theta_batch[i])
@@ -48,6 +51,72 @@ def test_sharded_matches_batched(bundle, theta_batch):
     lnl_b, chi2_b = batched(theta_batch)
     np.testing.assert_allclose(np.asarray(lnl_s), np.asarray(lnl_b), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(chi2_s), np.asarray(chi2_b), rtol=1e-12)
+
+
+def test_batched_default_resolves_fast(bundle, theta_batch):
+    """The throughput surface defaults gradient-free: 'auto' perf modes
+    resolve to the posterior-validated fast modes — bit-identical to an
+    explicit streaming_eval='fast', and measurably different from (but
+    close to) the exact path (config.resolve_perf_mode policy)."""
+    default = make_batched_loglike(bundle, NAMES)
+    explicit_fast = make_batched_loglike(
+        bundle, NAMES, opts_kw={'streaming_eval': 'fast',
+                                'dispersion_final': 'fast'})
+    exact = make_batched_loglike(bundle, NAMES, gradient_free=False)
+    lnl_d = np.asarray(default(theta_batch)[0])
+    lnl_f = np.asarray(explicit_fast(theta_batch)[0])
+    lnl_e = np.asarray(exact(theta_batch)[0])
+    np.testing.assert_array_equal(lnl_d, lnl_f)
+    assert not np.array_equal(lnl_d, lnl_e)          # fast really ran
+    np.testing.assert_allclose(lnl_d, lnl_e, rtol=1e-3)   # and is close
+
+
+def test_resolve_perf_mode_policy():
+    """'auto' -> fast on gradient-free paths, exact on AD paths; explicit
+    values always win; resolve_target carries the resolution into its
+    cache key so fast/exact consumers never share compiled functions."""
+    from victor_tpu.config import TheoryOptions, resolve_perf_mode
+    auto = TheoryOptions()
+    assert auto.streaming_eval == 'auto'
+    assert auto.dispersion_final == 'auto'
+    fast = resolve_perf_mode(auto, gradient_free=True)
+    assert (fast.streaming_eval, fast.dispersion_final) == ('fast', 'fast')
+    exact = resolve_perf_mode(auto, gradient_free=False)
+    assert (exact.streaming_eval, exact.dispersion_final) == \
+        ('exact', 'exact')
+    pinned = TheoryOptions(streaming_eval='exact', dispersion_final='fused')
+    out = resolve_perf_mode(pinned, gradient_free=True)
+    assert (out.streaming_eval, out.dispersion_final) == ('exact', 'fused')
+
+
+def test_resolve_target_gradient_free_cache_keys(bundle):
+    from victor_tpu.sampling.targets import resolve_target
+    _, _, cid_free = resolve_target(bundle, None, None, gradient_free=True)
+    _, _, cid_grad = resolve_target(bundle, None, None, gradient_free=False)
+    assert cid_free != cid_grad
+    assert cid_free[1].streaming_eval == 'fast'
+    assert cid_grad[1].streaming_eval == 'exact'
+    # explicit override wins regardless of the path
+    _, _, cid_pin = resolve_target(bundle, {'streaming_eval': 'exact'},
+                                   None, gradient_free=True)
+    assert cid_pin[1].streaming_eval == 'exact'
+
+
+def test_resolve_perf_kw_joint_policy():
+    """Joint fits resolve in kw space: inject only when the caller didn't
+    override AND every member is 'auto' (a mixed explicit/auto membership
+    is honored as-is — injection would override the explicit members)."""
+    from victor_tpu.config import TheoryOptions
+    from victor_tpu.sampling.targets import resolve_perf_kw
+    auto, pinned = TheoryOptions(), TheoryOptions(streaming_eval='exact')
+    kw = resolve_perf_kw([auto, auto], None, gradient_free=True)
+    assert kw == {'streaming_eval': 'fast', 'dispersion_final': 'fast'}
+    kw = resolve_perf_kw([auto, auto], {'streaming_eval': 'exact'},
+                         gradient_free=True)
+    assert kw['streaming_eval'] == 'exact'
+    assert kw['dispersion_final'] == 'fast'
+    kw = resolve_perf_kw([auto, pinned], None, gradient_free=True)
+    assert kw is None or 'streaming_eval' not in kw
 
 
 def test_base_params_override(bundle):

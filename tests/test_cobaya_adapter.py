@@ -7,7 +7,36 @@ relies on but which isn't covered there — merging the adjacent
 injection, evaluating string `value: "lambda ..."` derived parameters, and
 the `config_file` route (reference behavior: victor/likelihoods/
 CCFLikelihood.py:8-27 + CCFLikelihood.yaml:1-40). cobaya itself is not
-installable in this environment, so a faithful interface double stands in.
+installable in this environment, so a versioned interface double stands in.
+
+CONTRACT VERSION: the double is frozen against **cobaya 3.5** (the release
+current at the reference's publication; component API documented at
+https://cobaya.readthedocs.io/en/latest/theories_and_dependencies.html and
+.../likelihoods.html). The pieces reproduced, in cobaya-3.5 terms:
+
+  * component construction: the adjacent `<ClassName>.yaml` class defaults
+    are merged UNDER the input info, the merged non-`params` keys are
+    injected as instance attributes, then `initialize()` runs
+    (`cobaya.component.CobayaComponent.__init__` + `HasDefaults`);
+  * `Theory.get_requirements()` defaults to "no requirements" — this
+    adapter is self-contained (it computes its own theory), so it must NOT
+    shadow that default with actual requirements;
+  * `Likelihood.calculate(state, want_derived, **params)` fills
+    `state['logp']` and `state['derived']` (the adapter overrides
+    `calculate` wholesale, exactly as the reference adapter does —
+    victor/likelihoods/CCFLikelihood.py:32-42 — rather than the simpler
+    `logp()` hook whose base-class `calculate` would call it);
+  * `get_can_provide_params()` lists providable derived parameters;
+    cobaya's dependency resolution trusts it, so everything listed must
+    actually appear in `state['derived']` (test below);
+  * derived params declared in the params block as string
+    `value: "lambda ..."` are evaluated by cobaya itself.
+
+If the adapter is ever run under a NEWER cobaya whose component API
+changed, re-freeze: update this docstring's version, extend the double,
+and re-run this file. The double deliberately implements the base-class
+defaults (get_requirements) so a test failure here means the ADAPTER
+drifted from the 3.5 contract, not folklore about it.
 """
 
 import importlib
@@ -21,13 +50,26 @@ import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+COBAYA_CONTRACT_VERSION = '3.5'
+
 
 def _install_double(monkeypatch):
     cobaya = types.ModuleType('cobaya')
+    cobaya.__version__ = COBAYA_CONTRACT_VERSION
     lik = types.ModuleType('cobaya.likelihood')
 
-    class Likelihood:   # attribute-bag contract the adapter subclasses
-        pass
+    class Likelihood:
+        """Attribute-bag contract the adapter subclasses, with the cobaya-3.5
+        base-class defaults the adapter is expected to inherit (NOT shadow)."""
+
+        def get_requirements(self):
+            # cobaya.theory.Theory.get_requirements default: no requirements
+            return {}
+
+        def calculate(self, state, want_derived=True, **params_values):
+            # cobaya.likelihood.Likelihood.calculate default delegates to
+            # logp(); the adapter overrides calculate wholesale instead
+            state['logp'] = self.logp(**params_values)
 
     lik.Likelihood = Likelihood
     cobaya.likelihood = lik
@@ -122,3 +164,25 @@ def test_config_file_route(double, tmp_path):
     state = {}
     obj.calculate(state, want_derived=True, **GOLDEN)
     assert state['logp'] == pytest.approx(284.76, abs=0.05)
+
+
+def test_contract_requirements_and_provides(double):
+    """cobaya-3.5 contract details beyond calculate():
+
+    * the adapter must inherit the base get_requirements() no-requirements
+      default (it is self-contained — declaring requirements would make
+      cobaya look for a theory provider);
+    * every name listed by get_can_provide_params() must actually appear in
+      state['derived'] after calculate(want_derived=True) — cobaya's
+      dependency resolution trusts the advertisement."""
+    cfg = _boss_info()
+    obj, _ = _build_component({'model': cfg['model'], 'data': cfg['data']})
+    assert obj.get_requirements() == {}
+    assert type(obj).get_requirements is not None
+    assert 'get_requirements' not in type(obj).__dict__  # inherited, not shadowed
+    provides = obj.get_can_provide_params()
+    assert provides == ['chi2_ccf_correct']   # template run: no fsigma8
+    state = {}
+    obj.calculate(state, want_derived=True, **GOLDEN)
+    for name in provides:
+        assert name in state['derived'], (name, state['derived'])

@@ -32,8 +32,11 @@ from victor_tpu.likelihood import core as lk  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-N_FAST = 6      # seeds run in the default suite
-N_SLOW = 24     # additional seeds under --runslow
+N_FAST = 9      # seeds run in the default suite (9 not 6: seed 8 is the
+                # only early euclid_special draw, and the default tier must
+                # cover every rsd model + the from_data / likelihood-interp
+                # / linear_bias axes — test_default_tier_covers_named_axes)
+N_SLOW = 21     # additional seeds under --runslow
 
 
 def _smooth(rng, x, amp, order=3):
@@ -56,6 +59,10 @@ def _fuzz_scenario(rng):
         'integrated': bool(rng.random() < 0.25),
         # single fixed covariance matrix instead of the beta grid
         'fixed_cov': bool(rng.random() < 0.25),
+        # real-space CCF measured from the data, not a template: inverse-AP
+        # coordinate shifts apply at evaluation (victor/ccf_model.py:72-77,
+        # 673-679) — crossed against every other axis here
+        'from_data': bool(rng.random() < 0.25),
         # savgol radial filter of the dispersion template: reference default
         # (window 3, order 1), disabled, or window 5 / order 2
         'filter_variant': str(rng.choice(['default', 'off', 'w5o2'])),
@@ -168,6 +175,8 @@ def _random_config(rng, sc, model_file, data_file, cov_file):
                      'format': 'multipoles',
                      'ccf_keys': ['r', 'monopole', 'quadrupole'],
                      'assume_isotropic': bool(rng.integers(0, 2))}
+    if sc['from_data']:
+        realspace['from_data'] = True
     dispersion = {'model': 'template',
                   'template_keys': (['rsv', 'musv', 'sigmav2d']
                                     if sc['aniso_sv'] else ['rsv', 'sigmav'])}
@@ -264,3 +273,36 @@ def test_fuzz_parity(seed, tmp_path):
 @pytest.mark.parametrize('seed', range(N_FAST, N_FAST + N_SLOW))
 def test_fuzz_parity_extended(seed, tmp_path):
     _run_case(seed, tmp_path)
+
+
+def test_default_tier_covers_named_axes(tmp_path):
+    """The default-tier seeds must COLLECTIVELY draw every named scenario
+    axis — the from_data inverse-AP shift, beta_interpolation='likelihood',
+    the linear_bias matter model, every rsd model, every likelihood form,
+    anisotropic sigma_v, and the fixed covariance — so an interaction bug
+    on any axis cannot hide behind an unlucky seed shuffle (this replays
+    the exact rng streams _run_case consumes)."""
+    seen = {'from_data': 0, 'likelihood_interp': 0, 'linear_bias': 0,
+            'aniso_sv': 0, 'fixed_cov': 0, 'rmu_model': 0}
+    rsds, forms = set(), set()
+    for seed in range(N_FAST):
+        d = tmp_path / str(seed)
+        d.mkdir()
+        rng = np.random.default_rng(seed)
+        sc = _fuzz_scenario(rng)
+        files = _perturbed_files(rng, d, sc)
+        model, data, params = _random_config(rng, sc, *files)
+        seen['from_data'] += model['realspace_ccf'].get('from_data', False)
+        seen['likelihood_interp'] += \
+            data['beta_interpolation'] == 'likelihood'
+        seen['linear_bias'] += model['matter_ccf']['model'] == 'linear_bias'
+        seen['aniso_sv'] += sc['aniso_sv']
+        seen['fixed_cov'] += sc['fixed_cov']
+        seen['rmu_model'] += sc['rmu_model']
+        rsds.add(model['rsd_model'])
+        forms.add(data['likelihood']['form'])
+    missing = [k for k, v in seen.items() if v == 0]
+    assert not missing, f'default fuzz tier never draws: {missing} ({seen})'
+    assert rsds == {'streaming', 'dispersion', 'kaiser', 'euclid_special'}, \
+        rsds
+    assert len(forms) >= 3, forms

@@ -118,13 +118,28 @@ class TestJointFit:
         jb = build_joint_tables(joint_cfg)
         lnl, chi2 = joint_log_likelihood(jb, jp(PARAMS))
         assert np.isfinite(float(lnl))
+        # exactness pin vs the direct (exact) call: resolve 'auto' to exact
         batched = make_batched_joint_loglike(
             jb, ['fsigma8', 'beta'],
-            base_params={'sigma_v': 380.0, 'epsilon': 1.0})
+            base_params={'sigma_v': 380.0, 'epsilon': 1.0},
+            gradient_free=False)
         theta = jnp.asarray([[0.47, 0.37], [0.5, 0.4]])
         lnl_b, chi2_b = batched(theta)
         np.testing.assert_allclose(float(lnl_b[0]), float(lnl), rtol=1e-10)
         assert lnl_b.shape == (2,)
+        # the default (gradient-free) maker resolves fast: bit-identical to
+        # explicit fast, close to (but not equal to) exact
+        fast_d = make_batched_joint_loglike(
+            jb, ['fsigma8', 'beta'],
+            base_params={'sigma_v': 380.0, 'epsilon': 1.0})
+        fast_e = make_batched_joint_loglike(
+            jb, ['fsigma8', 'beta'],
+            base_params={'sigma_v': 380.0, 'epsilon': 1.0},
+            opts_kw={'streaming_eval': 'fast', 'dispersion_final': 'fast'})
+        lnl_d = np.asarray(fast_d(theta)[0])
+        np.testing.assert_array_equal(lnl_d, np.asarray(fast_e(theta)[0]))
+        assert not np.array_equal(lnl_d, np.asarray(lnl_b))
+        np.testing.assert_allclose(lnl_d, np.asarray(lnl_b), rtol=1e-3)
 
     def test_three_quantile_equicorrelated_analytic(self, joint_cfg,
                                                     tmp_path_factory,

@@ -788,14 +788,24 @@ class TestMH:
         lo, hi = res.space.bounds()
         assert np.all(res.chain >= lo) and np.all(res.chain <= hi)
         # recorded log_prob is the THETA-space posterior (parity with the
-        # HMC/SMC exports, see test_hmc_on_boss)
+        # HMC/SMC exports, see test_hmc_on_boss). MH is gradient-free, so
+        # it samples the FAST-resolved likelihood ('auto' perf modes) —
+        # re-evaluate through the same resolution, and pin that the exact
+        # value differs only by the validated fast-mode drift
         from victor_tpu.likelihood.core import log_likelihood
+        from victor_tpu.sampling.targets import resolve_target
         theta = jnp.asarray(res.chain[0, 0])
         params = res.space.full_params(theta)
-        lnl, _ = log_likelihood(bundle.tables, bundle.spec,
-                                bundle.theory_opts, bundle.fit_opts, params)
-        expect = float(lnl) + float(res.space.log_prior(theta))
-        np.testing.assert_allclose(res.log_prob[0, 0], expect, rtol=1e-5)
+        tbl, loglike_fast, _ = resolve_target(bundle, None, None,
+                                              gradient_free=True)
+        lnl_fast = loglike_fast(tbl, params)[0]
+        expect = float(lnl_fast) + float(res.space.log_prior(theta))
+        np.testing.assert_allclose(res.log_prob[0, 0], expect, rtol=1e-10)
+        lnl_exact, _ = log_likelihood(bundle.tables, bundle.spec,
+                                      bundle.theory_opts, bundle.fit_opts,
+                                      params)
+        np.testing.assert_allclose(float(lnl_exact), float(lnl_fast),
+                                   rtol=1e-4)
 
     @pytest.mark.slow  # the checkpoint format is HMC's (default-tested) and
     # the staged schedule is pinned by test_mh_segments_bitexact_vs_monolithic

@@ -236,4 +236,13 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    # same silent-tunnel-stall watchdog + fresh-process retry as bench.py
+    # (a stall can hit ANY probe — VICTOR_BENCH_WATCHDOG / _ATTEMPTS)
+    from victor_tpu.utils.watchdog import run_with_retry
+
+    def _giveup(reason):
+        print(json.dumps({'metric': 'likelihood_evals_per_sec[variants]',
+                          'value': 0.0, 'unit': 'evals/s',
+                          'vs_baseline': 0.0, 'error': reason}), flush=True)
+
+    run_with_retry(main, 'bench_variants.py', on_giveup=_giveup)

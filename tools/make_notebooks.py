@@ -281,6 +281,73 @@ show(esm_fit, 'excursion_set matter + linear velocity', esm_p)
 show(esm_fit, 'excursion_set + nonlinear velocity (intended impl)',
      esm_p, mean_model='nonlinear')''')
 
+    md('## Reproducing Hamaus et al. (2020) Figure 5\n\n'
+       'The reference notebook (`model_options_demo.ipynb` cells 22-24) '
+       'reproduces the "approximate Kaiser" curves of Figure 5 of '
+       '[Hamaus et al. 2020](https://arxiv.org/abs/2007.07895) from the '
+       'example void model (distances in units of the void radius $R_v$), '
+       'using the reported best-fit values $\\beta=0.347$, '
+       '$\\epsilon=1.0058$, $\\mathcal{M}=1.138$, $\\mathcal{Q}=1.22$ with '
+       '`matter_model: linear_bias` — the only *external* cross-check in '
+       'the reference.\n\n'
+       'One reproduction note: the stored reference output predates the '
+       'current reference code, under which this beta-only call raises '
+       '`KeyError: fsigma8` (`velocity_terms` at ccf_model.py:432 divides '
+       '`fsigma8` by `template_sigma8` whenever `from_data` is False). The '
+       'equivalent computation passes `fsigma8 = beta * bias * '
+       'template_sigma8`, which makes the growth term exactly '
+       '$\\beta\\,b$ — the published parameterisation. With that, '
+       'victor_tpu matches the reference code float-for-float on all '
+       'three Kaiser variants (max|diff| ~ 4e-16 in f64; pinned by '
+       '`tests/test_option_parity.py::test_hamaus_fig5_reproduction`).')
+    code('''\
+import copy
+with open('configs/example_model_input.yaml') as f:
+    ex_model = yaml.safe_load(f)['model']
+ex_model['dir'] = os.getcwd()
+ex_model['matter_ccf']['model'] = 'linear_bias'
+bias, s8t = (ex_model['matter_ccf']['bias'],
+             ex_model['matter_ccf']['template_sigma8'])
+
+from victor_tpu import CCFModel
+ex = CCFModel(ex_model)
+hamaus = {'beta': 0.347, 'epsilon': 1.0058, 'M': 1.138, 'Q': 1.22,
+          'fsigma8': 0.347 * bias * s8t}   # growth term = beta * b exactly
+variants = [
+    ('full Kaiser', {}),
+    ('approx Kaiser', {'kaiser_approximation': True}),
+    ('approx Kaiser + approx coords',
+     {'kaiser_approximation': True, 'kaiser_coord_shift': False}),
+]
+s = np.linspace(0.01, 3, 100)
+fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+for label, opts in variants:
+    m = ex.theory_multipoles(s, dict(hamaus), poles=(0, 2, 4),
+                             rsd_model='kaiser', **opts)
+    for ax, ell in zip(axes, ('0', '2', '4')):
+        ax.plot(s, m[ell], label=label)
+for ax, name in zip(axes, ['Monopole $\\\\xi^s_0$',
+                           'Quadrupole $\\\\xi^s_2$',
+                           'Hexadecapole $\\\\xi^s_4$']):
+    ax.set_xlabel('$s/R_v$'); ax.set_ylabel(name); ax.grid()
+axes[0].legend(loc='lower right'); axes[1].legend(loc='upper right')
+axes[2].legend(loc='upper right')
+plt.tight_layout(w_pad=3)
+q05 = {label: float(np.interp(0.5, s,
+           np.asarray(ex.theory_multipoles(s, dict(hamaus), poles=(2,),
+                      rsd_model='kaiser', **opts)['2'])))
+       for label, opts in variants}
+print('quadrupole at s = 0.5 R_v:', {k: round(v, 4) for k, v in q05.items()})''')
+    md('The discriminator is the quadrupole at $s\\sim0.5R_v$: only '
+       '"approx Kaiser + approx coords" is **positive** there '
+       '(+0.039, vs -0.009 approx / -0.026 full), matching the published '
+       'Figure 5 — which is how the reference notebook concludes that '
+       'Hamaus et al. did not apply the full coordinate shift (their '
+       'Eq. 3.8 as written), and that the approximation itself is poor. '
+       'victor_tpu reproduces both the curves and the conclusion; '
+       '`kaiser_coord_shift: False` exists precisely to match such '
+       'previous-paper results.')
+
     md('Every option above is pinned against the executed reference code '
        'by the test suite (`tests/test_golden.py`, '
        '`tests/test_option_parity.py`); see PARITY.md for the map.')

@@ -40,26 +40,32 @@ class TheoryOptions:
     # see models/ccf_theory.py); 'exact' reproduces the reference float-
     # for-float and is used by the parity test suite
     dispersion_interior: str = 'chebyshev'
-    # streaming-model evaluation: 'exact' (default) or 'fast' (opt-in:
-    # degree-48 Chebyshev compressions of the v_r spline and the
-    # mu-independent sigma_v template — the technique validated for the
-    # dispersion final stage; bounds + posterior validation in BASELINE.md).
+    # streaming-model evaluation: 'auto' (default — resolves to 'fast' on
+    # gradient-free paths and 'exact' on AD paths, see resolve_perf_mode),
+    # 'exact', or 'fast' (degree-48 Chebyshev compressions of the v_r
+    # spline and the mu-independent sigma_v template — the technique
+    # validated for the dispersion final stage; bounds + posterior
+    # validation in BASELINE.md: all posterior shifts <= 0.026 sigma).
     # 'fast' is a FORWARD-path optimization (batched likelihood / SMC /
     # quadrature: 1.36x template, 1.29x ESM — also posterior-validated
     # composed with the excursion-set matter model, BASELINE.md round 3):
     # under reverse-mode AD the Clenshaw recurrence's sequential transpose
     # makes HMC 1.55x SLOWER than exact (measured, BASELINE.md round 3) —
-    # keep 'exact' for HMC/NUTS
-    streaming_eval: str = 'exact'
+    # which is why 'auto' keeps 'exact' for HMC/NUTS/MAP. An unresolved
+    # 'auto' reaching the theory layer evaluates as 'exact' (the fast
+    # branches test == 'fast'), so direct log_likelihood/theory calls —
+    # eval, goldens, parity tests — are exact unless opted in.
+    streaming_eval: str = 'auto'
     # final stage of the dispersion solve (the last Picard update and the
-    # jacobian's v_r/dv_r evaluations): 'exact' (default — three exact
-    # spline passes, reference semantics), 'fast' (opt-in throughput mode:
-    # reuses the final update's exact v_r for the jacobian — error of the
-    # order of the fixed-point convergence error itself — and a Chebyshev-
-    # compressed dv_r; validated at the posterior level, BASELINE.md), or
-    # 'fused' (exact algorithm in one VMEM-resident Pallas kernel — kept as
-    # a measured experiment, see models/ccf_theory.py)
-    dispersion_final: str = 'exact'
+    # jacobian's v_r/dv_r evaluations): 'auto' (default — same resolution
+    # rule as streaming_eval), 'exact' (three exact spline passes,
+    # reference semantics), 'fast' (reuses the final update's exact v_r for
+    # the jacobian — error of the order of the fixed-point convergence
+    # error itself — and a Chebyshev-compressed dv_r; validated at the
+    # posterior level, BASELINE.md), or 'fused' (exact algorithm in one
+    # VMEM-resident Pallas kernel — kept as a measured experiment, see
+    # models/ccf_theory.py)
+    dispersion_final: str = 'auto'
 
     def __post_init__(self):
         # the perf-mode strings select silently-diverging code paths in
@@ -69,8 +75,8 @@ class TheoryOptions:
         # the reference's own error messages
         for field, allowed in (
                 ('dispersion_interior', ('chebyshev', 'exact')),
-                ('dispersion_final', ('exact', 'fast', 'fused')),
-                ('streaming_eval', ('exact', 'fast')),
+                ('dispersion_final', ('auto', 'exact', 'fast', 'fused')),
+                ('streaming_eval', ('auto', 'exact', 'fast')),
                 # the reference parses velocity_pdf.form but never reads it
                 # (ccf_model.py:94 is its only occurrence) — the gaussian
                 # PDF is hard-coded in both codebases, so any other value
@@ -113,6 +119,45 @@ class TableSpec:
     n_v: int = 50
 
 
+PERF_MODE_FIELDS = ('streaming_eval', 'dispersion_final')
+
+
+def resolve_perf_mode(opts: TheoryOptions, gradient_free: bool
+                      ) -> TheoryOptions:
+    """Resolve 'auto' perf modes for a concrete evaluation path.
+
+    Gradient-free paths (batched likelihood, SMC, NS, MH, ensemble) get the
+    posterior-validated 'fast' modes — all validated shifts <= 0.026 sigma
+    (BASELINE.md round 3) — because they only ever evaluate the forward
+    pass. AD paths (HMC, NUTS, MAP, Fisher) get 'exact': the Chebyshev
+    compressions are forward-path optimizations whose reverse-mode
+    transpose is measurably slower than exact (BASELINE.md round 3).
+    Explicit 'exact'/'fast'/'fused' values are always honored — config
+    `streaming_eval: exact` / `dispersion_final: exact` is the opt-out.
+
+    Logged once per distinct resolution at trace-build time so a run's
+    mode is visible in its logs.
+    """
+    target = 'fast' if gradient_free else 'exact'
+    updates = {f: target for f in PERF_MODE_FIELDS
+               if getattr(opts, f) == 'auto'}
+    if not updates:
+        return opts
+    if target == 'fast':
+        import logging
+        key = (opts.rsd_model, tuple(sorted(updates)))
+        if key not in _PERF_MODE_LOGGED:
+            _PERF_MODE_LOGGED.add(key)
+            logging.getLogger('victor_tpu.config').info(
+                'gradient-free path: %s resolved to the posterior-validated '
+                "fast mode (opt out with explicit 'exact' in the model "
+                'config)', '/'.join(sorted(updates)))
+    return opts.replace(**updates)
+
+
+_PERF_MODE_LOGGED: set = set()
+
+
 def theory_options_from_config(model: dict) -> TheoryOptions:
     """Build TheoryOptions from a reference-schema `model:` dict."""
     matter = model.get('matter_ccf', {})
@@ -131,8 +176,8 @@ def theory_options_from_config(model: dict) -> TheoryOptions:
             'rescale_templates_independent_of_AP', True),
         niter=model.get('niter', 5),
         dispersion_interior=model.get('dispersion_interior', 'chebyshev'),
-        dispersion_final=model.get('dispersion_final', 'exact'),
-        streaming_eval=model.get('streaming_eval', 'exact'),
+        dispersion_final=model.get('dispersion_final', 'auto'),
+        streaming_eval=model.get('streaming_eval', 'auto'),
     )
 
 

@@ -93,15 +93,24 @@ def make_batched_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
                          base_params: Optional[Dict] = None,
                          opts_kw: Optional[Dict] = None,
                          fit_kw: Optional[Dict] = None,
-                         jit: bool = True, chunk: Optional[int] = None):
+                         jit: bool = True, chunk: Optional[int] = None,
+                         gradient_free: bool = True):
     """Jitted batched log-likelihood: theta (N, P) -> ((N,), (N,)).
 
     The whole theory pipeline (splines, velocity integral, multipole
     projection, covariance solve) is vmapped, so a single dispatch evaluates
     the full batch as large fused tensor ops on the MXU. `chunk` bounds peak
     memory for large batches (see `chunked_vmap`); None vmaps the whole batch.
+
+    This is the throughput surface (bench, quadrature, coverage), so
+    `gradient_free=True` by default: 'auto' perf modes resolve to the
+    posterior-validated fast modes (config.resolve_perf_mode). Pass
+    gradient_free=False (or explicit opts_kw) before differentiating
+    through the returned function.
     """
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    from ..config import resolve_perf_mode
+    opts = resolve_perf_mode(bundle.theory_opts.replace(**(opts_kw or {})),
+                             gradient_free)
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     tables, spec = bundle.tables, bundle.spec
     names = tuple(param_names)
@@ -130,7 +139,8 @@ def make_sharded_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
                          mesh: jax.sharding.Mesh, axis: str = 'walkers',
                          base_params: Optional[Dict] = None,
                          opts_kw: Optional[Dict] = None,
-                         fit_kw: Optional[Dict] = None):
+                         fit_kw: Optional[Dict] = None,
+                         gradient_free: bool = True):
     """Batched log-likelihood sharded over a device mesh axis.
 
     Tables are replicated (a few MB); the parameter batch is sharded along
@@ -140,7 +150,9 @@ def make_sharded_loglike(bundle: CCFModelBundle, param_names: Sequence[str],
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    from ..config import resolve_perf_mode
+    opts = resolve_perf_mode(bundle.theory_opts.replace(**(opts_kw or {})),
+                             gradient_free)
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     tables, spec = bundle.tables, bundle.spec
     names = tuple(param_names)

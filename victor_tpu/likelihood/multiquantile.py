@@ -251,15 +251,23 @@ def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
                                base_params: Optional[Dict] = None,
                                opts_kw: Optional[Dict] = None,
                                fit_kw: Optional[Dict] = None,
-                               chunk: Optional[int] = None):
+                               chunk: Optional[int] = None,
+                               gradient_free: bool = True):
     """Jitted vmapped joint likelihood: theta (N, P) -> ((N,), (N,)).
 
     Table pytrees are jit arguments (never closure constants). `chunk`
     bounds peak memory like batched.make_batched_loglike — a joint fit's
     per-eval working set is n_quantiles times the single-dataset one, so
-    large unchunked batches would exhaust device memory."""
+    large unchunked batches would exhaust device memory.
+
+    Throughput surface: `gradient_free=True` resolves 'auto' perf modes to
+    the validated fast modes (targets.resolve_perf_kw policy); pass False
+    (or explicit opts_kw) before differentiating through it."""
+    from ..sampling.targets import resolve_perf_kw
     from .batched import chunked_vmap, theta_to_params
 
+    opts_kw = resolve_perf_kw([b.theory_opts for b in jb.bundles],
+                              opts_kw, gradient_free)
     names = tuple(param_names)
     base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
 

@@ -128,7 +128,10 @@ def run_nested(bundle, params_block: Dict, n_live: int = 1024,
                           resolve_target, space_cache_key)
 
     space = ParamSpace(params_block)
-    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+    # NS is gradient-free: 'auto' perf modes resolve to the validated
+    # fast modes (config.resolve_perf_mode; explicit opts are the opt-out)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw,
+                                                   gradient_free=True)
 
     # The checkpoint is loaded BEFORE the n_batch default/validation so a
     # resumed run inherits the checkpoint's shrinkage schedule (smc.py loads

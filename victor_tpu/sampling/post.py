@@ -135,10 +135,15 @@ def reweight(bundle_old, bundle_new, params_block: Dict, theta: np.ndarray,
         raise InputError('reweight', 'weights must be (n,) non-negative '
                                      'with positive sum')
 
+    # reweighting is pure forward evaluation of stored draws — gradient-
+    # free, so 'auto' perf modes resolve fast (consistent with the
+    # samplers that produced the chains; explicit opts_kw_* opt out)
     tbl_old, loglike_old, cid_old = resolve_target(bundle_old, opts_kw_old,
-                                                   fit_kw_old)
+                                                   fit_kw_old,
+                                                   gradient_free=True)
     tbl_new, loglike_new, cid_new = resolve_target(bundle_new, opts_kw_new,
-                                                   fit_kw_new)
+                                                   fit_kw_new,
+                                                   gradient_free=True)
 
     # unlike the particle samplers' wrappers (targets.make_unbounded_wrappers)
     # these evaluate at BOUNDED theta straight from the stored chains — no

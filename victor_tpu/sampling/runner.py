@@ -67,7 +67,8 @@ class MCMCResult:
 
 def _posterior_parts(bundle, space: ParamSpace,
                      opts_kw: Optional[Dict] = None,
-                     fit_kw: Optional[Dict] = None):
+                     fit_kw: Optional[Dict] = None,
+                     gradient_free: bool = True):
     """(logpost(tables, coords), tables_arg, cache_id) via the shared
     targets.resolve_target dispatch — the single place that knows how to
     turn a CCFModelBundle / JointBundle / ProductTarget / callable into a
@@ -77,7 +78,11 @@ def _posterior_parts(bundle, space: ParamSpace,
     (see targets.py docstring)."""
     from .targets import resolve_target
 
-    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+    # the ensemble stretch move is gradient-free, so 'auto' perf modes
+    # resolve fast by default (callers differentiating through logpost
+    # must pass gradient_free=False)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw,
+                                                   gradient_free)
 
     def logpost(tbl, coords):
         def scalar(theta):
@@ -91,7 +96,8 @@ def _posterior_parts(bundle, space: ParamSpace,
 
 def make_posterior(bundle, space: ParamSpace,
                    opts_kw: Optional[Dict] = None,
-                   fit_kw: Optional[Dict] = None, bind_tables: bool = True):
+                   fit_kw: Optional[Dict] = None, bind_tables: bool = True,
+                   gradient_free: bool = True):
     """Batched (lnpost, aux) function over walker coordinate arrays (W, P).
 
     Accepts anything targets.resolve_target does (single-dataset
@@ -99,8 +105,13 @@ def make_posterior(bundle, space: ParamSpace,
     With bind_tables=False, returns logpost(tables, coords) so callers can
     pass the tables pytree as a jit argument — embedding it as closure
     constants makes MLIR lowering read every array back from the device
-    (minutes over a remote-device tunnel)."""
-    logpost, tables_arg, _ = _posterior_parts(bundle, space, opts_kw, fit_kw)
+    (minutes over a remote-device tunnel).
+
+    `gradient_free=True` (default) resolves 'auto' perf modes to the
+    validated fast modes; pass False before differentiating through the
+    returned function (config.resolve_perf_mode)."""
+    logpost, tables_arg, _ = _posterior_parts(bundle, space, opts_kw, fit_kw,
+                                              gradient_free)
     if bind_tables:
         return lambda coords: logpost(tables_arg, coords)
     return logpost
@@ -166,7 +177,11 @@ def run_hmc_mcmc(bundle: CCFModelBundle, params_block: Dict,
     from .targets import resolve_target
 
     space = ParamSpace(params_block)
-    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+    # only MH is gradient-free here: HMC/NUTS differentiate through the
+    # likelihood, where the fast modes' Clenshaw transpose is measurably
+    # SLOWER than exact (BASELINE.md round 3) — 'auto' resolves per path
+    tables_arg, loglike, cache_id = resolve_target(
+        bundle, opts_kw, fit_kw, gradient_free=(algorithm == 'mh'))
 
     covmat_arr = None
     if covmat is not None:

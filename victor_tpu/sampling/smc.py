@@ -137,7 +137,10 @@ def run_smc(bundle, params_block: Dict, n_particles: int = 2048,
                           resolve_target, space_cache_key)
 
     space = ParamSpace(params_block)
-    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw)
+    # SMC is gradient-free: 'auto' perf modes resolve to the validated
+    # fast modes (config.resolve_perf_mode; explicit opts are the opt-out)
+    tables_arg, loglike, cache_id = resolve_target(bundle, opts_kw, fit_kw,
+                                                   gradient_free=True)
 
     # load a checkpoint FIRST: its particle count overrides the n_particles
     # argument (which also feeds the chunk decision and the jit-cache key)

@@ -80,13 +80,41 @@ class ProductTarget:
     members: tuple
 
 
-def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
+def resolve_perf_kw(theory_opts_list, opts_kw: Optional[Dict],
+                    gradient_free: bool) -> Optional[Dict]:
+    """Resolve 'auto' perf modes into an opts_kw override dict.
+
+    The JointBundle path applies `opts_kw` uniformly over every member
+    bundle, so the resolution must happen in kw space: a field is injected
+    only when the caller didn't override it AND every member left it at
+    'auto' (a mixed explicit/auto mix is honored as-is — injecting would
+    silently override the explicit members). See config.resolve_perf_mode
+    for the fast/exact policy and the opt-out.
+    """
+    from ..config import PERF_MODE_FIELDS, resolve_perf_mode
+    kw = dict(opts_kw or {})
+    autos = [f for f in PERF_MODE_FIELDS if f not in kw and
+             all(getattr(o, f) == 'auto' for o in theory_opts_list)]
+    if autos:
+        # reuse the policy (and its trace-time log line) on a probe opts
+        probe = resolve_perf_mode(theory_opts_list[0], gradient_free)
+        kw.update({f: getattr(probe, f) for f in autos})
+    return kw or None
+
+
+def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict],
+                   gradient_free: bool = False
                    ) -> Tuple[object, callable, tuple]:
     """Returns (tables_arg, loglike(tbl, params) -> (lnl, aux), cache_id).
 
     `tables_arg` is the pytree to pass as the jit argument; `cache_id` is a
     hashable key covering everything the loglike closure captures (statics,
     option overrides) so jitted functions can be cached per target.
+
+    `gradient_free=True` declares that the returned loglike is only ever
+    evaluated forward (no AD through it): 'auto' perf modes resolve to the
+    posterior-validated fast modes (config.resolve_perf_mode). Gradient-
+    based consumers keep the default False, resolving 'auto' to 'exact'.
     """
     from ..likelihood.core import log_likelihood
     from ..likelihood.multiquantile import JointBundle, joint_log_likelihood
@@ -95,7 +123,8 @@ def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
              repr(sorted((fit_kw or {}).items())))
 
     if isinstance(bundle, ProductTarget):
-        parts = [resolve_target(m, opts_kw, fit_kw) for m in bundle.members]
+        parts = [resolve_target(m, opts_kw, fit_kw, gradient_free)
+                 for m in bundle.members]
         tables = tuple(p[0] for p in parts)
         fns = tuple(p[1] for p in parts)
 
@@ -115,15 +144,21 @@ def resolve_target(bundle, opts_kw: Optional[Dict], fit_kw: Optional[Dict]
         return jnp.zeros(()), loglike, ('callable', id(bundle))
 
     if isinstance(bundle, JointBundle):
+        jkw = resolve_perf_kw([b.theory_opts for b in bundle.bundles],
+                              opts_kw, gradient_free)
+        kw_id = (repr(sorted((jkw or {}).items())), kw_id[1])
+
         def loglike(tbl, params):
-            return joint_log_likelihood(tbl, params, opts_kw, fit_kw)
+            return joint_log_likelihood(tbl, params, jkw, fit_kw)
         cache_id = ('joint',
                     tuple((b.spec, b.theory_opts) for b in bundle.bundles),
                     bundle.fit_opts, bundle.fixed_covmat, bundle.ndata,
                     kw_id)
         return bundle, loglike, cache_id
 
-    opts = bundle.theory_opts.replace(**(opts_kw or {}))
+    from ..config import resolve_perf_mode
+    opts = resolve_perf_mode(bundle.theory_opts.replace(**(opts_kw or {})),
+                             gradient_free)
     fit = bundle.fit_opts.replace(**(fit_kw or {}))
     spec = bundle.spec
 
