@@ -76,7 +76,13 @@ def child(process_id: int, coordinator: str, num_processes: int) -> None:
     theta = np.column_stack([
         rng.uniform(0.3, 0.6, n), rng.uniform(0.25, 0.55, n),
         rng.uniform(250.0, 450.0, n), rng.uniform(0.9, 1.1, n)])
-    sharded = make_sharded_loglike(bundle, names, mesh, axis='walkers')
+    # exact evaluation on BOTH sides: this probe pins the DISTRIBUTED
+    # machinery, and the f32 Chebyshev fast path's Clenshaw recurrences
+    # fuse differently under partitioned lowering (>1e-6 relative drift vs
+    # the single-device program — observed 2026-08-20), which would make
+    # the shard comparison test the fast mode's sensitivity instead
+    sharded = make_sharded_loglike(bundle, names, mesh, axis='walkers',
+                                   gradient_free=False)
     # numpy can't carry a cross-process sharding: build the global array
     # from the (identical-on-every-process) host data explicitly
     tsh = NamedSharding(mesh, P('walkers'))
@@ -84,7 +90,8 @@ def child(process_id: int, coordinator: str, num_processes: int) -> None:
         theta.shape, tsh, lambda idx: theta[idx].astype(np.float32))
     lnl_global = sharded(theta_g)[0]
     # single-process jitted reference on the LOCAL default device only
-    lnl_ref = np.asarray(make_batched_loglike(bundle, names)(
+    lnl_ref = np.asarray(make_batched_loglike(bundle, names,
+                                              gradient_free=False)(
         jax.numpy.asarray(theta, dtype=jax.numpy.float32))[0])
     shard_ok, shard_bit = True, True
     for s in lnl_global.addressable_shards:
