@@ -7,7 +7,9 @@
 The YAML layout extends the reference's cobaya config: `model:`/`data:`
 blocks (reference schema), a `params:` block (cobaya vocabulary,
 config/boss_cobaya_config.yaml:50-97), and an optional `sampler:` block
-(n_walkers, max_steps, rhat_stop, seed, output, checkpoint).
+(kind — default mh, the calibrated cobaya algorithm class — n_chains,
+n_samples, rhat_stop, seed, output, checkpoint, covmat; cobaya's own
+`mcmc:`/`polychord:`/`minimize:` nestings dispatch natively).
 """
 
 from __future__ import annotations
