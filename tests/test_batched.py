@@ -81,9 +81,12 @@ def test_resolve_perf_mode_policy():
     assert auto.dispersion_final == 'auto'
     fast = resolve_perf_mode(auto, gradient_free=True)
     assert (fast.streaming_eval, fast.dispersion_final) == ('fast', 'fast')
+    # AD paths: streaming exact (the Clenshaw transpose is slower than
+    # exact), but dispersion_final STILL fast — it removes passes and
+    # their transposes (HMC 3.3x, BASELINE.md round 3)
     exact = resolve_perf_mode(auto, gradient_free=False)
     assert (exact.streaming_eval, exact.dispersion_final) == \
-        ('exact', 'exact')
+        ('exact', 'fast')
     pinned = TheoryOptions(streaming_eval='exact', dispersion_final='fused')
     out = resolve_perf_mode(pinned, gradient_free=True)
     assert (out.streaming_eval, out.dispersion_final) == ('exact', 'fused')
@@ -96,6 +99,9 @@ def test_resolve_target_gradient_free_cache_keys(bundle):
     assert cid_free != cid_grad
     assert cid_free[1].streaming_eval == 'fast'
     assert cid_grad[1].streaming_eval == 'exact'
+    # dispersion_final resolves fast on BOTH paths (it speeds AD too)
+    assert cid_free[1].dispersion_final == 'fast'
+    assert cid_grad[1].dispersion_final == 'fast'
     # explicit override wins regardless of the path
     _, _, cid_pin = resolve_target(bundle, {'streaming_eval': 'exact'},
                                    None, gradient_free=True)

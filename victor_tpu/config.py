@@ -126,32 +126,46 @@ def resolve_perf_mode(opts: TheoryOptions, gradient_free: bool
                       ) -> TheoryOptions:
     """Resolve 'auto' perf modes for a concrete evaluation path.
 
-    Gradient-free paths (batched likelihood, SMC, NS, MH, ensemble) get the
-    posterior-validated 'fast' modes — all validated shifts <= 0.026 sigma
-    (BASELINE.md round 3) — because they only ever evaluate the forward
-    pass. AD paths (HMC, NUTS, MAP, Fisher) get 'exact': the Chebyshev
-    compressions are forward-path optimizations whose reverse-mode
-    transpose is measurably slower than exact (BASELINE.md round 3).
-    Explicit 'exact'/'fast'/'fused' values are always honored — config
-    `streaming_eval: exact` / `dispersion_final: exact` is the opt-out.
+    The two fields resolve differently because their AD behavior differs
+    (both measured, BASELINE.md round 3):
+
+    * `streaming_eval`: 'fast' on gradient-free paths only (batched
+      likelihood, SMC, NS, MH, ensemble — 1.36x forward); on AD paths
+      (HMC, NUTS, MAP, Fisher) it resolves 'exact', because the degree-48
+      Clenshaw recurrence's sequential reverse-mode transpose made HMC
+      0.65x SLOWER than exact.
+    * `dispersion_final`: 'fast' on BOTH paths — it REMOVES two of the
+      three exact final-stage passes (and therefore their transposes too),
+      measured 1.22x forward and 3.3x on the full HMC chain; its error is
+      of the order of the fixed-point convergence error itself and it is
+      posterior-validated.
+
+    All validated shifts <= 0.05 sigma (BASELINE.md round 3). Explicit
+    'exact'/'fast'/'fused' values are always honored — config
+    `streaming_eval: exact` / `dispersion_final: exact` is the opt-out;
+    direct theory/likelihood calls and parity tests see an unresolved
+    'auto', which the theory layer evaluates as exact.
 
     Logged once per distinct resolution at trace-build time so a run's
     mode is visible in its logs.
     """
-    target = 'fast' if gradient_free else 'exact'
-    updates = {f: target for f in PERF_MODE_FIELDS
+    targets = {'streaming_eval': 'fast' if gradient_free else 'exact',
+               'dispersion_final': 'fast'}
+    updates = {f: targets[f] for f in PERF_MODE_FIELDS
                if getattr(opts, f) == 'auto'}
     if not updates:
         return opts
-    if target == 'fast':
+    fast_fields = sorted(f for f, v in updates.items() if v == 'fast')
+    if fast_fields:
         import logging
-        key = (opts.rsd_model, tuple(sorted(updates)))
+        key = (opts.rsd_model, gradient_free, tuple(fast_fields))
         if key not in _PERF_MODE_LOGGED:
             _PERF_MODE_LOGGED.add(key)
             logging.getLogger('victor_tpu.config').info(
-                'gradient-free path: %s resolved to the posterior-validated '
-                "fast mode (opt out with explicit 'exact' in the model "
-                'config)', '/'.join(sorted(updates)))
+                '%s path: %s resolved to the posterior-validated fast mode '
+                "(opt out with explicit 'exact' in the model config)",
+                'gradient-free' if gradient_free else 'AD',
+                '/'.join(fast_fields))
     return opts.replace(**updates)
 
 
