@@ -36,7 +36,9 @@ N_FAST = 9      # seeds run in the default suite (9 not 6: seed 8 is the
                 # only early euclid_special draw, and the default tier must
                 # cover every rsd model + the from_data / likelihood-interp
                 # / linear_bias axes — test_default_tier_covers_named_axes)
-N_SLOW = 21     # additional seeds under --runslow
+N_SLOW = 41     # additional seeds under --runslow (widened in round 4 —
+                # seeds 9..49 include 10 more from_data/likelihood-interp/
+                # linear_bias crossings at ~3-5 s each)
 
 
 def _smooth(rng, x, amp, order=3):
