@@ -116,7 +116,8 @@ def test_resolve_perf_kw_joint_policy():
     from victor_tpu.sampling.targets import resolve_perf_kw
     auto, pinned = TheoryOptions(), TheoryOptions(streaming_eval='exact')
     kw = resolve_perf_kw([auto, auto], None, gradient_free=True)
-    assert kw == {'streaming_eval': 'fast', 'dispersion_final': 'fast'}
+    assert kw == {'streaming_eval': 'fast', 'dispersion_final': 'fast',
+                  'beta_covariance': 'factored'}
     kw = resolve_perf_kw([auto, auto], {'streaming_eval': 'exact'},
                          gradient_free=True)
     assert kw['streaming_eval'] == 'exact'

@@ -66,6 +66,24 @@ class TheoryOptions:
     # VMEM-resident Pallas kernel — kept as a measured experiment, see
     # models/ccf_theory.py)
     dispersion_final: str = 'auto'
+    # beta-varying covariance evaluation: 'auto' (default — resolves to
+    # 'factored' on gradient-free paths, 'exact' on AD/parity paths),
+    # 'exact' (materialise the blended (D, D) covariance + precision per
+    # eval and take a dense slogdet — reference semantics float-for-float,
+    # ccf_fit.py:195-260,398-413), or 'factored' (MATHEMATICALLY EXACT
+    # refactoring, different fp association only: chi^2 contracts the diff
+    # against every grid precision ONCE per eval (batched MXU matmuls, no
+    # per-eval (D, D) gathers) and scalar-interpolates the quadratic forms
+    # — valid because the reference's interpolation is linear in the
+    # matrix — while -0.5 log det of the blended covariance comes from a
+    # build-time generalized-eigenvalue pencil factorization
+    # det((1-t) C_b + t C_end) = det(C_b) * prod_i((1-t) + t lam_i^(b)),
+    # O(D) per eval instead of an O(D^3) LU. This is the lever that closes
+    # the N-quantile joint scaling tail: at D = N*60 the dense path's
+    # per-eval slogdet + stack gathers grow as D^3/D^2 while theory grows
+    # linearly in N. Agreement with 'exact' is at fp-roundoff level
+    # (tests/test_factored_covariance.py pins ~1e-9 relative in f64).
+    beta_covariance: str = 'auto'
 
     def __post_init__(self):
         # the perf-mode strings select silently-diverging code paths in
@@ -77,6 +95,7 @@ class TheoryOptions:
                 ('dispersion_interior', ('chebyshev', 'exact')),
                 ('dispersion_final', ('auto', 'exact', 'fast', 'fused')),
                 ('streaming_eval', ('auto', 'exact', 'fast')),
+                ('beta_covariance', ('auto', 'exact', 'factored')),
                 # the reference parses velocity_pdf.form but never reads it
                 # (ccf_model.py:94 is its only occurrence) — the gaussian
                 # PDF is hard-coded in both codebases, so any other value
@@ -119,7 +138,7 @@ class TableSpec:
     n_v: int = 50
 
 
-PERF_MODE_FIELDS = ('streaming_eval', 'dispersion_final')
+PERF_MODE_FIELDS = ('streaming_eval', 'dispersion_final', 'beta_covariance')
 
 
 def resolve_perf_mode(opts: TheoryOptions, gradient_free: bool
@@ -150,12 +169,18 @@ def resolve_perf_mode(opts: TheoryOptions, gradient_free: bool
     mode is visible in its logs.
     """
     targets = {'streaming_eval': 'fast' if gradient_free else 'exact',
-               'dispersion_final': 'fast'}
+               'dispersion_final': 'fast',
+               # 'factored' is a mathematically exact refactoring (see the
+               # TheoryOptions field docstring) resolved on gradient-free
+               # paths only, so AD/parity paths (gradient_free=False, which
+               # the parity suite pins) keep the reference's float-for-float
+               # dense-slogdet semantics
+               'beta_covariance': 'factored' if gradient_free else 'exact'}
     updates = {f: targets[f] for f in PERF_MODE_FIELDS
                if getattr(opts, f) == 'auto'}
     if not updates:
         return opts
-    fast_fields = sorted(f for f, v in updates.items() if v == 'fast')
+    fast_fields = sorted(f for f, v in updates.items() if v != 'exact')
     if fast_fields:
         import logging
         key = (opts.rsd_model, gradient_free, tuple(fast_fields))
@@ -192,6 +217,7 @@ def theory_options_from_config(model: dict) -> TheoryOptions:
         dispersion_interior=model.get('dispersion_interior', 'chebyshev'),
         dispersion_final=model.get('dispersion_final', 'auto'),
         streaming_eval=model.get('streaming_eval', 'auto'),
+        beta_covariance=model.get('beta_covariance', 'auto'),
     )
 
 

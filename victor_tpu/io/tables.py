@@ -21,6 +21,7 @@ the per-evaluation hot path run as pure gathers/matmuls on device:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import time
 from typing import Optional
@@ -101,6 +102,13 @@ class CCFTables:
     beta_cov: Optional[jax.Array]
     cov: Optional[jax.Array]                   # (n_b, D, D) or (D, D)
     icov: Optional[jax.Array]
+    # beta-covariance pencil factorization (build-time; None when the
+    # covariance is fixed or a slice is non-PD): logdets of each grid
+    # covariance and the generalized eigenvalues lam_i^(b) of
+    # (C_end, C_b), enabling the O(D) 'factored' logdet of the blended
+    # matrix (1-t) C_b + t C_end — see config.TheoryOptions.beta_covariance
+    cov_logdet: Optional[jax.Array] = None     # (n_b,)
+    cov_pencil: Optional[jax.Array] = None     # (n_b, D)
 
 
 @jax.tree_util.register_dataclass
@@ -137,6 +145,38 @@ def _multipoles_from_rmu_grid(r, mu, ccf_rmu, ells, npts=200):
         w = (2 * ell + 1) * tw * ops.legendre_p(ell, mu_fine)
         out[f'{ell}'] = cols @ w
     return out
+
+
+def _pencil_precompute(stack):
+    """Host-side generalized-eigenvalue factorization of a beta-covariance
+    stack (n_b, D, D): returns (logdets (n_b,), lam (n_b, D)) such that
+    log det((1-t) C_b + t C_end) = logdets[b] + sum_i log((1-t) + t*lam[b, i])
+    (congruence: C_b = L L^T makes the blend congruent to
+    diag((1-t) + t*lam) scaled by det(C_b)). Powers the 'factored'
+    beta_covariance mode, replacing the per-eval O(D^3) slogdet of the
+    reference's blended covariance (ccf_fit.py:398-413) with an O(D)
+    spectrum sum. Returns (None, None) — callers fall back to the dense
+    'exact' path — if any slice is non-PD (a real covariance never is;
+    degenerate test fixtures can be)."""
+    import scipy.linalg
+
+    n = stack.shape[0]
+    logdets = np.empty(n)
+    lams = np.empty(stack.shape[:2])
+    try:
+        for b in range(n):
+            sign, ld = np.linalg.slogdet(stack[b])
+            if sign != 1:
+                raise np.linalg.LinAlgError(f'covariance slice {b} not PD')
+            logdets[b] = ld
+            lams[b] = scipy.linalg.eigh(stack[-1], stack[b],
+                                        eigvals_only=True)
+    except (np.linalg.LinAlgError, scipy.linalg.LinAlgError) as e:
+        logging.getLogger('victor_tpu.tables').warning(
+            'beta-covariance pencil factorization unavailable (%s): '
+            "'factored' mode will fall back to the dense exact path", e)
+        return None, None
+    return logdets, lams
 
 
 def _as_f64(x):
@@ -504,7 +544,7 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
 
     # ---------------- data block (ccf_fit.py:44-164) ----------------
     s = beta_ccf = data_mult_fixed = data_mult_pchip_c = None
-    beta_cov = cov = icov = None
+    beta_cov = cov = icov = cov_logdet = cov_pencil = None
     poles_s = poles_r
     fixed_data = True
     fixed_covmat = True
@@ -602,6 +642,8 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
                 if cov.shape != (len(beta_cov), D, D):
                     raise InputError('Unexpected shape of (beta-varying) covariance matrix')
             icov = np.linalg.inv(cov)
+            if not fixed_covmat:
+                cov_logdet, cov_pencil = _pencil_precompute(cov)
         fit_opts = fit_options_from_config(data)
 
     # projection matrix over the theory mu grid for the data-side multipoles
@@ -639,6 +681,7 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
         data_mult_fixed=_opt(data_mult_fixed),
         data_mult_pchip_c=_opt(data_mult_pchip_c),
         beta_cov=_opt(beta_cov), cov=_opt(cov), icov=_opt(icov),
+        cov_logdet=_opt(cov_logdet), cov_pencil=_opt(cov_pencil),
     )
 
     spec = TableSpec(

@@ -60,6 +60,56 @@ def _interp_matrix_stack(grid, stack, beta):
     return out
 
 
+def _use_factored(tables, spec: TableSpec, opts: TheoryOptions) -> bool:
+    """Whether the 'factored' beta-covariance path applies: resolved mode
+    (an unresolved 'auto' evaluates exact, like the other perf modes), a
+    beta-varying covariance, and an available pencil factorization (the
+    build emits None for degenerate/non-PD stacks)."""
+    return (getattr(opts, 'beta_covariance', 'auto') == 'factored'
+            and not spec.fixed_covmat
+            and getattr(tables, 'cov_logdet', None) is not None)
+
+
+def _factored_chi_squared(grid, icov_stack, diff, beta):
+    """diff^T interp(C^-1) diff without materialising the blended matrix:
+    contract diff against EVERY grid precision (batched MXU matmuls — no
+    per-eval (D, D) dynamic-slice gathers) and scalar-interpolate the
+    quadratic forms with the reference's exact interpolation semantics
+    (_interp_matrix_stack on a (n_b,) stack of scalars). Mathematically
+    identical because the interpolation is linear in the matrix."""
+    tmp = jnp.einsum('nij,j->ni', icov_stack, diff, precision='highest')
+    q = jnp.einsum('ni,i->n', tmp, diff, precision='highest')
+    return _interp_matrix_stack(grid, q, beta)
+
+
+def _pencil_like_factor(grid, logdets, lam, beta):
+    """-0.5 log det of the blended covariance via the build-time pencil
+    factorization (io/tables.py:_pencil_precompute): O(D) per eval in
+    place of the dense O(D^3) slogdet, with the same branchless
+    clamp / exact-grid-point / endpoint-blend semantics as
+    _interp_matrix_stack. Returns (factor, ok) like _like_factor; the
+    blend is PD iff every (1-t) + t*lam_i > 0 (congruence inertia)."""
+    n = grid.shape[0]
+    k = jnp.searchsorted(grid, beta, side='left', method='compare_all')
+    low = jnp.clip(k - 1, 0, n - 1)
+    at_grid = grid[jnp.clip(k, 0, n - 1)] == beta
+    denom = grid[n - 1] - grid[low]
+    t = (beta - grid[low]) / jnp.where(denom == 0, 1.0, denom)
+    s = (1.0 - t) + t * lam[low]
+    pos = s > 0
+    ld = logdets[low] + jnp.sum(jnp.log(jnp.where(pos, s, 1.0)))
+    # overrides mirror _interp_matrix_stack: exact grid point and clamps
+    # use the grid logdet directly (all grid slices are PD by construction
+    # — _pencil_precompute refuses otherwise — so ok is True there)
+    override = at_grid | (beta < grid[0]) | (beta > grid[-1])
+    ld_override = jnp.where(at_grid, logdets[jnp.clip(k, 0, n - 1)],
+                            jnp.where(beta < grid[0], logdets[0],
+                                      logdets[n - 1]))
+    ld = jnp.where(override, ld_override, ld)
+    ok = jnp.where(override, jnp.asarray(True), jnp.all(pos))
+    return -0.5 * ld, ok
+
+
 def interpolated_covariance(tables, spec: TableSpec, beta):
     if spec.fixed_covmat:
         return tables.cov
@@ -96,9 +146,15 @@ def chi_squared(tables, spec: TableSpec, opts: TheoryOptions, params):
     tv = theory_vector(tables, spec, opts, params)
     beta = params.get('beta', jnp.asarray(0.0))
     dv = multipole_datavector(tables, spec, beta)
+    diff = tv - dv
+    if _use_factored(tables, spec, opts):
+        # factored path: no blended covariance is materialised — callers
+        # needing the log-det use _pencil_like_factor (log_likelihood does)
+        chisq = _factored_chi_squared(tables.beta_cov, tables.icov, diff,
+                                      beta)
+        return chisq, None
     cov = interpolated_covariance(tables, spec, beta)
     icov = interpolated_precision(tables, spec, beta)
-    diff = tv - dv
     # full matmul precision: TPU's default bf16 dot would cost ~1e-2 on chi^2
     chisq = jnp.einsum('i,ij,j->', diff, icov, diff, precision='highest')
     return chisq, cov
@@ -109,6 +165,16 @@ def _like_factor(cov):
     sign, logdet = jnp.linalg.slogdet(cov)
     ok = sign == 1
     return -0.5 * logdet, ok
+
+
+def _cov_like_factor(tables, cov, beta):
+    """like-factor dispatch: dense slogdet when chi_squared materialised the
+    blended covariance (exact path), pencil logdet when the factored path
+    skipped it (cov is None)."""
+    if cov is None:
+        return _pencil_like_factor(tables.beta_cov, tables.cov_logdet,
+                                   tables.cov_pencil, beta)
+    return _like_factor(cov)
 
 
 def _apply_form(chisq, like_factor, fit: FitOptions, ndata: int):
@@ -163,8 +229,8 @@ def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
         chisq_high, cov_high = chi_squared(tables, spec, opts, p_high)
 
         if not spec.fixed_covmat:
-            lf_low, ok_low = _like_factor(cov_low)
-            lf_high, ok_high = _like_factor(cov_high)
+            lf_low, ok_low = _cov_like_factor(tables, cov_low, grid[low])
+            lf_high, ok_high = _cov_like_factor(tables, cov_high, grid[high])
             ok = ok_low & ok_high
         else:
             lf_low = lf_high = jnp.zeros(())
@@ -184,7 +250,8 @@ def log_likelihood(tables, spec: TableSpec, opts: TheoryOptions,
     else:
         chisq, cov = chi_squared(tables, spec, opts, params)
         if not spec.fixed_covmat:
-            lf, ok = _like_factor(cov)
+            lf, ok = _cov_like_factor(tables, cov,
+                                      params.get('beta', jnp.asarray(0.0)))
         else:
             lf = jnp.zeros(())
             ok = jnp.asarray(True)

@@ -45,8 +45,8 @@ from ..errors import InputError
 from ..io.loaders import load_key_value_file
 from ..io.tables import CCFModelBundle, build_tables
 from ..models.ccf_theory import theory_vector
-from .core import _apply_form, _interp_matrix_stack, _like_factor, \
-    multipole_datavector
+from .core import _apply_form, _factored_chi_squared, _interp_matrix_stack, \
+    _like_factor, _pencil_like_factor, multipole_datavector
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +63,13 @@ class JointBundle:
     fixed_covmat: bool = dataclasses.field(metadata=dict(static=True))
     fit_opts: FitOptions = dataclasses.field(metadata=dict(static=True))
     ndata: int = dataclasses.field(metadata=dict(static=True))
+    # pencil factorization of the joint beta-covariance stack (see
+    # io/tables.py:_pencil_precompute) — the lever that keeps the joint
+    # likelihood's covariance cost O(n_b * D^2) MXU flops + O(D) logdet
+    # instead of per-eval (D, D) gathers + an O(D^3) slogdet as the
+    # stacked vector D = N*60 grows with the quantile count
+    cov_logdet: Optional[jax.Array] = None     # (n_b,)
+    cov_pencil: Optional[jax.Array] = None     # (n_b, D)
 
 
 def build_joint_tables(joint: Dict, base_dir: str = '') -> JointBundle:
@@ -137,11 +144,17 @@ def _build_joint_tables_host(joint: Dict, base_dir: str = '') -> JointBundle:
         # grids; refuse rather than silently fall back to datavector interp
         raise InputError("beta_interpolation: 'likelihood' is not supported "
                          "for joint multi-quantile fits; use 'datavector'")
+    cov_logdet = cov_pencil = None
+    if not fixed_covmat:
+        from ..io.tables import _pencil_precompute
+        cov_logdet, cov_pencil = _pencil_precompute(cov)
     return JointBundle(
         bundles=tuple(bundles),
         cov=jnp.asarray(cov), icov=jnp.asarray(np.linalg.inv(cov)),
         beta_cov=None if beta_cov is None else jnp.asarray(beta_cov),
-        fixed_covmat=fixed_covmat, fit_opts=fit_opts, ndata=D)
+        fixed_covmat=fixed_covmat, fit_opts=fit_opts, ndata=D,
+        cov_logdet=None if cov_logdet is None else jnp.asarray(cov_logdet),
+        cov_pencil=None if cov_pencil is None else jnp.asarray(cov_pencil))
 
 
 def quantile_params(params: Dict, i: int) -> Dict:
@@ -206,6 +219,18 @@ def joint_precision(jb: JointBundle, beta) -> jax.Array:
     return _interp_matrix_stack(jb.beta_cov, jb.icov, beta)
 
 
+def _joint_use_factored(jb: JointBundle, opts_kw: Optional[Dict]) -> bool:
+    """Joint-path analogue of core._use_factored: the resolved mode rides
+    in opts_kw (resolve_perf_kw applies it uniformly); absent that, a
+    uniform explicit setting across member bundles is honored."""
+    mode = (opts_kw or {}).get('beta_covariance')
+    if mode is None:
+        modes = {b.theory_opts.beta_covariance for b in jb.bundles}
+        mode = modes.pop() if len(modes) == 1 else 'auto'
+    return (mode == 'factored' and not jb.fixed_covmat
+            and jb.cov_logdet is not None)
+
+
 def joint_chi_squared(jb: JointBundle, params: Dict,
                       opts_kw: Optional[Dict] = None):
     tv = joint_theory_vector(jb, params, opts_kw)
@@ -217,9 +242,16 @@ def joint_chi_squared(jb: JointBundle, params: Dict,
         raise InputError('Need a global beta to interpolate the '
                          'beta-dependent joint covariance')
     beta = params.get('beta', jnp.asarray(0.0))
+    diff = tv - dv
+    if _joint_use_factored(jb, opts_kw):
+        # factored path (config.TheoryOptions.beta_covariance): contract
+        # against every grid precision once, scalar-interpolate — no
+        # (N*60, N*60) materialisation; callers needing the log-det use the
+        # pencil (joint_log_likelihood does)
+        chisq = _factored_chi_squared(jb.beta_cov, jb.icov, diff, beta)
+        return chisq, None
     cov = joint_covariance(jb, beta)
     icov = joint_precision(jb, beta)
-    diff = tv - dv
     chisq = jnp.einsum('i,ij,j->', diff, icov, diff, precision='highest')
     return chisq, cov
 
@@ -238,7 +270,12 @@ def joint_log_likelihood(jb: JointBundle, params: Dict,
                          "for joint multi-quantile fits; use 'datavector'")
     chisq, cov = joint_chi_squared(jb, params, opts_kw)
     if not jb.fixed_covmat:
-        lf, ok = _like_factor(cov)
+        if cov is None:   # factored path: pencil logdet, no materialisation
+            lf, ok = _pencil_like_factor(
+                jb.beta_cov, jb.cov_logdet, jb.cov_pencil,
+                params.get('beta', jnp.asarray(0.0)))
+        else:
+            lf, ok = _like_factor(cov)
     else:
         lf = jnp.zeros(())
         ok = jnp.asarray(True)
@@ -281,3 +318,45 @@ def make_batched_joint_loglike(jb: JointBundle, param_names: Sequence[str],
 
     jfn = jax.jit(fn, static_argnames=())
     return lambda theta: jfn(jb, theta)
+
+
+def make_sharded_joint_loglike(jb: JointBundle, param_names: Sequence[str],
+                               mesh, axis='walkers',
+                               base_params: Optional[Dict] = None,
+                               opts_kw: Optional[Dict] = None,
+                               fit_kw: Optional[Dict] = None,
+                               gradient_free: bool = True):
+    """Batched joint multiquantile likelihood sharded over a device mesh.
+
+    The joint analogue of batched.make_sharded_loglike, and the SURVEY §5
+    lever for growing stacked data vectors: the per-quantile tables and the
+    (n_b, N·60, N·60) joint covariance stack are replicated (a few MB) while
+    the parameter batch is sharded along `axis` (a name or tuple of names of
+    the mesh), so each chip contracts its theta slice against the stack with
+    NO collectives in the forward pass — the joint covariance contraction
+    scales across chips exactly like the single-dataset map. `axis` may
+    cover multiple mesh axes (e.g. ('chains', 'walkers')) to use the whole
+    mesh; the batch length must be divisible by the spanned device count.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..sampling.targets import resolve_perf_kw
+    from .batched import theta_to_params
+
+    opts_kw = resolve_perf_kw([b.theory_opts for b in jb.bundles],
+                              opts_kw, gradient_free)
+    names = tuple(param_names)
+    base = {k: jnp.asarray(v) for k, v in (base_params or {}).items()}
+
+    def fn(jb_arg, theta):
+        def scalar(t):
+            params = theta_to_params(t, names, base)
+            return joint_log_likelihood(jb_arg, params, opts_kw, fit_kw)
+        return jax.vmap(scalar)(theta)
+
+    rep = NamedSharding(mesh, P())
+    io_spec = NamedSharding(mesh, P(axis))
+    jfn = jax.jit(fn, in_shardings=(rep, io_spec),
+                  out_shardings=(io_spec, io_spec))
+    jb_rep = jax.device_put(jb, rep)
+    return lambda theta: jfn(jb_rep, theta)
