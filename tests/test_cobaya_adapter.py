@@ -186,3 +186,31 @@ def test_contract_requirements_and_provides(double):
     obj.calculate(state, want_derived=True, **GOLDEN)
     for name in provides:
         assert name in state['derived'], (name, state['derived'])
+
+
+class TestVersionCanary:
+    """The adapter is frozen against cobaya-3.5 and cannot be exercised
+    against a live cobaya here (not installable, zero egress); if a future
+    environment installs a different major/minor, the import must warn
+    loudly rather than silently mismatch inside the sampler loop
+    (round-4 VERDICT item 8's contract-drift canary)."""
+
+    def test_matching_version_is_silent(self, double, recwarn):
+        importlib.reload(
+            importlib.import_module('victor_tpu.likelihoods.CCFLikelihood'))
+        assert not [w for w in recwarn.list
+                    if 'frozen against' in str(w.message)]
+
+    def test_version_drift_warns(self, monkeypatch):
+        _install_double(monkeypatch)
+        sys.modules['cobaya'].__version__ = '4.0.2'
+        try:
+            with pytest.warns(UserWarning, match='frozen against the '
+                                                 'cobaya-3.5'):
+                importlib.reload(importlib.import_module(
+                    'victor_tpu.likelihoods.CCFLikelihood'))
+        finally:
+            monkeypatch.delitem(sys.modules, 'cobaya')
+            monkeypatch.delitem(sys.modules, 'cobaya.likelihood')
+            importlib.reload(importlib.import_module(
+                'victor_tpu.likelihoods.CCFLikelihood'))

@@ -41,7 +41,7 @@ sys.path.insert(0, REPO)
 REFERENCE_EVALS_PER_SEC = 11.8   # BASELINE.md, measured on this machine
 
 
-def main():
+def main(heartbeat=lambda: None):
     import jax
     import jax.numpy as jnp
 
@@ -160,6 +160,7 @@ def main():
                     evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
                 'parity_gate': gate,
             }), flush=True)
+            heartbeat()     # per-variant progress re-arms the stall watchdog
             continue
         if variant == 'esm':
             with open(os.path.join(REPO, 'configs',
@@ -228,6 +229,7 @@ def main():
             'vs_baseline': round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
             **({'parity_gate': gate} if gate else {}),
         }), flush=True)
+        heartbeat()         # per-variant progress re-arms the stall watchdog
 
     if gate_failures:
         # fail the process so automation catches a lost precision pin

@@ -18,12 +18,38 @@ import os
 
 import numpy as np
 
+# the cobaya version whose Likelihood contract the adapter (and its
+# interface double, tests/test_cobaya_adapter.py) is frozen against:
+# initialize / get_can_provide_params / get_requirements / calculate(state,
+# want_derived, **params) / current_derived, per the cobaya-3.5 docs
+_PINNED_COBAYA = '3.5'
+_HAVE_COBAYA = False
+
 try:
     from cobaya.likelihood import Likelihood as _CobayaLikelihood
     _HAVE_COBAYA = True
 except ImportError:          # cobaya optional: stub keeps the import valid
     _CobayaLikelihood = object
-    _HAVE_COBAYA = False
+
+if _HAVE_COBAYA:
+    # contract-drift canary: this adapter has only ever been exercised
+    # against the documented cobaya-3.5 interface (cobaya is not
+    # installable in the build environment — zero egress — so the frozen
+    # double stands in for the real driver). If a future environment DOES
+    # have cobaya, a major/minor version drift must be loud, not a silent
+    # behavioral mismatch inside the sampler loop.
+    try:
+        from cobaya import __version__ as _cobaya_version
+    except ImportError:
+        _cobaya_version = '0'
+    if _cobaya_version.split('.')[:2] != _PINNED_COBAYA.split('.')[:2]:
+        import warnings
+        warnings.warn(
+            f'victor_tpu.likelihoods.CCFLikelihood is frozen against the '
+            f'cobaya-{_PINNED_COBAYA} Likelihood contract but cobaya '
+            f'{_cobaya_version} is installed; the adapter has not been '
+            f'validated against this version — verify initialize/calculate '
+            f'semantics before trusting chains', stacklevel=2)
 
 
 class CCFLikelihood(_CobayaLikelihood):
