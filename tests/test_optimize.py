@@ -81,6 +81,35 @@ class TestFindMAP:
         assert all({'value', 'std'} <= set(v) for v in s.values())
 
 
+class TestParametricBootstrap:
+    def test_bootstrap_shapes_and_consistency(self, boss_config, map_result):
+        """Smoke tier: the bootstrap draws mocks from the FITTED model,
+        refits them, and returns bias/covariance of the right shape with
+        refit scatter on the scale of the Laplace sigma (the statistical
+        100-mock calibration row runs on TPU — BASELINE.md round 5)."""
+        from victor_tpu.io import build_tables
+        from victor_tpu.sampling.optimize import parametric_bootstrap
+        bundle = build_tables(boss_config['model'], boss_config['data'])
+        bres = parametric_bootstrap(bundle, BLOCK_4P, map_result, n_boot=6,
+                                    n_starts=2, adam_steps=60,
+                                    newton_steps=4, seed=11)
+        assert bres.theta_boot.shape[1] == 4
+        assert len(bres.theta_boot) >= 4
+        np.testing.assert_allclose(
+            bres.theta_debiased, bres.theta_map - bres.bias)
+        # refit scatter must be on the Laplace scale (same estimator on
+        # noise of the fitted covariance), not degenerate at 6 draws:
+        # within a factor ~4 of each Laplace sigma
+        lap = np.sqrt(np.diag(map_result.cov))
+        boot = np.sqrt(np.diag(bres.cov))
+        ratio = boot / lap
+        assert np.all(ratio > 0.25) and np.all(ratio < 4.0), ratio
+        # the debiased point stays inside the posterior bulk
+        for i, n in enumerate(bres.names):
+            assert abs(bres.theta_debiased[i] - QUAD_MEAN[n]) < \
+                5 * QUAD_STD[n]
+
+
 class TestCacheKeyParamOrder:
     def test_reordered_params_block_fits_correctly(self):
         """A params block and its alphabetised reordering (what a YAML

@@ -1014,6 +1014,49 @@ class TestProgressFile:
         assert len(lines) >= 2
         assert int(lines[-1].split()[0]) >= 40
 
+    def test_de_move_samples_correct_gaussian(self):
+        """The differential-evolution move (the round-5 ensemble default)
+        must target the correct distribution: a correlated 2D Gaussian's
+        moments recovered on a toy run."""
+        rho = 0.8
+        icov = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]]))
+
+        def logpost(x):
+            lnp = -0.5 * jnp.einsum('wi,ij,wj->w', x, jnp.asarray(icov), x)
+            return lnp, jnp.zeros((x.shape[0], 1))
+
+        key = jax.random.PRNGKey(0)
+        coords = jax.random.normal(key, (64, 2)) * 0.5
+        state = ensemble.init_state(logpost, coords, key)
+        state, (xs, _, _) = jax.jit(
+            lambda st: ensemble.run(logpost, st, 800, move='de'))(state)
+        draws = np.asarray(xs[300:]).reshape(-1, 2)     # post burn-in
+        assert np.abs(draws.mean(axis=0)).max() < 0.1
+        np.testing.assert_allclose(np.corrcoef(draws.T)[0, 1], rho,
+                                   atol=0.05)
+        np.testing.assert_allclose(draws.std(axis=0), 1.0, atol=0.1)
+        # the sweep accepted a healthy fraction (DE near the 2.38 optimum)
+        acc = float(np.mean(np.asarray(state.n_accepted))
+                    / float(state.n_steps))
+        assert 0.1 < acc < 0.9
+
+    def test_unknown_move_raises(self):
+        def logpost(x):
+            return -0.5 * jnp.sum(x ** 2, axis=-1), jnp.zeros((x.shape[0], 1))
+        key = jax.random.PRNGKey(0)
+        state = ensemble.init_state(logpost, jax.random.normal(key, (8, 2)),
+                                    key)
+        with pytest.raises(ValueError, match="'de' or 'stretch'"):
+            ensemble.step(logpost, state, move='walk')
+
+    def test_run_mcmc_defaults_to_de(self):
+        """run_mcmc ships the DE move (the stretch move measurably stalls
+        on the flagship config — BASELINE.md round 4/5)."""
+        import inspect
+
+        from victor_tpu.sampling import run_mcmc
+        assert inspect.signature(run_mcmc).parameters['move'].default == 'de'
+
     def test_read_progress_roundtrip_and_plot(self, tmp_path):
         import sys as _sys
         _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
@@ -1274,6 +1317,48 @@ class TestCobayaSamplerMappings:
         main(['run', str(p), '--seed', '0'])
         assert seen['algorithm'] == 'mh'
         assert json.loads(capsys.readouterr().out)['sampler'] == 'mh'
+
+    def test_defaulted_mh_warns_on_ensemble_only_keys(
+            self, boss_config, tmp_path, monkeypatch, capsys):
+        """A migrating config with only ensemble tuning keys (n_walkers/
+        max_steps/check_every — the old shipped boss_sampling_config.yaml
+        shape) and no kind: dispatches MH with its own defaults; that must
+        be LOUD, or the user's tuning is silently ignored."""
+        import logging
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        def fake(bundle, params_block, **kw):
+            return types.SimpleNamespace(
+                n_steps=3, acceptance=0.3, elapsed_s=0.1,
+                summary=lambda burn_in=None: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_hmc_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        cfg['sampler'] = {'n_walkers': 64, 'max_steps': 500}
+        p = tmp_path / 'old_ensemble.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        records = []
+
+        class _Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        h = _Grab(level=logging.WARNING)
+        logging.getLogger('victor_tpu.cli').addHandler(h)
+        try:
+            main(['run', str(p), '--seed', '0'])
+        finally:
+            logging.getLogger('victor_tpu.cli').removeHandler(h)
+        capsys.readouterr()
+        msgs = [r.getMessage() for r in records]
+        assert any('ensemble-only keys' in m and 'n_walkers' in m
+                   and 'max_steps' in m for m in msgs)
 
     def test_unconverged_ensemble_exits_nonzero(self, boss_config, tmp_path,
                                                 monkeypatch, capsys):

@@ -80,7 +80,6 @@ Usage:  python tools/coverage_test.py [--mocks 100] [--form gaussian]
 """
 
 import argparse
-import dataclasses
 import os
 import sys
 
@@ -103,81 +102,29 @@ PARAMS_BLOCK = {
 }
 
 
-def shift_datavector(bundle, delta):
-    """Bundle with the data vector shifted by `delta` (n_ell_s * n_s,) at
-    EVERY beta grid point: a constant shift moves only the constant PCHIP
-    coefficient (interpolation is linear in the table values).
-
-    A JointBundle is shifted per quantile: `delta` (jb.ndata,) is split at
-    the stacked-vector block boundaries and each sub-bundle shifted with its
-    own slice."""
-    import jax.numpy as jnp
-    from victor_tpu.likelihood.multiquantile import JointBundle
-    if isinstance(bundle, JointBundle):
-        out, off = [], 0
-        for b in bundle.bundles:
-            D = b.spec.n_s * len(b.spec.poles_s)
-            out.append(shift_datavector(b, delta[off:off + D]))
-            off += D
-        return dataclasses.replace(bundle, bundles=tuple(out))
-    t = bundle.tables
-    if bundle.spec.fixed_data:
-        d2 = t.data_mult_fixed + delta.reshape(t.data_mult_fixed.shape)
-        t2 = dataclasses.replace(t, data_mult_fixed=jnp.asarray(d2))
-    else:
-        c = t.data_mult_pchip_c
-        d2 = c.at[:, 0].add(jnp.asarray(
-            delta.reshape(c.shape[2:])[None]))
-        t2 = dataclasses.replace(t, data_mult_pchip_c=d2)
-    return dataclasses.replace(bundle, tables=t2)
-
-
-def _mock_setup(bundle, fiducial):
-    """Shared mock-generation ingredients (tvec, dvec, L).
-
-    tvec = theory vector at the fiducial, dvec = stored data vector at the
-    fiducial beta, L = Cholesky factor of the covariance there. Both
-    coverage paths MUST draw mocks identically — one implementation."""
-    import jax.numpy as jnp
-    from victor_tpu.likelihood.core import (interpolated_covariance,
-                                            multipole_datavector)
-    from victor_tpu.likelihood.multiquantile import (
-        JointBundle, joint_covariance, joint_datavector, joint_theory_vector)
-    from victor_tpu.models.ccf_theory import theory_vector
-
-    params = {k: jnp.asarray(v) for k, v in fiducial.items()}
-    if isinstance(bundle, JointBundle):
-        # joint generative model: stacked theory/data vectors and the FULL
-        # cross-covariance (quantile noise is correlated through the
-        # off-diagonal blocks — the thing the joint machinery exists for)
-        tvec = np.asarray(joint_theory_vector(bundle, params),
-                          dtype=np.float64)
-        dvec = np.asarray(joint_datavector(bundle, params), dtype=np.float64)
-        cov = np.asarray(joint_covariance(bundle, params['beta']),
-                         dtype=np.float64)
-        return tvec, dvec, np.linalg.cholesky(cov)
-    tvec = np.asarray(theory_vector(bundle.tables, bundle.spec,
-                                    bundle.theory_opts, params),
-                      dtype=np.float64)
-    dvec = np.asarray(multipole_datavector(bundle.tables, bundle.spec,
-                                           jnp.asarray(fiducial['beta'])),
-                      dtype=np.float64)
-    cov = np.asarray(interpolated_covariance(bundle.tables, bundle.spec,
-                                             jnp.asarray(fiducial['beta'])),
-                     dtype=np.float64)
-    return tvec, dvec, np.linalg.cholesky(cov)
+# one implementation for every mock consumer (this tool AND the
+# parametric-bootstrap debiasing): victor_tpu.sampling.mocks
+from victor_tpu.sampling.mocks import mock_setup as _mock_setup
+from victor_tpu.sampling.mocks import shift_datavector
 
 
 def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
                  fiducial=FIDUCIAL, params_block=PARAMS_BLOCK,
                  n_starts=4, adam_steps=120, newton_steps=6,
-                 beta_profile=False):
+                 beta_profile=False, debias=0):
     """Returns (pulls (n_mocks, ndim), hit68 fraction, names,
     beta_intervals) — beta_intervals is an (n_mocks, 2) array of per-mock
     delta-chi2=1 profile intervals for beta when beta_profile=True (the
     remedy for beta's grid-structure-broken Laplace sigma: the profile
-    interval follows the actual likelihood wiggles), else None."""
-    from victor_tpu.sampling.optimize import find_map, profile_scan
+    interval follows the actual likelihood wiggles), else None.
+
+    `debias` > 0 applies the parametric-bootstrap correction
+    (sampling/optimize.parametric_bootstrap, `debias` refits per mock):
+    pulls use the debiased estimate over the bootstrap sigma — the
+    calibration row behind `fit --bootstrap`."""
+    from victor_tpu.sampling.optimize import (find_map,
+                                              parametric_bootstrap,
+                                              profile_scan)
 
     fit_kw = {'form': form}
     names = [n for n in params_block]
@@ -194,8 +141,15 @@ def run_coverage(bundle, n_mocks=100, seed=0, form='gaussian',
         res = find_map(mb, params_block, n_starts=n_starts,
                        adam_steps=adam_steps, newton_steps=newton_steps,
                        seed=seed + k, fit_kw=fit_kw)
-        sd = res.std
-        pulls[k] = [(res.params[n] - fiducial[n]) / max(sd[n], 1e-300)
+        if debias:
+            bres = parametric_bootstrap(
+                mb, params_block, res, n_boot=debias, n_starts=n_starts,
+                adam_steps=adam_steps, newton_steps=newton_steps,
+                seed=seed + 7919 * (k + 1), fit_kw=fit_kw)
+            est, sd = bres.debiased, bres.std
+        else:
+            est, sd = res.params, res.std
+        pulls[k] = [(est[n] - fiducial[n]) / max(sd[n], 1e-300)
                     for n in names]
         if beta_profile:
             # the machinery behind "use profile scans for beta": the
@@ -551,6 +505,11 @@ def main():
                          'path (run_nested); mh = the same for the '
                          'random-walk-Metropolis chains '
                          '(run_hmc_mcmc(algorithm=mh))')
+    ap.add_argument('--debias', type=int, default=0, metavar='N',
+                    help='method=map only: apply the parametric-bootstrap '
+                         'correction with N refits per mock (pulls use the '
+                         'debiased estimate over the bootstrap sigma — the '
+                         'calibration row behind `fit --bootstrap`)')
     ap.add_argument('--particles', type=int, default=2048,
                     help='SMC particles per mock (method=smc)')
     ap.add_argument('--moves', type=int, default=6,
@@ -559,6 +518,9 @@ def main():
     if args.beta_profile and args.method != 'map':
         ap.error('--beta-profile applies to --method map only (the smc/sbc '
                  'methods already characterise the beta marginal)')
+    if args.debias and args.method != 'map':
+        ap.error('--debias applies to --method map only (the posterior '
+                 'methods are already calibrated without correction)')
 
 
     import yaml
@@ -655,8 +617,10 @@ def main():
     pulls, hit68, names, beta_iv = run_coverage(
         bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
         fiducial=fiducial, params_block=block,
-        beta_profile=args.beta_profile)
-    print(f'{args.mocks} mocks, likelihood form = {args.form}')
+        beta_profile=args.beta_profile, debias=args.debias)
+    print(f'{args.mocks} mocks, likelihood form = {args.form}'
+          + (f', bootstrap-debiased (N={args.debias})' if args.debias
+             else ''))
     for i, n in enumerate(names):
         p = pulls[:, i]
         print(f'  {n:8s} pull mean {p.mean():+6.3f} +/- '

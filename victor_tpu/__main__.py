@@ -211,7 +211,25 @@ def cmd_run(args):
     # was the round-1..3 default but measured R-1 ~ 0.05 at its default
     # step budget on the flagship config — a bare `run` must land on a
     # calibrated path, not an experimental one.
-    kind = args.sampler or sampler.get('kind', 'mh')
+    kind = args.sampler or sampler.get('kind')
+    if kind is None:
+        kind = 'mh'
+        # migration guard: the pre-round-4 default was the ensemble
+        # sampler, so an old config whose sampler block carries only
+        # ensemble tuning (n_walkers/max_steps/check_every) and no kind:
+        # would silently dispatch MH with its own defaults, ignoring every
+        # key the user set
+        ensemble_only = [k for k in ('n_walkers', 'max_steps', 'check_every')
+                         if k in sampler]
+        if ensemble_only:
+            import logging
+            logging.getLogger('victor_tpu.cli').warning(
+                'no sampler kind given: defaulting to mh (the calibrated '
+                'random-walk Metropolis), but the sampler block carries '
+                'ensemble-only keys (%s) that mh ignores — set '
+                "sampler.kind: ensemble (or --sampler ensemble) to keep "
+                'the old ensemble behavior, or retune with mh keys '
+                '(n_chains/n_samples/n_warmup)', ', '.join(ensemble_only))
 
     if kind == 'smc':
         import os
@@ -308,6 +326,14 @@ def cmd_run(args):
         # longer to amortise the per-dispatch latency floor
         if kind == 'mh':
             default_warmup, default_samples, default_segment = 2000, 8000, 2500
+        elif kind == 'nuts':
+            # same cap recipe as mh: under rhat_stop (the flagship configs
+            # carry 0.01) n_samples is a CAP with per-segment early stop, so
+            # the shipped default is sized for convergence, not for a fixed
+            # budget — round-4 measured depth 6 needing ~2000-3000 draws on
+            # the BOSS posterior depending on seed (BASELINE.md); 4000 gives
+            # slack and converged runs stop as soon as R-1 clears
+            default_warmup, default_samples, default_segment = 300, 4000, 100
         else:
             default_warmup, default_samples, default_segment = 300, 700, 100
         n_warmup = args.warmup if args.warmup is not None else \
@@ -333,7 +359,15 @@ def cmd_run(args):
             segment_steps=int(sampler.get('segment_steps', default_segment)),
             seed=seed,
             algorithm=kind,
-            max_depth=int(sampler.get('max_depth', args.max_depth)),
+            # NUTS depth default 6: the measured speed/robustness point on
+            # BOSS-like posteriors with the dense-mass warmup (trees rarely
+            # want 2^8 leapfrogs; depth 8 costs ~2x for identical moments —
+            # BASELINE.md round 4). Explicit --max-depth / sampler.max_depth
+            # wins; hmc ignores it.
+            max_depth=int(sampler.get(
+                'max_depth',
+                args.max_depth if args.max_depth is not None
+                else (6 if kind == 'nuts' else 8))),
             covmat=sampler.get('covmat', args.covmat),
             # cobaya's Rminus1_stop semantics: n_samples becomes a cap and
             # the run stops once split-R-1 clears the threshold (set by the
@@ -367,6 +401,11 @@ def cmd_run(args):
         check_every=int(sampler.get('check_every', 100)),
         seed=seed,
         mesh=mesh,
+        # 'de' (differential evolution) is the shipped default: the stretch
+        # move measurably stalls on the flagship config (R-1 0.0112 after
+        # 512x8000 steps, BASELINE.md round 4); sampler.move: stretch keeps
+        # the old behavior for comparison studies
+        move=str(sampler.get('move', 'de')),
         output=out_root,
         checkpoint=sampler.get('checkpoint', args.checkpoint),
         resume=args.resume)
@@ -572,6 +611,22 @@ def cmd_fit(args):
         'elapsed_s': round(time.time() - t0, 2)}
     if derived:
         out['derived'] = derived
+    if args.bootstrap:
+        # parametric-bootstrap debiasing + calibrated frequentist sigmas
+        # (sampling/optimize.parametric_bootstrap): the remedy for the
+        # width-MLE skew the 200-mock campaign measured on sigma_v
+        from .sampling.optimize import parametric_bootstrap
+        bres = parametric_bootstrap(bundle, params_block, result,
+                                    n_boot=args.bootstrap, seed=args.seed)
+        out['bootstrap'] = {
+            'n_boot': int(len(bres.theta_boot)),
+            'best_fit_debiased': {k: round(v, 6)
+                                  for k, v in bres.debiased.items()},
+            'bias': {n: round(float(bres.bias[i]), 6)
+                     for i, n in enumerate(bres.names)},
+            'std_bootstrap': {k: round(v, 6) for k, v in bres.std.items()},
+        }
+        out['elapsed_s'] = round(time.time() - t0, 2)
     if args.covmat_out:
         # Laplace covariance in cobaya .covmat format: the fit->sample
         # workflow (seed `run --sampler mh/hmc --covmat <this file>`), and
@@ -1146,8 +1201,10 @@ def main(argv=None):
                          '(default n_live // 4; sampler=ns)')
     pr.add_argument('--dlogz', type=float, default=0.01,
                     help='evidence termination tolerance (sampler=ns)')
-    pr.add_argument('--max-depth', type=int, default=8,
-                    help='NUTS maximum tree depth (sampler=nuts)')
+    pr.add_argument('--max-depth', type=int, default=None,
+                    help='NUTS maximum tree depth (sampler=nuts; default 6 '
+                         '— the measured speed/robustness point with the '
+                         'dense-mass warmup; raise for curved posteriors)')
     pr.add_argument('--chains', type=int, default=8,
                     help='HMC chain count (sampler=hmc)')
     pr.add_argument('--warmup', type=int, default=None,
@@ -1189,6 +1246,13 @@ def main(argv=None):
     pf.add_argument('--covmat-out', default=None, metavar='PATH',
                     help='write the Laplace covariance as a cobaya-format '
                          '.covmat (seeds `run --covmat` or cobaya itself)')
+    pf.add_argument('--bootstrap', type=int, default=0, metavar='N',
+                    help='parametric-bootstrap calibration: refit N '
+                         'synthetic datasets drawn from the fitted model, '
+                         'report debiased best-fit values and calibrated '
+                         'frequentist sigmas beside the Laplace ones '
+                         '(corrects the measured sigma_v width-MLE bias; '
+                         'N=64 is a good default)')
     pf.set_defaults(fn=cmd_fit)
 
     ps = sub.add_parser('scan', help='profile-likelihood scan (1D or 2D)')

@@ -2,7 +2,8 @@ from .priors import ParamSpace, SampledParam, DerivedParam
 from .ensemble import EnsembleState, init_state, step, run, make_logpost
 from .runner import run_mcmc, run_hmc_mcmc, make_posterior, MCMCResult
 from .optimize import (find_map, MAPResult, profile_scan, ProfileResult,
-                       fisher_forecast, FisherResult)
+                       fisher_forecast, FisherResult,
+                       parametric_bootstrap, BootstrapResult)
 from .smc import run_smc, SMCResult
 from .nested import run_nested, NestedResult
 from .post import reweight, PostResult
@@ -24,7 +25,8 @@ __all__ = [
     'run_mcmc', 'run_hmc_mcmc', 'make_posterior', 'MCMCResult', 'hmc', 'mh',
     'nuts',
     'find_map', 'MAPResult', 'profile_scan', 'ProfileResult',
-    'fisher_forecast', 'FisherResult', 'run_smc', 'SMCResult',
+    'fisher_forecast', 'FisherResult',
+    'parametric_bootstrap', 'BootstrapResult', 'run_smc', 'SMCResult',
     'run_nested', 'NestedResult',
     'reweight', 'PostResult',
     'run_tension', 'parameter_shift', 'TensionResult', 'ProductTarget',

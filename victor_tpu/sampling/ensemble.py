@@ -1,4 +1,4 @@
-"""On-device affine-invariant ensemble MCMC (Goodman & Weare stretch move).
+"""On-device ensemble MCMC: differential-evolution and stretch moves.
 
 This replaces the reference's sampling stack (external cobaya Metropolis
 chains parallelised with MPI, victor/README.md:30) with a sampler that runs
@@ -6,6 +6,20 @@ entirely inside one jit: the walker ensemble advances under `lax.scan`, every
 walker's likelihood is evaluated in a single vmapped dispatch per half-step,
 and the walker axis can be sharded across a device mesh. Deterministic PRNG
 key threading gives bit-reproducible chains for any device count.
+
+Two complementary-ensemble moves (both update one half against the other,
+preserving detailed balance w.r.t. the complementary walkers):
+
+  * 'de' (default): differential evolution (ter Braak 2006, the move family
+    behind emcee's DEMove/DIME) — proposal x + gamma (x_r1 - x_r2) with
+    distinct partners from the other half, gamma jittered around the
+    2.38/sqrt(2 ndim) optimum and a 10% chance of gamma = 1 mode-hopping
+    jumps; symmetric, so plain Metropolis acceptance. Measured to converge
+    the flagship BOSS config where the stretch move stalls (BASELINE.md
+    round 5: the round-4 stretch measurement ended at R-1 0.0112 after
+    512 x 8000 steps).
+  * 'stretch': Goodman & Weare affine-invariant stretch move (the round-1..4
+    behavior, kept for comparison studies).
 """
 
 from __future__ import annotations
@@ -55,16 +69,48 @@ def _half_update(logpost_fn, key, active, other, lnp_active, aux_active, a):
     return coords, lnp, aux, accept
 
 
-def step(logpost_fn: Callable, state: EnsembleState, a: float = 2.0
-         ) -> EnsembleState:
-    """One full red-black sweep (both halves updated)."""
+def _de_half_update(logpost_fn, key, active, other, lnp_active, aux_active,
+                    jump_prob: float = 0.1):
+    """Differential-evolution update of one half against the other: proposal
+    x + gamma (x_r1 - x_r2) with DISTINCT partners r1 != r2 drawn from the
+    complementary half, gamma jittered around 2.38/sqrt(2 ndim) and a
+    jump_prob chance of gamma = 1 (full mode-hopping difference vector).
+    The proposal is symmetric in (x, x'), so acceptance is plain Metropolis."""
+    n, ndim = active.shape
+    m = other.shape[0]
+    k_r1, k_r2, k_g, k_jump, k_acc = jax.random.split(key, 5)
+    r1 = jax.random.randint(k_r1, (n,), 0, m)
+    # distinct second partner: nonzero offset mod m cannot collide with r1
+    r2 = (r1 + jax.random.randint(k_r2, (n,), 1, m)) % m
+    gamma0 = 2.38 / jnp.sqrt(2.0 * ndim)
+    g = gamma0 * (1.0 + 1e-4 * jax.random.normal(k_g, (n,)))
+    g = jnp.where(jax.random.uniform(k_jump, (n,)) < jump_prob, 1.0, g)
+    proposal = active + g[:, None] * (other[r1] - other[r2])
+    lnp_new, aux_new = logpost_fn(proposal)
+    accept = jnp.log(jax.random.uniform(k_acc, (n,))) < (lnp_new - lnp_active)
+    coords = jnp.where(accept[:, None], proposal, active)
+    lnp = jnp.where(accept, lnp_new, lnp_active)
+    aux = jnp.where(accept[:, None], aux_new, aux_active)
+    return coords, lnp, aux, accept
+
+
+def step(logpost_fn: Callable, state: EnsembleState, a: float = 2.0,
+         move: str = 'stretch') -> EnsembleState:
+    """One full red-black sweep (both halves updated) with the given move."""
     x, lnp, aux = state.coords, state.log_prob, state.aux
     n = x.shape[0] // 2
     key, k0, k1 = jax.random.split(state.key, 3)
-    x0, lnp0, aux0, acc0 = _half_update(logpost_fn, k0, x[:n], x[n:],
-                                        lnp[:n], aux[:n], a)
-    x1, lnp1, aux1, acc1 = _half_update(logpost_fn, k1, x[n:], x0,
-                                        lnp[n:], aux[n:], a)
+    if move == 'de':
+        half = lambda k, act, oth, lp, ax: _de_half_update(
+            logpost_fn, k, act, oth, lp, ax)
+    elif move == 'stretch':
+        half = lambda k, act, oth, lp, ax: _half_update(
+            logpost_fn, k, act, oth, lp, ax, a)
+    else:
+        raise ValueError(f"ensemble move must be 'de' or 'stretch', "
+                         f'got {move!r}')
+    x0, lnp0, aux0, acc0 = half(k0, x[:n], x[n:], lnp[:n], aux[:n])
+    x1, lnp1, aux1, acc1 = half(k1, x[n:], x0, lnp[n:], aux[n:])
     return EnsembleState(
         coords=jnp.concatenate([x0, x1]),
         log_prob=jnp.concatenate([lnp0, lnp1]),
@@ -76,7 +122,7 @@ def step(logpost_fn: Callable, state: EnsembleState, a: float = 2.0
 
 
 def run(logpost_fn: Callable, state: EnsembleState, n_steps: int,
-        a: float = 2.0, thin: int = 1
+        a: float = 2.0, thin: int = 1, move: str = 'stretch'
         ) -> Tuple[EnsembleState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Advance `n_steps` sweeps under lax.scan, recording every `thin`-th.
 
@@ -94,7 +140,7 @@ def run(logpost_fn: Callable, state: EnsembleState, n_steps: int,
         # inner scan, not a Python unroll: unrolling duplicates the full
         # likelihood subgraph 2*thin times in the traced program, and
         # trace/lowering time dominates sampler wall-clock (CLAUDE.md)
-        st2 = lax.scan(lambda s, _: (step(logpost_fn, s, a), None),
+        st2 = lax.scan(lambda s, _: (step(logpost_fn, s, a, move), None),
                        st, None, length=thin)[0]
         return st2, (st2.coords, st2.log_prob, st2.aux)
 

@@ -312,6 +312,98 @@ def find_map(bundle, params_block: Dict,
 
 
 @dataclasses.dataclass
+class BootstrapResult:
+    """Parametric-bootstrap calibration of a MAP fit."""
+    names: tuple
+    theta_map: np.ndarray          # (ndim,) the original MAP estimate
+    bias: np.ndarray               # (ndim,) E[theta_hat | truth=MAP] - MAP
+    theta_debiased: np.ndarray     # (ndim,) theta_map - bias
+    cov: np.ndarray                # (ndim, ndim) bootstrap covariance
+    theta_boot: np.ndarray         # (n_boot, ndim) the refit estimates
+    n_failed: int                  # refits with a non-finite best objective
+
+    @property
+    def std(self) -> Dict[str, float]:
+        sd = np.sqrt(np.clip(np.diag(self.cov), 0.0, np.inf))
+        return {n: float(sd[i]) for i, n in enumerate(self.names)}
+
+    @property
+    def debiased(self) -> Dict[str, float]:
+        return {n: float(self.theta_debiased[i])
+                for i, n in enumerate(self.names)}
+
+
+def parametric_bootstrap(bundle, params_block: Dict, map_result: MAPResult,
+                         n_boot: int = 64, seed: int = 1000,
+                         n_starts: int = 4, adam_steps: int = 120,
+                         newton_steps: int = 6,
+                         opts_kw: Optional[Dict] = None,
+                         fit_kw: Optional[Dict] = None) -> BootstrapResult:
+    """Parametric-bootstrap bias correction + frequentist covariance of MAP.
+
+    Draws `n_boot` synthetic data vectors from the FITTED generative model
+    (theory vector at the MAP, noise from the covariance at the MAP beta),
+    refits each with the same machinery, and returns the estimator's
+    measured bias b = mean(theta_boot) - theta_map (so theta_map - b is the
+    debiased estimate) and its measured covariance. This is the calibrated
+    remedy for the width-MLE skew of amplitude-like parameters: the 200-mock
+    campaign measured a genuine -0.22 sigma mean pull on sigma_v (the
+    classic 1/N width bias — BASELINE.md round 3) that the Laplace curvature
+    cannot see; the bootstrap measures the estimator's actual sampling
+    distribution instead of its local quadratic proxy. Each refit reuses the
+    same compiled fit (mocks enter through the data-vector tables, which
+    ride as jit arguments), so refit k >= 2 costs no compile.
+
+    Caveats: the correction is first-order (bias estimated at theta = MAP,
+    not at the unknown truth — standard bootstrap), and beta's grid-scale
+    likelihood wiggles remain non-Gaussian (pull std ~2.9; report sampler
+    credible intervals for beta — the coverage_test module docstring).
+    """
+    from .mocks import mock_setup, shift_datavector
+
+    space = map_result.space
+    # the generative model needs every parameter the theory reads (fixed +
+    # derived included), at the fitted point
+    fid = {k: float(np.asarray(v))
+           for k, v in space.full_params(jnp.asarray(map_result.theta)).items()}
+    tvec, dvec, L = mock_setup(bundle, fid)
+    names = tuple(p.name for p in space.sampled)
+
+    rng = np.random.default_rng(seed)
+    thetas = np.empty((n_boot, space.ndim))
+    n_failed = 0
+    for k in range(n_boot):
+        mock = tvec + L @ rng.standard_normal(len(tvec))
+        mb = shift_datavector(bundle, mock - dvec)
+        try:
+            res = find_map(mb, params_block, n_starts=n_starts,
+                           adam_steps=adam_steps, newton_steps=newton_steps,
+                           seed=seed + 1 + k, opts_kw=opts_kw, fit_kw=fit_kw)
+            thetas[k] = res.theta
+        except RuntimeError:
+            thetas[k] = np.nan
+            n_failed += 1
+    ok = np.all(np.isfinite(thetas), axis=1)
+    if ok.sum() < max(4, n_boot // 2):
+        raise RuntimeError(
+            f'parametric_bootstrap: only {int(ok.sum())}/{n_boot} refits '
+            'converged; the fitted model cannot generate refittable mocks')
+    good = thetas[ok]
+    bias = good.mean(axis=0) - map_result.theta
+    cov = np.cov(good.T) if space.ndim > 1 else \
+        np.atleast_2d(np.var(good, ddof=1))
+    result = BootstrapResult(
+        names=names, theta_map=map_result.theta.copy(), bias=bias,
+        theta_debiased=map_result.theta - bias, cov=cov,
+        theta_boot=good, n_failed=int(n_boot - ok.sum()))
+    log.info('parametric bootstrap: %d/%d refits; largest |bias|/sigma = '
+             '%.2f (%s)', int(ok.sum()), n_boot,
+             float(np.max(np.abs(bias) / np.sqrt(np.diag(cov)))),
+             names[int(np.argmax(np.abs(bias) / np.sqrt(np.diag(cov))))])
+    return result
+
+
+@dataclasses.dataclass
 class FisherResult:
     names: tuple
     fiducial: np.ndarray        # (ndim,)

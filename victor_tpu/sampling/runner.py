@@ -418,12 +418,18 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
              opts_kw: Optional[Dict] = None, fit_kw: Optional[Dict] = None,
              output: Optional[str] = None,
              checkpoint: Optional[str] = None,
-             resume: bool = False, n_chain_files: int = 4) -> MCMCResult:
+             resume: bool = False, n_chain_files: int = 4,
+             move: str = 'de') -> MCMCResult:
     """Sample the posterior; returns chains + diagnostics.
 
     `mesh`: optional device mesh; walker state is sharded along `mesh_axis`
     so each segment runs data-parallel across chips with no host round trips
     inside the segment.
+
+    `move`: 'de' (default — differential evolution, ter Braak 2006; measured
+    to converge the flagship BOSS config where the stretch move stalls at
+    R-1 ~ 0.011, BASELINE.md round 5) or 'stretch' (Goodman & Weare, the
+    round-1..4 behavior).
     """
     space = ParamSpace(params_block)
     # tables is the pytree passed as the jit argument (full JointBundle for
@@ -439,7 +445,7 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     # tracing per seed-study repeat; same pattern as _HMC_RUNNERS above)
     cache_key = (tuple((k, _freeze(v)) for k, v in params_block.items()),
                  cache_id, _freeze(opts_kw), _freeze(fit_kw),
-                 check_every, thin,
+                 check_every, thin, move,
                  None if mesh is None else (mesh.shape_tuple, mesh_axis))
     fns = _ENSEMBLE_RUNNERS.setdefault(cache_key, {})
 
@@ -481,7 +487,7 @@ def run_mcmc(bundle: CCFModelBundle, params_block: Dict,
     if 'segment' not in fns:
         fns['segment'] = jax.jit(
             lambda t, st: ensemble.run(lambda c: logpost_t(t, c), st,
-                                       check_every, thin=thin),
+                                       check_every, thin=thin, move=move),
             donate_argnums=1)
     segment = fns['segment']
 
