@@ -133,6 +133,9 @@ class TableSpec:
     has_velocity_template: bool = False
     has_matter_template: bool = True
     esm_use_eh: bool = True
+    # cosmology-grid CAMB mode (models/esm.py:_esm_grid_interp): parameter
+    # names of the grid axes, in storage order; () = single-table/EH mode
+    esm_grid_names: Tuple[str, ...] = ()
     n_s: int = 30
     n_mu: int = 100
     n_v: int = 50

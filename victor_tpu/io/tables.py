@@ -109,6 +109,13 @@ class CCFTables:
     # matrix (1-t) C_b + t C_end — see config.TheoryOptions.beta_covariance
     cov_logdet: Optional[jax.Array] = None     # (n_b,)
     cov_pencil: Optional[jax.Array] = None     # (n_b, D)
+    # cosmology-grid CAMB mode (None unless pk_grid_file configured):
+    # multilinear-interpolable log P(k) + generator sigma8 tables over a
+    # small cosmology grid (axis names static in TableSpec.esm_grid_names)
+    esm_grid_axes: Optional[tuple] = None      # tuple of (n_a,) axis grids
+    esm_pk_grid: Optional[jax.Array] = None    # (n_cells, nk) log P(k, 0)
+    esm_s80_grid: Optional[jax.Array] = None   # (n_cells,)
+    esm_s8z_grid: Optional[jax.Array] = None   # (n_cells,)
 
 
 @jax.tree_util.register_dataclass
@@ -417,6 +424,8 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
     # (cosmology sampleable) or from a pregenerated CAMB table
     # (tools/make_camb_table.py) since CAMB cannot run on device.
     esm_k = esm_kw = esm_pk0 = esm_s80 = esm_s8z = esm_x50 = None
+    esm_grid_axes = esm_pk_grid = esm_s80_grid = esm_s8z_grid = None
+    esm_grid_names: tuple = ()
     esm_use_eh = True
     if matter_model == 'excursion_set':
         esm_opts = matter.get('excursion_set_options') or {}
@@ -425,7 +434,48 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
         esm_x50 = np.linspace(0.1, r.max(), 50)
         use_eh = esm_opts.get('use_eisenstein_hu', False)
         pk_table = esm_opts.get('pk_table_file')
-        if not use_eh and pk_table:
+        pk_grid = esm_opts.get('pk_grid_file')
+        if not use_eh and pk_grid:
+            # varying-cosmology CAMB mode: a grid of generator P(k) tables
+            # over named cosmology axes, multilinearly interpolated on
+            # device per likelihood call — the device-evaluable analogue of
+            # the reference's per-cosmology-tuple CAMB rebuild
+            # (excursion_set_profile.py:84-104). File format documented in
+            # tools/make_camb_table.py --grid.
+            esm_use_eh = False
+            from scipy.interpolate import InterpolatedUnivariateSpline as IUS
+            g = np.load(os.path.join(base_dir, pk_grid), allow_pickle=False)
+            esm_grid_names = tuple(str(s) for s in np.atleast_1d(
+                g['axis_names']))
+            axes = [np.asarray(g[f'grid_{n}'], dtype=np.float64)
+                    for n in esm_grid_names]
+            for n, ax in zip(esm_grid_names, axes):
+                if ax.ndim != 1 or (len(ax) > 1 and
+                                    not np.all(np.diff(ax) > 0)):
+                    raise InputError(f'pk_grid_file axis {n} must be a '
+                                     'strictly increasing 1-D grid')
+            shape = tuple(len(ax) for ax in axes)
+            logpk = np.asarray(g['logpk0'], dtype=np.float64)
+            if logpk.shape[:-1] != shape:
+                raise InputError(
+                    f'pk_grid_file logpk0 shape {logpk.shape} does not '
+                    f'match the axis grids {shape} + (nk,)')
+            kg = np.asarray(g['k'], dtype=np.float64)
+            flat = logpk.reshape(-1, logpk.shape[-1])
+            # cubic resample of log P(k) onto the framework k grid (same
+            # ingestion convention as the single-table branch)
+            esm_pk_grid = np.stack([IUS(kg, row, k=3)(esm_k)
+                                    for row in flat])
+            for key in ('sigma8_0', 'sigma8_z'):
+                if np.asarray(g[key]).shape != shape:
+                    raise InputError(f'pk_grid_file {key} shape must match '
+                                     f'the axis grids {shape}')
+            esm_s80_grid = np.asarray(g['sigma8_0'],
+                                      dtype=np.float64).reshape(-1)
+            esm_s8z_grid = np.asarray(g['sigma8_z'],
+                                      dtype=np.float64).reshape(-1)
+            esm_grid_axes = tuple(axes)
+        elif not use_eh and pk_table:
             esm_use_eh = False
             tbl = np.load(os.path.join(base_dir, pk_table))
             from scipy.interpolate import InterpolatedUnivariateSpline as IUS
@@ -682,6 +732,10 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
         data_mult_pchip_c=_opt(data_mult_pchip_c),
         beta_cov=_opt(beta_cov), cov=_opt(cov), icov=_opt(icov),
         cov_logdet=_opt(cov_logdet), cov_pencil=_opt(cov_pencil),
+        esm_grid_axes=(None if esm_grid_axes is None
+                       else tuple(_as_f64(a) for a in esm_grid_axes)),
+        esm_pk_grid=_opt(esm_pk_grid),
+        esm_s80_grid=_opt(esm_s80_grid), esm_s8z_grid=_opt(esm_s8z_grid),
     )
 
     spec = TableSpec(
@@ -691,6 +745,7 @@ def _build_tables_host(model: dict, data: Optional[dict] = None,
         has_velocity_template=has_velocity_template,
         has_matter_template=matter_model == 'template',
         esm_use_eh=esm_use_eh,
+        esm_grid_names=esm_grid_names,
         n_s=len(s) if s is not None else len(r),
         n_mu=n_mu, n_v=n_v,
     )

@@ -59,6 +59,65 @@ def esm_growth_factor(z, omega_m, omega_l):
     return growth_factor_lcdm(z, omega_m, omega_l)
 
 
+# parameter defaults shared by the EH branch and the grid-interpolation
+# branch (set_ESM_params, victor/ccf_model.py:494-536): an axis parameter
+# a chain holds fixed must interpolate at the same value EH mode would use
+_ESM_COSMO_DEFAULTS = {'H0': 67.5, 'Omega_m': 0.31, 'Omega_b': 0.048,
+                       'ns': 0.96}
+
+
+def _esm_grid_interp(tables, spec, params):
+    """Multilinear interpolation of the cosmology-grid P(k) tables.
+
+    The varying-cosmology CAMB mode (the role of the reference's per-tuple
+    lru_cache CAMB rebuild, victor/excursion_set_profile.py:84-104, made
+    device-evaluable): `tables.esm_pk_grid` holds log P(k, z=0) at every
+    point of a small grid over the axes named in `spec.esm_grid_names`
+    (e.g. H0/Omega_m/Omega_b/ns), flattened to (n_cells, nk); sigma8(0)
+    and sigma8(z_eff) from the generator ride along as (n_cells,) tables.
+    Interpolation is multilinear in the axes, linear in log P(k) (P(k) is
+    log-smooth in cosmology over sampling-scale boxes), with values clamped
+    to the grid hull. The 2^A-corner accumulation unrolls statically
+    (A <= 4 -> <= 16 gathers of one row each — trivially small traced
+    graph, CLAUDE.md rule 5).
+
+    Returns (pk0, s80_fid, s8z_fid) — the un-normalised fiducial pieces
+    esm_state rescales by (sigma_8_0 / s80_fid)^2.
+    """
+    import itertools
+
+    axes, names = tables.esm_grid_axes, spec.esm_grid_names
+    shape = tuple(int(g.shape[0]) for g in axes)
+    los, ts = [], []
+    for g, name in zip(axes, names):
+        x = jnp.asarray(params.get(name, _ESM_COSMO_DEFAULTS.get(name, 0.0)))
+        n = g.shape[0]
+        if n == 1:      # singleton axis: no interpolation, weight-0 corner
+            los.append(jnp.zeros((), jnp.int32))
+            ts.append(jnp.zeros(()))
+            continue
+        kidx = jnp.searchsorted(g, x, side='left', method='compare_all')
+        lo = jnp.clip(kidx - 1, 0, n - 2)
+        t = (x - g[lo]) / (g[lo + 1] - g[lo])
+        los.append(lo)
+        ts.append(jnp.clip(t, 0.0, 1.0))    # clamp outside the grid hull
+    logpk = jnp.zeros(tables.esm_pk_grid.shape[-1])
+    s80 = jnp.zeros(())
+    s8z = jnp.zeros(())
+    for corner in itertools.product((0, 1), repeat=len(shape)):
+        w = jnp.ones(())
+        flat = jnp.zeros((), jnp.int32)
+        for a, c in enumerate(corner):
+            w = w * (ts[a] if c else 1.0 - ts[a])
+            # singleton axes only ever contribute their c=0 corner (t=0
+            # zeroes the c=1 weight); clip keeps the dead index in bounds
+            flat = flat * shape[a] + jnp.minimum(los[a] + c, shape[a] - 1)
+        logpk = logpk + w * tables.esm_pk_grid[flat]
+        s80 = s80 + w * tables.esm_s80_grid[flat]
+        s8z = s8z + w * tables.esm_s8z_grid[flat]
+    return jnp.exp(logpk), s80, s8z
+
+
 def esm_state(tables, spec, params):
     """Resolve the normalised z=0 power spectrum and growth for this call.
 
@@ -66,27 +125,29 @@ def esm_state(tables, spec, params):
     Returns dict with k, kw (trapz weights), pk (normalised P(k, 0)), Dz,
     s8z (sigma8 at z_eff after normalisation), delta_c.
     """
-    omm = params.get('Omega_m', 0.31)
+    omm = params.get('Omega_m', _ESM_COSMO_DEFAULTS['Omega_m'])
     omk = params.get('Omega_k', 0.0)
     oml = 1.0 - omm - omk
     s80 = params.get('sigma_8_0', 0.81)
     k = tables.esm_k
+    Dz = esm_growth_factor(tables.z_eff, omm, oml)
     if spec.esm_use_eh:
-        h = params.get('H0', 67.5) / 100.0
-        omb = params.get('Omega_b', 0.048)
-        ns = params.get('ns', 0.96)
+        h = params.get('H0', _ESM_COSMO_DEFAULTS['H0']) / 100.0
+        omb = params.get('Omega_b', _ESM_COSMO_DEFAULTS['Omega_b'])
+        ns = params.get('ns', _ESM_COSMO_DEFAULTS['ns'])
         p = eisenstein_hu_params(h, omm, omb, ns=ns, As=2e-9)
         pk0 = power_eh(p, k)
         s80_fid = sigma80(p)
+        s8z_fid = s80_fid * Dz
+    elif getattr(tables, 'esm_pk_grid', None) is not None:
+        # varying-cosmology grid mode: shape-cosmology parameters on the
+        # grid axes are sampleable with generator-grade (e.g. CAMB) P(k)
+        pk0, s80_fid, s8z_fid = _esm_grid_interp(tables, spec, params)
     else:
         pk0 = tables.esm_pk0
         s80_fid = tables.esm_s80
-    norm = (s80 / s80_fid) ** 2
-    Dz = esm_growth_factor(tables.z_eff, omm, oml)
-    if spec.esm_use_eh:
-        s8z_fid = s80_fid * Dz
-    else:
         s8z_fid = tables.esm_s8z
+    norm = (s80 / s80_fid) ** 2
     return {
         'k': k, 'kw': tables.esm_kw, 'pk': pk0 * norm, 'Dz': Dz,
         's8z': s8z_fid * jnp.sqrt(norm),
