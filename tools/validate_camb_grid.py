@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Posterior-level validation of the varying-cosmology CAMB grid mode.
+
+Extends the 9-param ESM fit (configs/esm_sampling_config.yaml) with two
+sampled shape-cosmology parameters (H0, ns) and runs the SAME 11-parameter
+tempered-SMC posterior twice:
+
+  * EH mode   — P(k) from the Eisenstein-Hu formula evaluated on device at
+                every (H0, ns) the sampler visits (the existing exact path);
+  * grid mode — P(k) multilinearly interpolated from an EH-GENERATED grid
+                over (H0, ns) (`make_camb_table.py --grid --generator eh`,
+                built on the fly), the machinery a CAMB-generated grid
+                would use in production.
+
+Because the grid's generator IS the EH formula, any posterior difference is
+pure interpolation error: the run PASSES if every marginal mean shifts by
+< 0.2 sigma and every sigma agrees within 20%. This isolates the grid
+machinery end-to-end (ingestion -> device interpolation -> gradients-free
+SMC sampling) from the generator, which is exactly the role the reference's
+per-tuple CAMB rebuild plays (victor/excursion_set_profile.py:84-104).
+
+Usage:  python tools/validate_camb_grid.py [--particles 2048] [--moves 6]
+                                           [--seed 0]
+Writes nothing outside /tmp; prints a PASS/FAIL verdict and exits nonzero
+on FAIL.
+"""
+
+import argparse
+import copy
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+H0_GRID = '60,65,70,75'
+NS_GRID = '0.90,0.95,1.00'
+
+COSMO_PARAMS = {
+    'H0': {'prior': {'dist': 'uniform', 'min': 62.0, 'max': 73.0},
+           'ref': {'dist': 'norm', 'loc': 67.5, 'scale': 1.0}},
+    'ns': {'prior': {'dist': 'uniform', 'min': 0.91, 'max': 0.99},
+           'ref': {'dist': 'norm', 'loc': 0.96, 'scale': 0.01}},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--particles', type=int, default=2048)
+    ap.add_argument('--moves', type=int, default=6)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import yaml
+
+    from victor_tpu.io import build_tables
+    from victor_tpu.sampling import run_smc
+    from victor_tpu.utils.profiling import enable_persistent_cache
+    enable_persistent_cache()
+
+    with open(os.path.join(REPO, 'configs', 'esm_sampling_config.yaml')) as f:
+        cfg = yaml.safe_load(f)
+    cfg['model']['dir'] = REPO
+    cfg['data']['dir'] = REPO
+    z_eff = cfg['model'].get('z_eff', 0.57)
+
+    grid_file = os.path.join(tempfile.gettempdir(), 'esm_eh_grid_val.npz')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'make_camb_table.py'),
+         '--z', str(z_eff), '--generator', 'eh',
+         '--grid', f'H0={H0_GRID}', '--grid', f'ns={NS_GRID}',
+         '--npts', '400', '--out', grid_file],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS='cpu'))
+    if r.returncode != 0:
+        sys.exit(f'grid generation failed: {r.stderr}')
+    print(r.stdout.strip())
+
+    block = dict(cfg['params'])
+    block.update(copy.deepcopy(COSMO_PARAMS))
+
+    results = {}
+    for mode in ('eh', 'grid'):
+        m = copy.deepcopy(cfg['model'])
+        if mode == 'eh':
+            m['matter_ccf']['excursion_set_options'] = {
+                'use_eisenstein_hu': True}
+        else:
+            m['matter_ccf']['excursion_set_options'] = {
+                'use_eisenstein_hu': False, 'pk_grid_file': grid_file}
+        bundle = build_tables(m, cfg['data'])
+        res = run_smc(bundle, block, n_particles=args.particles,
+                      n_moves=args.moves, seed=args.seed)
+        # SMC particles are equal-weight posterior draws post-resampling
+        mean = res.particles.mean(axis=0)
+        sd = res.particles.std(axis=0)
+        results[mode] = (mean, sd, res.logz)
+        print(f'{mode}: logZ = {res.logz:.3f} ({res.elapsed_s:.1f} s)')
+
+    names = list(block)
+    me, se, lze = results['eh']
+    mg, sg, lzg = results['grid']
+    print(f'\n{"param":10s} {"EH mean±sd":>22s} {"grid mean±sd":>22s} '
+          f'{"shift/sigma":>12s} {"sd ratio":>9s}')
+    ok = True
+    for i, n in enumerate(names):
+        shift = abs(mg[i] - me[i]) / max(se[i], 1e-300)
+        ratio = sg[i] / max(se[i], 1e-300)
+        flag = ''
+        if shift > 0.2 or not 0.8 < ratio < 1.25:
+            ok = False
+            flag = '  <-- FAIL'
+        print(f'{n:10s} {me[i]:12.5g} ±{se[i]:8.3g} {mg[i]:12.5g} '
+              f'±{sg[i]:8.3g} {shift:12.3f} {ratio:9.3f}{flag}')
+    print(f'logZ: EH {lze:.3f} vs grid {lzg:.3f} '
+          f'(delta {abs(lzg - lze):.3f})')
+    print('PASS: grid-mode posterior matches EH mode to interpolation error'
+          if ok else 'FAIL: grid-mode posterior deviates beyond the bound')
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()
