@@ -358,6 +358,13 @@ class CCFFit(CCFModel):
         opts_kw, _ = _split_kwargs(kwargs)
         opts = self.bundle.theory_opts.replace(**opts_kw)
         chisq, cov = self._chi2_fn(opts)(_jp(params))
+        if cov is None:
+            # explicit beta_covariance='factored' override: the factored
+            # path never materialises the blended covariance — rebuild it
+            # here since this API promises to return it
+            cov = self.get_interpolated_covariance(
+                params.get('beta') if not self.bundle.spec.fixed_covmat
+                else None)
         return float(chisq), np.asarray(cov)
 
     def log_likelihood(self, params: Dict, **kwargs):
