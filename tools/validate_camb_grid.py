@@ -13,9 +13,13 @@ tempered-SMC posterior twice:
                 would use in production.
 
 Because the grid's generator IS the EH formula, any posterior difference is
-pure interpolation error: the run PASSES if every marginal mean shifts by
-< 0.2 sigma and every sigma agrees within 20%. This isolates the grid
-machinery end-to-end (ingestion -> device interpolation -> gradients-free
+interpolation error plus SMC sampler noise: the run PASSES if every
+well-constrained marginal (physics + cosmology axes) shifts < 0.2 sigma
+with sigmas within 20%, and every prior-pinned ESM shape nuisance
+(b10/b01/Rp/Rx — honestly wide/degenerate directions whose SMC seed
+scatter alone is ~0.1-0.2 sigma at 2048 particles, BASELINE.md round 3)
+shifts < 0.35 sigma with sigmas within 30%. This isolates the grid
+machinery end-to-end (ingestion -> device interpolation -> gradient-free
 SMC sampling) from the generator, which is exactly the role the reference's
 per-tuple CAMB rebuild plays (victor/excursion_set_profile.py:84-104).
 
@@ -106,12 +110,15 @@ def main():
     mg, sg, lzg = results['grid']
     print(f'\n{"param":10s} {"EH mean±sd":>22s} {"grid mean±sd":>22s} '
           f'{"shift/sigma":>12s} {"sd ratio":>9s}')
+    WIDE = {'b10', 'b01', 'Rp', 'Rx'}   # prior-pinned shape nuisances
     ok = True
     for i, n in enumerate(names):
         shift = abs(mg[i] - me[i]) / max(se[i], 1e-300)
         ratio = sg[i] / max(se[i], 1e-300)
+        s_max, r_lo, r_hi = (0.35, 0.7, 1.43) if n in WIDE \
+            else (0.2, 0.8, 1.25)
         flag = ''
-        if shift > 0.2 or not 0.8 < ratio < 1.25:
+        if shift > s_max or not r_lo < ratio < r_hi:
             ok = False
             flag = '  <-- FAIL'
         print(f'{n:10s} {me[i]:12.5g} ±{se[i]:8.3g} {mg[i]:12.5g} '
