@@ -74,7 +74,7 @@ def main():
 
     # batch of realistic parameter draws around the posterior
     rng = np.random.default_rng(0)
-    n = int(os.environ.get('VICTOR_BENCH_BATCH', 16384))
+    n = int(os.environ.get('VICTOR_BENCH_BATCH', 32768))
     theta = np.column_stack([
         rng.uniform(0.3, 0.6, n),      # fsigma8
         rng.uniform(0.25, 0.55, n),    # beta

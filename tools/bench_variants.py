@@ -22,7 +22,7 @@ N*65.0118/(1+(N-1)rho). Throughput is JOINT evals/s; each joint eval runs
 the theory pipeline once per quantile, so per-quantile theory throughput
 is N x the printed number. Not in the default list; request explicitly.
 
-Environment: VICTOR_BENCH_BATCH (default 16384), VICTOR_BENCH_CHUNK (64),
+Environment: VICTOR_BENCH_BATCH (default 32768), VICTOR_BENCH_CHUNK (64),
 VICTOR_BENCH_REPS (5). Measurement honesty: every timed repetition forces a
 device->host transfer (through the axon remote-device tunnel,
 block_until_ready alone can resolve before execution finishes — BASELINE.md).
@@ -56,7 +56,7 @@ def main(heartbeat=lambda: None):
 
     variants = sys.argv[1:] or ['streaming', 'dispersion', 'kaiser',
                                 'euclid_special']
-    n = int(os.environ.get('VICTOR_BENCH_BATCH', 16384))
+    n = int(os.environ.get('VICTOR_BENCH_BATCH', 32768))
     chunk = int(os.environ.get('VICTOR_BENCH_CHUNK', 64))
     reps = int(os.environ.get('VICTOR_BENCH_REPS', 5))
 
