@@ -616,7 +616,7 @@ def main():
                   f'KS p = {ks.pvalue:.3f}   10-bin: {hist.tolist()}')
         return
 
-    if args.method in ('smc', 'ns', 'mh'):
+    if args.method in ('smc', 'ns', 'mh', 'ensemble'):
         if args.method == 'ns':
             pulls, cover68, names = run_coverage_ns(
                 bundle, n_mocks=args.mocks, seed=args.seed, form=args.form,
