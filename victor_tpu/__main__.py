@@ -1186,8 +1186,8 @@ def main(argv=None):
                     help='default mh (adaptive random-walk Metropolis — '
                          'the reference/cobaya algorithm class, coverage-'
                          'calibrated). hmc/nuts/smc/ns are also calibrated; '
-                         'ensemble is EXPERIMENTAL (no calibration row) and '
-                         'exits nonzero if unconverged')
+                         'ensemble (differential-evolution move, coverage-'
+                         'calibrated round 5) exits nonzero if unconverged')
     pr.add_argument('--particles', type=int, default=2048,
                     help='SMC particle count (sampler=smc)')
     pr.add_argument('--moves', type=int, default=5,
