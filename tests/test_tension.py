@@ -34,9 +34,17 @@ def _no_persistent_compile_cache():
     the program was never affected (the TPU backend is untouched; the
     real-chip tension pipeline runs are validated in BASELINE.md)."""
     import jax
+    from jax._src import compilation_cache
+
     jax.config.update('jax_enable_compilation_cache', False)
+    # the config flip alone is NOT enough: is_cache_used() caches its
+    # verdict in a module global on first use, so a session that already
+    # compiled anything keeps using the cache — reset_cache() clears that
+    # memo (and the in-memory handle) so the new setting takes effect
+    compilation_cache.reset_cache()
     yield
     jax.config.update('jax_enable_compilation_cache', True)
+    compilation_cache.reset_cache()
 
 
 SIG2 = 0.04                      # isotropic variance of both likelihoods
