@@ -51,6 +51,22 @@ if os.environ.get('VICTOR_TEST_COMPILE_CACHE', '1') != '0':
 FIXTURES = os.path.join(REPO, 'tests', 'fixtures')
 
 
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable memory between test modules.
+
+    A full `--runslow` session compiles ~450 XLA:CPU programs; around the
+    ~400th, XLA:CPU reproducibly SEGFAULTS/aborts on the next large
+    compile (or on cache (de)serialization of it) — native resource
+    exhaustion inside the compiler/JIT, independent of Python stack depth
+    or the persistent cache (diagnosed 2026-08-21; CLAUDE.md rule 10).
+    Dropping jax's executable caches after each module frees the loaded
+    code; cross-module recompiles reload from the persistent disk cache,
+    so the wall-clock cost is small."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_addoption(parser):
     parser.addoption('--runslow', action='store_true', default=False,
                      help='also run tests marked slow (full sampler/optimizer '
