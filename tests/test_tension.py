@@ -19,34 +19,6 @@ import pytest
 import jax.numpy as jnp
 
 
-@pytest.fixture(scope='module', autouse=True)
-def _no_persistent_compile_cache():
-    """Work around a reproducible XLA:CPU native crash (jax 0.9.0,
-    diagnosed 2026-08-20): (de)serializing the ProductTarget-SMC executable
-    for the persistent compilation cache SEGFAULTS — but only late in a
-    large pytest session (~400 executables in). Isolated sessions
-    round-trip the identical entry fine; `ulimit -s unlimited` does not
-    help; the crash sits in `executable.serialize()` /
-    `backend.deserialize_executable()` (compilation_cache.py:238/265), i.e.
-    entirely inside XLA. Disabling the persistent cache for this module
-    compiles the executable fresh in-process — the only code path that
-    never touches the native (de)serializer — at ~40 s cold cost. EXECUTING
-    the program was never affected (the TPU backend is untouched; the
-    real-chip tension pipeline runs are validated in BASELINE.md)."""
-    import jax
-    from jax._src import compilation_cache
-
-    jax.config.update('jax_enable_compilation_cache', False)
-    # the config flip alone is NOT enough: is_cache_used() caches its
-    # verdict in a module global on first use, so a session that already
-    # compiled anything keeps using the cache — reset_cache() clears that
-    # memo (and the in-memory handle) so the new setting takes effect
-    compilation_cache.reset_cache()
-    yield
-    jax.config.update('jax_enable_compilation_cache', True)
-    compilation_cache.reset_cache()
-
-
 SIG2 = 0.04                      # isotropic variance of both likelihoods
 V = 100.0                        # prior volume
 
