@@ -1318,6 +1318,53 @@ class TestCobayaSamplerMappings:
         assert seen['algorithm'] == 'mh'
         assert json.loads(capsys.readouterr().out)['sampler'] == 'mh'
 
+    def test_nuts_dispatch_defaults(self, boss_config, tmp_path,
+                                    monkeypatch, capsys):
+        """Bare `--sampler nuts` ships the convergence recipe: depth 6 (the
+        measured dense-mass speed/robustness point) and a 4000-draw cap
+        (n_samples acts as a cap under rhat_stop — seeds 0-2 measured
+        converging at 500-2,800 draws, BASELINE.md round 5). Explicit
+        --max-depth / sampler keys must still win."""
+        import json
+        import types
+
+        import yaml
+
+        import victor_tpu.sampling as sampling_mod
+        from victor_tpu.__main__ import main
+
+        seen = {}
+
+        def fake(bundle, params_block, **kw):
+            seen.update(kw)
+            return types.SimpleNamespace(
+                n_steps=3, acceptance=0.3, elapsed_s=0.1,
+                summary=lambda burn_in=None: {})
+
+        monkeypatch.setattr(sampling_mod, 'run_hmc_mcmc', fake)
+        cfg = dict(boss_config)
+        cfg['params'] = dict(self.BLOCK)
+        p = tmp_path / 'nuts.yaml'
+        p.write_text(yaml.safe_dump(cfg))
+        main(['run', str(p), '--sampler', 'nuts', '--seed', '0'])
+        assert seen['algorithm'] == 'nuts'
+        assert seen['max_depth'] == 6
+        assert seen['n_samples'] == 4000
+        assert seen['n_warmup'] == 300
+        # the draw budget is a CAP even without a sampler block: nuts
+        # defaults the convergence stop on (cobaya's 0.01)
+        assert seen['rhat_stop'] == 0.01
+        capsys.readouterr()
+        # explicit depth wins; hmc keeps depth 8
+        main(['run', str(p), '--sampler', 'nuts', '--max-depth', '9',
+              '--seed', '0'])
+        assert seen['max_depth'] == 9
+        capsys.readouterr()
+        main(['run', str(p), '--sampler', 'hmc', '--seed', '0'])
+        assert seen['max_depth'] == 8
+        assert seen['n_samples'] == 700
+        capsys.readouterr()
+
     def test_defaulted_mh_warns_on_ensemble_only_keys(
             self, boss_config, tmp_path, monkeypatch, capsys):
         """A migrating config with only ensemble tuning keys (n_walkers/

@@ -371,9 +371,13 @@ def cmd_run(args):
             covmat=sampler.get('covmat', args.covmat),
             # cobaya's Rminus1_stop semantics: n_samples becomes a cap and
             # the run stops once split-R-1 clears the threshold (set by the
-            # mcmc: nesting merge or an explicit sampler.rhat_stop)
+            # mcmc: nesting merge or an explicit sampler.rhat_stop). NUTS
+            # defaults the criterion on (0.01, cobaya's default) so its
+            # 4000-draw default is always a cap, not a fixed budget —
+            # "converges out of the box" on any config
             rhat_stop=(float(sampler['rhat_stop'])
-                       if 'rhat_stop' in sampler else None),
+                       if 'rhat_stop' in sampler
+                       else (0.01 if kind == 'nuts' else None)),
             output=out_root,
             checkpoint=ckpt,
             resume=args.resume)
