@@ -1216,7 +1216,8 @@ def main(argv=None):
     pr.add_argument('--samples', type=int, default=None,
                     help='posterior draws per chain (default 700; 8000 for '
                          '--sampler mh, whose draws are ~10x cheaper but '
-                         'mix ~10x slower)')
+                         'mix ~10x slower; 4000 for --sampler nuts as a '
+                         'cap under its default rhat_stop 0.01)')
     pr.add_argument('--leapfrog', type=int, default=16)
     pr.add_argument('--covmat', default=None,
                     help='cobaya-format .covmat file seeding the proposal '
